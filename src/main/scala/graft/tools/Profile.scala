@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time every SparkEntry query twice in one JVM to separate
+  * JIT/codegen warmup from steady-state cost. `sbt "runMain graft.tools.Profile [sfDir]"`.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    for (round <- 1 to 2) {
+      for (n <- names) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        if (round == 2 || s > 3) println(f"[r$round] $n%-20s $s%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
