@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Tags {
 
-  /** First-match tag lookup: value of the first entry named `name`, else null. */
+  /** First-match tag lookup: value of the first entry named `name`, else null.
+    * `get` (0-based) rather than `element_at`: under ANSI mode (Spark 4
+    * default) element_at throws on out-of-bounds, while a missing tag must
+    * read as null → filter-false (reference: None → false, shard.re:123-124).
+    */
   def tagLookup(tag: Column, name: String): Column =
-    element_at(filter(tag, t => t.getField("name") === lit(name)), 1).getField("value")
+    get(filter(tag, t => t.getField("name") === lit(name)), lit(0)).getField("value")
 
   sealed trait Match
   case object Eq extends Match

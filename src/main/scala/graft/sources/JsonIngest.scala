@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.model.Canon
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1/S2: JSON wire-format ingest (SURVEY.md §1.2, §2.1).
+  *
+  * The reference accepts exactly four JSON shapes, field order significant
+  * (`/root/reference/src/timeseries.re:64-78`):
+  *   {"value": n} | {"tag": [...], "value": n} |
+  *   {"timestamp": t, "value": n} | {"timestamp": t, "tag": [...], "value": n}
+  * Anything else → 400. A body may be one object or an array of objects
+  * (`src/main.re:60-67`) — as a DataFrame source that distinction vanishes:
+  * rows are rows.
+  *
+  * Semantics preserved:
+  *  - field-ORDER-sensitive shape check via `json_object_keys` (the
+  *    reference pattern-matches the assoc list literally);
+  *  - server-assigned µs timestamp when absent (`src/timeseries.re:37-44`);
+  *  - client float timestamps truncated toward zero (`Int64.of_float`,
+  *    `src/timeseries.re:73`) — Spark double→long cast truncates identically;
+  *  - wire tag = array of single-key objects → ordered ARRAY<STRUCT> keeping
+  *    duplicate names (`src/shard.re:39-49`).
+  *
+  * Everything is built-in expressions — validation is a predicate, so
+  * ingest is one codegen'd pass with no UDFs and no driver-side loops.
+  */
+object JsonIngest {
+
+  /** Parsed payload schema (permissive; shape check is separate). */
+  private val wireSchema = StructType(Seq(
+    StructField("timestamp", DoubleType),
+    StructField("tag", ArrayType(MapType(StringType, StringType))),
+    StructField("value", DoubleType)))
+
+  private val acceptedShapes = Seq(
+    Seq("value"),
+    Seq("tag", "value"),
+    Seq("timestamp", "value"),
+    Seq("timestamp", "tag", "value"))
+
+  /** Shape check: the object's key list must equal one of the four accepted
+    * shapes IN ORDER, and `value` (plus `timestamp` if present) must have
+    * parsed as a number.
+    */
+  def isValidShape(json: Column): Column = {
+    val keys = json_object_keys(json)
+    val shapeOk = acceptedShapes
+      .map(s => keys === array(s.map(lit): _*))
+      .reduce(_ || _)
+    val parsed = from_json(json, wireSchema)
+    val valueOk = parsed.getField("value").isNotNull
+    val tsOk = !array_contains(keys, "timestamp") || parsed.getField("timestamp").isNotNull
+    shapeOk && valueOk && tsOk
+  }
+
+  final case class Result(good: DataFrame, bad: DataFrame)
+
+  /** Ingest wire rows `(series STRING, json STRING)` → canonical datapoints
+    * + quarantined invalid rows (the 400 path, kept as data not exceptions).
+    *
+    * @param ingestTimeUs server-assigned timestamp for shapes without one
+    *                     (injected for determinism; the reference reads the
+    *                     wall clock per point, `src/timeseries.re:37-44`)
+    */
+  def ingest(wire: DataFrame, ingestTimeUs: Long): Result = {
+    val valid = isValidShape(col("json"))
+    val parsed = from_json(col("json"), wireSchema).as("p")
+    val good = wire.filter(valid)
+      .select(col("series"), parsed)
+      .select(
+        col("series"),
+        coalesce(col("p.timestamp").cast(LongType), lit(ingestTimeUs)).as(Canon.TS_US),
+        // array of single-key objects → ordered (name,value) structs;
+        // a multi-key object contributes its first entry, like the
+        // reference's head-of-assoc-list parse.
+        transform(col("p.tag"), m => {
+          val e = get(map_entries(m), lit(0))
+          struct(e.getField("key").as("name"), e.getField("value").as("value"))
+        }).as(Canon.TAG),
+        col("p.value").as(Canon.VALUE),
+        monotonically_increasing_id().as(Canon.RID))
+    val bad = wire.filter(!coalesce(valid, lit(false)))
+    Result(good, bad)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.model.Canon._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S3-S5: the storage layer — partitioned Parquet replacing the reference's
+  * Irmin/Git shard store + interval index (SURVEY.md §1.3-1.4, §4).
+  *
+  * Reference layout: one Git KV entry per shard keyed `[series, t1, t2]`
+  * (`/root/reference/src/timeseries.re:94-98`) plus a per-series interval
+  * index (`src/index.re`) used to prune shards on since/range reads
+  * (`src/index.re:92-105`), with overlap-merge compaction on every spill
+  * (`src/timeseries.re:119-156`).
+  *
+  * Spark-first replacement: `series=<id>/day=<yyyy-MM-dd>/part-*.parquet`.
+  *  - partition pruning on `series` and `day` IS the interval index — the
+  *    driver never lists files outside the queried series/time range;
+  *  - parquet row-group min/max stats on `ts_us` (rows sorted within
+  *    partitions) prune inside a day — the Complete/Partial shard
+  *    classification (`src/timeseries.re:569-588`) for free;
+  *  - overlap-merge compaction is unnecessary for correctness (overlapping
+  *    files are fine); `compact()` exists for file hygiene only;
+  *  - at 100 TB: writes scale out per (series, day); no global coordination,
+  *    no driver-side index, append-only — late data just lands in its own
+  *    (old-day) partition, giving the reference's unbounded lateness
+  *    tolerance without rewrites.
+  */
+object ShardStore {
+
+  private val DAY = "day"
+  /** Shard-size analog (`--shard-size`, reference `src/main.re:10`): caps
+    * file size so single-partition hotspots still parallelize on read.
+    */
+  val maxRecordsPerFile = 5000000L
+
+  private def withDay(df: DataFrame): DataFrame =
+    df.withColumn(DAY, date_format(timestamp_micros(col(TS_US)), "yyyy-MM-dd"))
+
+  /** Append canonical datapoints. Sorting within partitions by ts_us makes
+    * parquet row-group stats tight → row-group pruning on time predicates.
+    */
+  def append(df: DataFrame, path: String): Unit =
+    withDay(df)
+      .sortWithinPartitions(col(SERIES), col(TS_US))
+      .write
+      .partitionBy(SERIES, DAY)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Append)
+      .parquet(path)
+
+  /** Read the store back in canonical form (partition columns dropped). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+
+  /** Range read that lets Catalyst prune partitions: the `day` bounds are
+    * derived from the µs bounds and applied to the partition column, the
+    * exact bounds to `ts_us` (pushed to row-group stats).
+    */
+  def readRange(spark: SparkSession, path: String, ids: Seq[String],
+                fromUs: Long, toUs: Long): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val pruned = raw
+      .filter(col(DAY) >= date_format(timestamp_micros(lit(fromUs)), "yyyy-MM-dd"))
+      .filter(col(DAY) <= date_format(timestamp_micros(lit(toUs)), "yyyy-MM-dd"))
+      .filter(col(TS_US).between(fromUs, toUs))
+    val bySeries = if (ids.isEmpty) pruned else pruned.filter(col(SERIES).isin(ids: _*))
+    bySeries.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+  }
+
+  /** File-hygiene compaction (the overlap-merge analog, S4): rewrite the
+    * store coalescing small files; correctness never depends on it.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit =
+    append(read(spark, path).repartition(col(SERIES)), outPath)
+
+  /** D1 physical delete: rewrite the store without rows matching the
+    * predicate-bearing `survivors` frame (callers build it via
+    * TimeSeries.deleteRange/deleteSince). Partition-granular overwrite.
+    */
+  def rewrite(survivors: DataFrame, outPath: String): Unit =
+    withDay(survivors)
+      .sortWithinPartitions(col(SERIES), col(TS_US))
+      .write.partitionBy(SERIES, DAY)
+      .mode(SaveMode.Overwrite)
+      .parquet(outPath)
+}
