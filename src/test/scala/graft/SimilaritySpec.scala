@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0),  // opposite of 0
+    (4L, Array(1.0f, 0.05f, 0.0f, 0.0f), 0)   // closest to 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val c = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(math.abs(c((0L, 3L)) + 1.0) < 1e-12)
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tiebreak") {
+    val got = Similarity.bruteForceTopK(vecs, Seq(0L), k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 1L, 2L)) // 0.999 > 0.994 > 0
+  }
+
+  test("near-dup pairs respects tau") {
+    val got = Similarity.nearDupPairs(vecs, tau = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 4L)) && got.contains((1L, 4L)))
+    assert(!got.contains((0L, 2L)) && !got.contains((0L, 3L)))
+  }
+
+  test("ivf top-k probes only the query's cell") {
+    val got = Similarity.ivfTopK(vecs, Seq(0L), k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L)) // label-0 cell only, no vec 2
+  }
+
+  test("ann LSH achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(emb, qids, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, qids, k = 5, dim = 64)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // multi-probe, 8 planes
+  }
+}

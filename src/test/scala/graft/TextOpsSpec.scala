@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens drop empties; counts stable under padding") {
+    val df = Seq("  a  b   c  ", "a b c").toDF("text")
+    assert(df.select(TextOps.tokenCount($"text")).as[Int].collect().toSeq == Seq(3, 3))
+  }
+
+  test("bpe-ish count adds subword pieces for long words") {
+    val df = Seq(("a bb cccc ddddddddd", 1L)).toDF("text", "id")
+    // 1 + 1 + 1 + ceil(9/4)=3 => 6
+    assert(df.select(TextOps.tokenCountBpeish($"text")).as[Int].head() == 6)
+  }
+
+  test("fingerprint invariant under case, punctuation, whitespace runs") {
+    val df = Seq(
+      "The quick, brown fox!",
+      "the   quick brown fox",
+      "THE QUICK BROWN: FOX").toDF("text")
+    assert(df.select(TextOps.fingerprint($"text")).as[String].collect().toSet.size == 1)
+  }
+
+  test("langid picks the dominant stopword language; unk on no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in a that for it"),
+      (2L, "der hund und die katze ist nicht ein das zu den"),
+      (3L, "le chat et la maison les des un une est que dans"),
+      (4L, "el perro y los gatos las que de un una es en"),
+      (5L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextOps.langId(df).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "unk"))
+  }
+
+  test("quality signals are in range and respond to structure") {
+    val df = Seq(
+      (1L, "the of and to in is a clean readable sentence with words"),
+      (2L, "!!!;;;...,,,:::")).toDF("doc_id", "text")
+    val q = TextOps.quality(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getDouble(4) == 0.0)         // punct_ratio clean
+    assert(q(2L).getDouble(4) > 0.9)          // punct-only
+    assert(q(1L).getDouble(5) > 0.3)          // stopword-rich
+    val s = TextOps.qualityScore(df).as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L))
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
