@@ -49,13 +49,58 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Exact near-duplicate pairs by n-gram Jaccard >= tau. Shingle inverted-
-    * index self-join: explode shingles, join on shingle, count common,
-    * |A∪B| = |A|+|B|-common. Exact and oracle-checkable; quadratic in
-    * co-shingle frequency (validation scale — see MinHash for the big one).
+  /** Exact near-duplicate pairs by n-gram Jaccard >= tau, via PREFIX
+    * FILTERING (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
+    * Chaudhuri et al. ICDE'06): order every doc's shingles by ascending
+    * global frequency and join only each doc's first
+    * ⌊(1-tau)·|s|⌋+1 shingles — two sets with Jaccard >= tau MUST share at
+    * least one prefix element under any consistent global order, so the
+    * candidate set is exact. Hot shingles land at the end of the ordering
+    * and never enter the join, which is what kills the quadratic blowup the
+    * naive inverted-index join suffers on skewed vocabularies.
+    * Candidates are then verified with a full array_intersect.
+    * A size filter (tau·|a| <= |b|) prunes length-incompatible pairs on
+    * the join condition itself.
     */
   def ngramJaccardPairs(df: DataFrame, n: Int, tau: Double,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sets = shingleSets(df, n, textCol, idCol) // (id, sh)
+    // global shingle frequency → a consistent total order (freq, shingle)
+    val freq = sets.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("f"))
+    val exploded = sets.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    // rank shingles within each doc by (global freq asc, shingle asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("f").asc, col("shingle").asc)
+    val ranked = exploded.join(freq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+    // prefix length p = |s| - ceil(tau*|s|) + 1
+    val prefixes = ranked.filter(
+      col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+    val a = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = prefixes.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+      col("shingle").as("shingle_b"))
+    val cand = a.join(b,
+        col("shingle") === col("shingle_b") && col("id_a") < col("id_b") &&
+        col("n_b") >= col("n_a") * tau && col("n_a") >= col("n_b") * tau)
+      .select("id_a", "id_b").distinct()
+    // exact verification on the full shingle sets
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The naive inverted-index variant (kept as the reference implementation
+    * for equivalence tests; quadratic in co-shingle frequency).
+    */
+  def ngramJaccardPairsNaive(df: DataFrame, n: Int, tau: Double,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = shingleSets(df, n, textCol, idCol)
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     val a = sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))

@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two ARRAY<DOUBLE> columns as a pure fold chain. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two ARRAY<DOUBLE> columns — native codegen'd
+    * Catalyst expression (tight primitive loop inside whole-stage codegen).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_sim(a, b)
+
+  /** The composable higher-order-function formulation (interpreted; kept as
+    * the reference implementation — bit-identical accumulation order).
+    */
+  def cosineFold(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))

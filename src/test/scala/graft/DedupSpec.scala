@@ -29,6 +29,17 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefix-filtered jaccard pairs == naive inverted-index pairs (real corpus)") {
+    val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (tau <- Seq(0.3, 0.6, 0.9)) {
+      val fast = Dedup.ngramJaccardPairs(docs001, n = 3, tau = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val naive = Dedup.ngramJaccardPairsNaive(docs001, n = 3, tau = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == naive, s"tau=$tau")
+    }
+  }
+
   test("minhash LSH finds the same verified pairs as exact jaccard here") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -25,6 +25,17 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(c((0L, 2L))) < 1e-12)
   }
 
+  test("native cosine_sim expression is bit-identical to the fold formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = emb.limit(50).select($"vec_id".as("ia"), $"v".as("va"))
+    val b = emb.limit(50).select($"vec_id".as("ib"), $"v".as("vb"))
+    val both = a.join(b, $"ia" < $"ib").select(
+      Similarity.cosine($"va", $"vb").as("native"),
+      Similarity.cosineFold($"va", $"vb").as("fold"))
+    assert(both.filter($"native" =!= $"fold").count() == 0)
+  }
+
   test("brute-force top-k ranks by cosine desc with id tiebreak") {
     val got = Similarity.bruteForceTopK(vecs, Seq(0L), k = 3)
       .select("vec_id").as[Long].collect().toSeq
