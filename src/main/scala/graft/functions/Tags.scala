@@ -21,12 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Tags {
 
-  /** First-match tag lookup: value of the first entry named `name`, else null.
-    * `get` (0-based) rather than `element_at`: under ANSI mode (Spark 4
-    * default) element_at throws on out-of-bounds, while a missing tag must
-    * read as null → filter-false (reference: None → false, shard.re:123-124).
+  /** First-match tag lookup: value of the first entry named `name`, else
+    * null — a native codegen'd expression (TagLookup) so the predicate
+    * stays fused in whole-stage codegen.
     */
   def tagLookup(tag: Column, name: String): Column =
+    TagExpressions.tag_lookup(tag, lit(name))
+
+  /** The composable formulation (interpreted HOFs; reference semantics
+    * identical — kept for equivalence tests). `get` (0-based) rather than
+    * `element_at`: under ANSI mode (Spark 4 default) element_at throws on
+    * out-of-bounds, while a missing tag must read as null → filter-false
+    * (reference: None → false, shard.re:123-124).
+    */
+  def tagLookupHof(tag: Column, name: String): Column =
     get(filter(tag, t => t.getField("name") === lit(name)), lit(0)).getField("value")
 
   sealed trait Match

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.Tags
+import graft.model.Canon.{Datapoint, TagEntry}
+import graft.operators.{TimeSeries => TS}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests over generated corpora (SURVEY.md §5):
+  *  - readLast(n) ⊆ readRange(min, max)
+  *  - since(t) == range(t, +∞)
+  *  - multi-series result == union of per-series results
+  *  - sum/count invariant under data order
+  *  - filter(equals) ⊆ filter(contains)
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val genPoint: Gen[Datapoint] = for {
+    series <- Gen.oneOf("s1", "s2", "s3")
+    ts <- Gen.chooseNum(0L, 1000L)
+    hasTag <- Gen.prob(0.7)
+    tagVal <- Gen.oneOf("aa", "ab", "bb", "b")
+    value <- Gen.chooseNum(-100, 100).map(_.toDouble)
+    rid <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+  } yield Datapoint(series, ts,
+    if (hasTag) Some(Seq(TagEntry("t", tagVal))) else None, value, rid)
+
+  private val genCorpus: Gen[List[Datapoint]] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, genPoint))
+
+  /** Deterministically sample n values from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](ga: Gen[A])(body: A => Unit): Unit =
+    samples(ga, 8).foreach(body)
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    samples(ga, 8).zip(samples(gb, 8)).foreach { case (a, b) => body(a, b) }
+
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private def rids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("rid").as[Long].collect().toSet
+
+  test("readLast(n) rows are a subset of readRange(min,max); at most n per series") {
+    forAll(genCorpus, Gen.chooseNum(1, 10)) { (pts, n) =>
+      whenever(pts.nonEmpty) {
+        val df = pts.toDF()
+        val last = TS.readLast(df, Nil, n)
+        assert(rids(last).subsetOf(rids(TS.readRange(df, Nil, 0L, 1000L))))
+        val perSeries = last.groupBy("series").count().as[(String, Long)].collect()
+        assert(perSeries.forall(_._2 <= n))
+      }
+    }
+  }
+
+  test("since(t) == range(t, maxTs)") {
+    forAll(genCorpus, Gen.chooseNum(0L, 1000L)) { (pts, t) =>
+      whenever(pts.nonEmpty) {
+        val df = pts.toDF()
+        assert(rids(TS.readSince(df, Nil, t)) == rids(TS.readRange(df, Nil, t, 1000L)))
+      }
+    }
+  }
+
+  test("multi-series read == union of per-series reads") {
+    forAll(genCorpus) { pts =>
+      whenever(pts.nonEmpty) {
+        val df = pts.toDF()
+        val all = rids(TS.readSince(df, Seq("s1", "s2"), 300L))
+        val union = rids(TS.readSince(df, Seq("s1"), 300L)) ++
+          rids(TS.readSince(df, Seq("s2"), 300L))
+        assert(all == union)
+      }
+    }
+  }
+
+  test("sum and count are invariant under row order") {
+    forAll(genCorpus) { pts =>
+      whenever(pts.nonEmpty) {
+        val a = TS.aggregate(pts.toDF(), TS.Count).as[Double].head()
+        val b = TS.aggregate(scala.util.Random.shuffle(pts).toDF(), TS.Count).as[Double].head()
+        assert(a == b && a == pts.size.toDouble)
+      }
+    }
+  }
+
+  test("native tag_lookup == HOF formulation on generated corpora") {
+    forAll(genCorpus) { pts =>
+      whenever(pts.nonEmpty) {
+        val df = pts.toDF()
+        val both = df.select(
+          Tags.tagLookup(df("tag"), "t").as("native"),
+          Tags.tagLookupHof(df("tag"), "t").as("hof"))
+        assert(both.filter(
+          !(both("native") <=> both("hof"))).count() == 0)
+      }
+    }
+  }
+
+  test("filter(equals v) ⊆ filter(contains v)") {
+    forAll(genCorpus, Gen.oneOf("aa", "b")) { (pts, v) =>
+      whenever(pts.nonEmpty) {
+        val df = pts.toDF()
+        val eq = rids(TS.tagFilter(df, Seq(Tags.Group("t", Seq(v), Tags.Eq))))
+        val ct = rids(TS.tagFilter(df, Seq(Tags.Group("t", Seq(v), Tags.Contains))))
+        assert(eq.subsetOf(ct))
+      }
+    }
+  }
+}
