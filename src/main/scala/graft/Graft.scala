@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{SketchExpressions, TagExpressions, VectorExpressions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Library entry points: register graft's native expressions for SQL use.
+  *
+  * Either call [[Graft.register]] on an existing session, or build the
+  * session with `.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object Graft {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> { es => VectorExpressions.CosineSim(es(0), es(1)) },
+    "dot_product" -> { es => VectorExpressions.DotProduct(es(0), es(1)) },
+    "tag_lookup" -> { es => graft.functions.TagLookup(es(0), es(1)) },
+    "simhash64" -> { es => SketchExpressions.SimHash64(es.head) },
+    "minhash_sig" -> { es =>
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          SketchExpressions.MinHashSig(es.head, k)
+        case other =>
+          throw new IllegalArgumentException(s"minhash_sig k must be an int literal, got $other")
+      }
+    })
+
+  /** Register all graft SQL functions on the session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[VectorExpressions.CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => VectorExpressions.CosineSim(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("tag_lookup"),
+      new ExpressionInfo(classOf[graft.functions.TagLookup].getName, "tag_lookup"),
+      (es: Seq[Expression]) => graft.functions.TagLookup(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SketchExpressions.SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SketchExpressions.SimHash64(es.head)))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native sketch expressions over a MATERIALIZED array of 64-bit element
+  * hashes (produce it once with `transform(tokens, xxhash64)`).
+  *
+  * Both replace k-wide fans of interpreted higher-order functions with ONE
+  * codegen'd pass over the hash array:
+  *  - MinHashSig: k minima of k seed-mixed views of each hash (splitmix64
+  *    finalizer per seed) — one O(n·k) primitive loop instead of k
+  *    interpreted array traversals;
+  *  - SimHash64: 64 majority-vote bits — one O(n·64) bit loop instead of
+  *    64 interpreted `filter(...)` scans.
+  */
+object SketchExpressions {
+
+  /** splitmix64 finalizer — the standard public-domain 64-bit mixer. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val MIX_JAVA =
+    """private static long graftMix64(long z) {
+      |  z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L;
+      |  z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL;
+      |  return z ^ (z >>> 31);
+      |}""".stripMargin
+
+  /** MinHash signature: sig[i] = min over hashes h of mix64(h + seed_i),
+    * seed_i = golden-gamma stride (splitmix64's increment). Empty input →
+    * Long.MaxValue per slot (an empty set minhash).
+    */
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val out = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var s = 0
+        while (s < k) {
+          val v = mix64(h + s * 0x9e3779b97f4a7c15L)
+          if (v < out(s)) out(s) = v
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      ctx.addNewFunction("graftMix64", MIX_JAVA)
+      nullSafeCodeGen(ctx, ev, c => {
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        val v = ctx.freshName("v")
+        val n = ctx.freshName("n")
+        s"""
+           |long[] $out = new long[$k];
+           |java.util.Arrays.fill($out, Long.MAX_VALUE);
+           |int $n = $c.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $c.getLong($i);
+           |  for (int $s = 0; $s < $k; $s++) {
+           |    long $v = graftMix64($h + $s * 0x9e3779b97f4a7c15L);
+           |    if ($v < $out[$s]) $out[$s] = $v;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash: bit b set iff strictly more than half of the hashes
+    * have bit b set. Empty input → 0.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) counts(b) += 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) * 2 > n) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val counts = ctx.freshName("counts")
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val n = ctx.freshName("n")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int[] $counts = new int[64];
+           |int $n = $c.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $c.getLong($i);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if ((($h >>> $b) & 1L) != 0L) $counts[$b]++;
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $b = 0; $b < 64; $b++) {
+           |  if ($counts[$b] * 2 > $n) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhash_sig(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}

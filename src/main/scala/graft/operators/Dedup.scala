@@ -116,14 +116,14 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash signature over a MATERIALIZED shingle column: k independent
-    * min-hashes, h_i(s) = xxhash64(seed_i, s). Array expressions only —
-    * no explode, no shuffle.
+  /** MinHash signature over a MATERIALIZED shingle column: hash each
+    * shingle once (xxhash64), then one native codegen'd pass computes all
+    * k seed-mixed minima (see SketchExpressions.MinHashSig). No explode,
+    * no shuffle, no k-wide interpreted fan-out.
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.functions.SketchExpressions.minhash_sig(
+      transform(sh, s => xxhash64(s)), k)
 
   /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
     * Pipeline: tokens → shingles → signature → `bands` band-hashes →
@@ -158,10 +158,16 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 64-bit SimHash from a MATERIALIZED token-hash column: bit b is set iff
-    * more than half the token hashes have bit b set.
+  /** 64-bit SimHash from a MATERIALIZED token-hash column — native
+    * codegen'd single pass (SketchExpressions.SimHash64).
     */
-  def simhashFromHashes(hashes: Column): Column = {
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.SketchExpressions.simhash64(hashes)
+
+  /** The composable formulation (64 interpreted filter scans; kept as the
+    * reference implementation for equivalence tests).
+    */
+  def simhashFromHashesHof(hashes: Column): Column = {
     val bits = (0 until 64).map { b =>
       val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0))
       when(ones * 2 > size(hashes), lit(1L << b)).otherwise(lit(0L))

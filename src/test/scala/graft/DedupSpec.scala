@@ -61,6 +61,16 @@ class DedupSpec extends SparkSuite {
     assert(short.select(size($"sh")).as[Int].head() == 0)
   }
 
+  test("native simhash64 == HOF majority-vote formulation") {
+    val hashed = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", transform(graft.operators.TextOps.tokens($"text"),
+        t => xxhash64(t)).as("hashes"))
+    val both = hashed.select(
+      Dedup.simhashFromHashes($"hashes").as("native"),
+      Dedup.simhashFromHashesHof($"hashes").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("simhash: identical docs hamming 0; near-dups close; pairs found via bands") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 16)
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
