@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextOps, TimeSeries => TS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,29 @@ object SparkEntry {
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    // as-of join: for each click, the user's latest prior purchase value
+    "q_asof_join" -> ((s, d) => {
+      val e = Canon.eventsRaw(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts_us", "event_id", "value")
+      val purchases = AsofJoin.reduceRight(
+        e.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us", "value")
+      AsofJoin.asof(clicks, purchases, Seq("user_id"), "ts_us", "value")
+        .orderBy("event_id")
+    }),
+    // range join: events landing inside each user's first-48h window
+    "q_range_join" -> ((s, d) => {
+      val e = Canon.eventsRaw(s, d)
+      val iv = e.groupBy("user_id").agg(
+        min(col("ts_us")).as("start_us"),
+        (min(col("ts_us")) + lit(172800000000L)).as("end_us"))
+      RangeJoin.join(e.select("event_id", "user_id", "ts_us"), iv,
+          Seq("user_id"), "ts_us", "start_us", "end_us", bucketUs = 21600000000L)
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    }),
     "q_join_top_customers" -> ((s, d) => {
       val orders = Canon.table(s, d, "orders")
       val customer = Canon.table(s, d, "customer")
@@ -358,6 +381,22 @@ object SparkEntry {
       """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
-        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events),
+        |c AS (SELECT user_id, ts_us, event_id, value FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, max(value) AS value FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.ts_us, c.event_id, c.value,
+        |       p.value AS value_asof, p.ts_us AS ts_us_asof
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |iv AS (SELECT user_id, min(ts_us) AS start_us, min(ts_us) + 172800000000 AS end_us
+        |       FROM e GROUP BY user_id)
+        |SELECT e.event_id, e.user_id
+        |FROM e JOIN iv ON e.user_id = iv.user_id
+        |               AND e.ts_us BETWEEN iv.start_us AND iv.end_us
+        |ORDER BY e.event_id""".stripMargin
   )
 }

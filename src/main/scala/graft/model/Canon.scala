@@ -89,6 +89,20 @@ object Canon {
     canonicalizeEvents(spark.read.parquet(s"$dir/events.parquet"))
   }
 
+  /** Raw events with µs timestamps but WITHOUT the tag/series reshaping —
+    * for relational operators (as-of/range joins) that need user_id.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("CAST(ts DIV 1000 AS LONG)")
+      case _        => unix_micros(col("ts"))
+    }
+    raw.select(col("event_id"), tsUs.as(TS_US), col("user_id"),
+      col("event_type"), col("value"))
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
