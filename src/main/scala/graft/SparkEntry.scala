@@ -165,6 +165,13 @@ object SparkEntry {
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    // rollup: multi-level aggregation in one pass (reference has no group-by
+    // at all; Spark gives hierarchical totals for free)
+    "q_rollup" -> ((s, d) =>
+      Canon.table(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     // as-of join: for each click, the user's latest prior purchase value
     "q_asof_join" -> ((s, d) => {
       val e = Canon.eventsRaw(s, d)
@@ -382,6 +389,10 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events),
         |c AS (SELECT user_id, ts_us, event_id, value FROM e WHERE event_type = 'click'),
