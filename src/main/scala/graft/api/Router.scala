@@ -1,0 +1,91 @@
+package graft.api
+
+import graft.functions.Tags
+import graft.operators.{TimeSeries => TS}
+import org.apache.spark.sql.DataFrame
+
+/** The reference's query surface IS its URL path (SURVEY.md: "the query
+  * plan is the URL path"). This interpreter maps a nibbledb route string to
+  * the equivalent DataFrame plan, so a user of the reference can run their
+  * exact queries unchanged:
+  *
+  * {{{
+  *   Router.run(df, "s1,s2/last/100/filter/loc/equals/1,2/sum")
+  *   Router.run(df, "s1/range/1000/2000/filter/sci/contains/per")
+  *   Router.run(df, "s1,s2/since/1000/mean")
+  *   Router.run(df, "names") ; Router.run(df, "s1/length")
+  * }}}
+  *
+  * Route grammar (reference `src/main.re:177-190`, xargs dispatch
+  * `src/timeseries.re:502-511`):
+  *   <ids>/last/<n>[/xargs] | <ids>/latest[/xargs] | <ids>/first/<n>[/xargs]
+  *   | <ids>/earliest[/xargs] | <ids>/since/<t>[/xargs]
+  *   | <ids>/range/<t1>/<t2>[/xargs] | <ids>/length | names
+  * xargs: filter/<name>/<equals|contains>/<value>[/<agg>] | <agg>
+  *
+  * Divergence (documented, SURVEY §7.5 #3): `equals` with a trailing
+  * aggregation performs TRUE equality here; the reference accidentally
+  * substring-matches on that one path (`src/timeseries.re:506`).
+  */
+object Router {
+
+  def run(df: DataFrame, route: String): DataFrame = {
+    val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
+    parts match {
+      case "names" :: Nil => TS.names(df)
+      case ids :: rest =>
+        val series = ids.split(',').toSeq
+        rest match {
+          case "last" :: n :: xargs => pipe(TS.readLast(df, series, n.toInt), xargs)
+          case "latest" :: xargs => pipe(TS.latest(df, series), xargs)
+          case "first" :: n :: xargs => pipe(TS.readFirst(df, series, n.toInt), xargs)
+          case "earliest" :: xargs => pipe(TS.earliest(df, series), xargs)
+          case "since" :: t :: xargs => pipe(TS.readSince(df, series, t.toLong), xargs)
+          case "range" :: t1 :: t2 :: xargs =>
+            pipe(TS.readRange(df, series, t1.toLong, t2.toLong), xargs)
+          case "length" :: Nil => TS.length(df, series)
+          case _ => throw new IllegalArgumentException(s"unknown path: $route")
+        }
+      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+    }
+  }
+
+  /** Delete routes (HTTP DELETE verb in the reference): surviving rows. */
+  def runDelete(df: DataFrame, route: String): DataFrame = {
+    val parts = route.stripPrefix("/").split('/').toList
+    parts match {
+      case ids :: "since" :: t :: xargs =>
+        TS.deleteSince(df, ids.split(',').toSeq, t.toLong, pipeGroups(xargs))
+      case ids :: "range" :: t1 :: t2 :: xargs =>
+        TS.deleteRange(df, ids.split(',').toSeq, t1.toLong, t2.toLong, pipeGroups(xargs))
+      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+    }
+  }
+
+  /** xargs dispatch mirroring `process_data` (`src/timeseries.re:502-511`). */
+  private def pipe(df: DataFrame, xargs: List[String]): DataFrame = xargs match {
+    case Nil => df
+    case "filter" :: name :: op :: value :: rest =>
+      val filtered = TS.tagFilter(df, Tags.parseGroups(name, value, matchKind(op)))
+      rest match {
+        case Nil => filtered
+        case agg :: Nil => TS.aggregate(filtered, agg)
+        case _ => throw new IllegalArgumentException(s"unknown path: $xargs")
+      }
+    case agg :: Nil => TS.aggregate(df, agg)
+    case _ => throw new IllegalArgumentException(s"unknown path: $xargs")
+  }
+
+  private def pipeGroups(xargs: List[String]): Seq[Tags.Group] = xargs match {
+    case Nil => Nil
+    case "filter" :: name :: op :: value :: Nil =>
+      Tags.parseGroups(name, value, matchKind(op))
+    case _ => throw new IllegalArgumentException(s"unknown path: $xargs")
+  }
+
+  private def matchKind(op: String): Tags.Match = op match {
+    case "equals" => Tags.Eq
+    case "contains" => Tags.Contains
+    case other => throw new IllegalArgumentException(s"unknown path: $other")
+  }
+}
