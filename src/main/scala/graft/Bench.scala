@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // 44 queries × several codegen stages exceed the default 100-entry
+      // janino cache; evictions recompile mid-measurement
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -27,12 +30,15 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { n =>
+    def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // min of two timed runs: one-off GC pauses / cache-eviction recompiles
+    // otherwise land on whichever query happens to follow a heavy one
+    val results = names.map(n => n -> math.min(timeOne(n), timeOne(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
