@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // every fresh plan re-codegens (new expr ids -> janino cache miss), so
+  // C2 compile storms on the big fused methods cause multi-second stalls;
+  // more room + more compiler threads shortens the tail
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:CICompilerCount=6",
 )

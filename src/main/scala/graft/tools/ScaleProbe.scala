@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.functions.Tags
+import graft.model.Canon
+import graft.operators.{Dedup, Similarity, TimeSeries => TS}
+import graft.GraftSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check: run core operators on the sf0.1 corpus and on a
+  * self-multiplied ×MULT copy (ids offset, timestamps jittered), and report
+  * the runtime ratio. A healthy linear-ish operator shows ratio ≈ MULT;
+  * anything super-linear is a plan to fix before it meets 100 TB.
+  * `sbt "runMain graft.tools.ScaleProbe [mult]"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.create("local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+
+    val ev1 = Canon.events(spark, dir).cache()
+    val ev10 = (0 until mult).map { i =>
+      Canon.events(spark, dir)
+        .withColumn("rid", col("rid") + lit(i.toLong * 1000000L))
+        .withColumn("ts_us", col("ts_us") + lit(i.toLong * 7L))
+    }.reduce(_ unionByName _).cache()
+    val doc1 = Canon.documents(spark, dir).cache()
+    val doc10 = (0 until mult).map { i =>
+      Canon.documents(spark, dir).withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _).cache()
+    val emb1 = Canon.embeddings(spark, dir).cache()
+    val emb10 = (0 until mult).map { i =>
+      Canon.embeddings(spark, dir).withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _).cache()
+    Seq(ev1, ev10, doc1, doc10, emb1, emb10).foreach(_.count()) // materialize
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def probe(name: String, small: => Long, big: => Long): Unit = {
+      small; big // warmup/codegen
+      val s = math.min(time(small), time(small))
+      val b = math.min(time(big), time(big))
+      println(f"[scale] $name%-22s 1x=${s}%6.2fs ${mult}x=${b}%7.2fs ratio=${b / s}%6.1f")
+    }
+
+    probe("read_last_100",
+      TS.readLast(ev1, Nil, 100).count(), TS.readLast(ev10, Nil, 100).count())
+    probe("range_filter_agg",
+      TS.aggregate(TS.tagFilter(TS.readRange(ev1, Nil, 1704844800000000L, 1705708800000000L),
+        Seq(Tags.Group("u", Seq("3"), Tags.Eq))), TS.Mean).count(),
+      TS.aggregate(TS.tagFilter(TS.readRange(ev10, Nil, 1704844800000000L, 1705708800000000L),
+        Seq(Tags.Group("u", Seq("3"), Tags.Eq))), TS.Mean).count())
+    probe("window_hourly",
+      TS.windowAggregate(ev1, 3600000000L, TS.Sum).count(),
+      TS.windowAggregate(ev10, 3600000000L, TS.Sum).count())
+    probe("dedup_exact",
+      Dedup.exact(doc1).count(), Dedup.exact(doc10).count())
+    probe("dedup_minhash_lsh",
+      Dedup.minhashLshPairs(doc1, tau = 0.6).count(),
+      Dedup.minhashLshPairs(doc10, tau = 0.6).count())
+    probe("sim_brute_topk",
+      Similarity.bruteForceTopK(emb1, Seq(0L, 1L, 2L), 10).count(),
+      Similarity.bruteForceTopK(emb10, Seq(0L, 1L, 2L), 10).count())
+    spark.stop()
+  }
+}
