@@ -64,13 +64,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, n: Int, tau: Double,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sets = shingleSets(df, n, textCol, idCol) // (id, sh)
-    // global shingle frequency → a consistent total order (freq, shingle)
+    // shingles hashed to 64-bit and sets kept SORTED: the whole pipeline
+    // (freq, rank, join keys, verification) runs on primitive longs. A
+    // 64-bit collision inside one doc-pair's union (~1e3 elements) has
+    // probability ~1e-13 — the string-vs-hash equivalence is covered by
+    // the naive-comparison test on real corpora.
+    val sets = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("ssh"))
+      .select(col("id"), array_sort(transform(col("ssh"), s => xxhash64(s))).as("sh"))
+    // global shingle frequency → a consistent total order (freq, hash)
     val freq = sets.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("f"))
     val exploded = sets.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
-    // rank shingles within each doc by (global freq asc, shingle asc)
+    // rank shingles within each doc by the global order (freq asc, hash asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("f").asc, col("shingle").asc)
     val ranked = exploded.join(freq, Seq("shingle"))
@@ -78,20 +85,32 @@ object Dedup {
     // prefix length p = |s| - ceil(tau*|s|) + 1
     val prefixes = ranked.filter(
       col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
-    val a = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = prefixes.select(col("id").as("id_b"), col("n_sh").as("n_b"),
-      col("shingle").as("shingle_b"))
-    val cand = a.join(b,
+    val cand = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("shingle"), col("pos").as("pos_a"))
+      .join(prefixes.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+          col("shingle").as("shingle_b"), col("pos").as("pos_b")),
         col("shingle") === col("shingle_b") && col("id_a") < col("id_b") &&
         col("n_b") >= col("n_a") * tau && col("n_a") >= col("n_b") * tau)
-      .select("id_a", "id_b").distinct()
-    // exact verification on the full shingle sets
+      .groupBy("id_a", "id_b")
+      .agg(min(col("pos_a")).as("ia"), min(col("pos_b")).as("jb"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      // PPJoin positional filter: the earliest common element (under the
+      // global order) sits at (ia, jb); every other common element ranks
+      // after it in BOTH docs, so overlap <= 1 + min(n_a-ia, n_b-jb).
+      // Required overlap t = ceil(tau*(n_a+n_b)/(1+tau)).
+      .filter(lit(1) + least(col("n_a") - col("ia"), col("n_b") - col("jb")) >=
+        ceil((col("n_a") + col("n_b")) * tau / (1 + tau)))
+      .select("id_a", "id_b")
+    // exact verification: native two-pointer merge over the sorted arrays
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        graft.functions.ArrayExpressions
+          .sorted_intersect_count(col("sh_a"), col("sh_b")).as("c"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy("id_a", "id_b")
   }
