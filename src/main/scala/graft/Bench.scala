@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Graft.register(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => // warmup: codegen + JIT, result discarded
       try SparkEntry.queries(n)(spark, sfDir).count()

@@ -26,12 +26,20 @@ object Graft {
       }
     })
 
-  /** Register all graft SQL functions on the session. */
-  def register(spark: SparkSession): Unit =
+  /** Register all graft SQL functions + optimizer rules on the session.
+    * (extraOptimizations attaches to an already-built session; the
+    * GraftExtensions class covers spark.sql.extensions-configured builds.)
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.InferTimePredicates)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.InferTimePredicates
+    }
+  }
 }
 
 /** `spark.sql.extensions`-compatible injector. */
@@ -40,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.InferTimePredicates)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[VectorExpressions.CosineSim].getName, "cosine_sim"),
       (es: Seq[Expression]) => VectorExpressions.CosineSim(es(0), es(1))))

@@ -14,6 +14,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.register(spark)
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(20, false)

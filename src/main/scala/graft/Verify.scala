@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.register(spark)
     new java.io.File(outDir).mkdirs()
     // run queries on a small thread pool: Spark's scheduler interleaves the
     // jobs, overlapping each query's one-time codegen/planning cost with

@@ -50,6 +50,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan(df).contains("cosine_sim"), plan(df))
   }
 
+  test("InferTimePredicates pushes derived raw-ts bounds to the parquet scan") {
+    Graft.register(spark) // attaches the optimizer rule
+    val p = plan(TS.readRange(Canon.events(spark, sf), Nil, 1704844800000000L, 1705708800000000L))
+    // the adapter derives ts_us = ts DIV 1000 from the nanos column; the rule
+    // must add pushable bounds on the RAW ts column
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts,1704844800000000000"), p)
+    // and results are unchanged
+    val n = TS.readRange(Canon.events(spark, sf), Nil, 1704844800000000L, 1705708800000000L).count()
+    assert(n > 0)
+  }
+
   test("aggregation uses partial (map-side) aggregation before the shuffle") {
     val df = TS.aggregateBySeries(Canon.events(spark, sf), TS.Mean)
     val p = df.queryExecution.executedPlan.toString
