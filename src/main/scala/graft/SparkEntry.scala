@@ -165,6 +165,31 @@ object SparkEntry {
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    // sessionization: 30-min-gap sessions per user (lag + cumulative flag)
+    "q_sessionize" -> ((s, d) => {
+      val e = Canon.eventsRaw(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val flagged = e.withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      flagged.groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .withColumn("events_per_session",
+          round(col("n_events").cast("double") / col("n_sessions"), 6))
+        .orderBy("user_id")
+    }),
+    // distinct counts: exact (oracle) + HLL sketch (rows-only scale path)
+    "q_distinct_users" -> ((s, d) =>
+      Canon.eventsRaw(s, d).groupBy(col("event_type").as("series"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("series")),
+    "q_approx_distinct_users" -> ((s, d) => // HLL sketch; rows-only check
+      Canon.eventsRaw(s, d).groupBy(col("event_type").as("series"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+        .orderBy("series")),
     // rollup: multi-level aggregation in one pass (reference has no group-by
     // at all; Spark gives hierarchical totals for free)
     "q_rollup" -> ((s, d) =>
@@ -389,6 +414,23 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |g AS (SELECT user_id,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM f)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(max(sess_id) AS BIGINT), 6) AS events_per_session
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type AS series, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY series""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
