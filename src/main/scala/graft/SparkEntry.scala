@@ -126,6 +126,8 @@ object SparkEntry {
       TextOps.langId(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_winnowing" -> ((s, d) => // xxhash-valued; rows-only check
+      TextOps.winnowingOverlapPairs(Canon.documents(s, d), minShared = 3)),
     // ----- beyond parity: dedup (documents)
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Canon.documents(s, d)).orderBy("keep_id")),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -147,8 +147,65 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every char k-gram of the input string (xxhash-style mix of the
+    * k-byte window via a rolling accumulation), keep the minimum of each
+    * sliding window of w gram-hashes (monotonic-deque, O(n)), distinct.
+    *
+    * A single per-row pass. The composable formulation (transform over
+    * sequence + slice + array_min) re-evaluates its argument subtree per
+    * window position when CollapseProject inlines it — measured to turn a
+    * 500-doc corpus into a multi-minute regex storm. This expression is
+    * the reliable shape for per-row sliding-window computations.
+    */
+  case class Winnowing(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnowing"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val n = s.length
+      if (n < k) return new GenericArrayData(Array.empty[Long])
+      val m = n - k + 1
+      val grams = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 0L
+        var j = 0
+        while (j < k) { h = mix64(h ^ s.charAt(i + j).toLong); j += 1 }
+        grams(i) = h
+        i += 1
+      }
+      if (m <= w) {
+        var mn = Long.MaxValue
+        var t = 0
+        while (t < m) { if (grams(t) < mn) mn = grams(t); t += 1 }
+        return new GenericArrayData(Array(mn))
+      }
+      // monotonic deque of indices → O(m) sliding minima
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val deque = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      var p = 0
+      while (p < m) {
+        while (tail > head && grams(deque(tail - 1)) >= grams(p)) tail -= 1
+        deque(tail) = p; tail += 1
+        if (deque(head) <= p - w) head += 1
+        if (p >= w - 1) out += grams(deque(head))
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def minhash_sig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
+
+  def winnowing(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(Winnowing(ColumnBridge.expression(text), k, w))
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))

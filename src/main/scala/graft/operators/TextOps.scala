@@ -115,4 +115,50 @@ object TextOps {
 
   def fingerprints(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every char k-gram of the normalized text, then
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams. Guarantees a shared fingerprint for any match of length
+    * >= w+k-1 while sampling ~2/(w+1) of positions — the rolling-hash
+    * fingerprint family for partial-overlap detection (quotes, boilerplate)
+    * that whole-document hashing misses.
+    *
+    * Stages materialize the hash array before the window fan-out (HOFs
+    * re-evaluate argument subtrees; see Dedup).
+    */
+  def winnowingFingerprints(df: DataFrame, k: Int = 8, w: Int = 4,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""))
+    df.select(col(idCol),
+      graft.functions.SketchExpressions.winnowing(norm, k, w).as("fingerprints"))
+  }
+
+  /** Docs sharing >= minShared winnowing fingerprints — partial-overlap
+    * candidates (explode + self-join on fingerprint, like the shingle
+    * index but over the sampled hash set).
+    *
+    * Fingerprints appearing in more than `maxDocFreq` docs are DROPPED
+    * before the join — they are corpus boilerplate, carry no overlap
+    * signal, and are what makes an unfiltered fingerprint self-join
+    * quadratic in the hottest key (a fingerprint shared by f docs costs
+    * f²/2 join rows). This is the fingerprint analog of stopword removal
+    * and bounds the join at maxDocFreq²/2 per fingerprint.
+    */
+  def winnowingOverlapPairs(df: DataFrame, minShared: Int, k: Int = 8, w: Int = 4,
+                            maxDocFreq: Int = 50,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowingFingerprints(df, k, w, textCol, idCol)
+      .select(col(idCol).as("id"), explode(col("fingerprints")).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val pruned = fps.join(rare, Seq("fp"))
+    pruned.select(col("id").as("id_a"), col("fp"))
+      .join(pruned.select(col("id").as("id_b"), col("fp").as("fp_b")),
+        col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -36,6 +36,22 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "unk"))
   }
 
+  test("winnowing: shared-substring docs share fingerprints, unrelated don't") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "PREFIX alpha beta gamma delta epsilon zeta eta theta SUFFIX"), // big overlap
+      (3L, "totally unrelated words nothing in common here at all okay")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowingOverlapPairs(df, minShared = 2)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // determinism + guarantee: identical docs share ALL fingerprints
+    val fps = TextOps.winnowingFingerprints(df).select("fingerprints")
+      .as[Seq[Long]].collect()
+    assert(fps(0).nonEmpty && fps(0).toSet.intersect(fps(1).toSet).size >= 2)
+  }
+
   test("quality signals are in range and respond to structure") {
     val df = Seq(
       (1L, "the of and to in is a clean readable sentence with words"),
