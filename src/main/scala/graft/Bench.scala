@@ -1,25 +1,63 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * One untimed warmup pass first: the first execution of each plan shape
-  * pays JIT + whole-stage-codegen (janino) compilation, which is a
-  * per-process constant, not a per-data cost — the timed pass reports
-  * steady-state throughput, which is what scales with data volume.
+  * Built to survive an external timeout (round 1 died rc=124 with no
+  * output — sbt launch + compile + serial warmup overran the window):
+  *   - the warmup pass runs on a thread pool (Spark interleaves the jobs,
+  *     overlapping per-query codegen/planning with execution — the same
+  *     ~3x wall win Verify.scala measured), and each warmup duration is
+  *     recorded as a pessimistic fallback timing;
+  *   - a JVM shutdown hook prints the JSON line from whatever has been
+  *     measured so far, so even a SIGTERM'd run yields a parseable
+  *     artifact (run/fork := true → sbt forwards the TERM to this JVM);
+  *   - the timed pass is serial (accurate latencies) and refines each
+  *     entry via min(); a second timed run happens only for queries whose
+  *     first run exceeded 1s — sub-second queries don't need one.
+  *
+  * Warmup-first because the first execution of each plan shape pays
+  * JIT + whole-stage-codegen (janino) compilation, a per-process constant
+  * rather than a per-data cost; the timed pass reports steady-state
+  * throughput, which is what scales with data volume.
   */
 object Bench {
+  private val timings = new ConcurrentHashMap[String, Double]()
+  @volatile private var printed = false
+  private val lock = new Object
+
+  /** Print the result line exactly once (normal end or shutdown hook). */
+  private def emit(sfDir: String, partial: Boolean): Unit = lock.synchronized {
+    if (printed) return
+    val snap = timings.asScala.toSeq.sortBy(_._1)
+    if (snap.isEmpty) return // nothing measured: stay silent, don't lie
+    val qs = snap.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = snap.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial}""")
+    System.out.flush()
+    printed = true
+  }
+
+  /** Record an observed duration, keeping the best (lowest) per query. */
+  private def record(n: String, sec: Double): Unit =
+    timings.merge(n, sec, (a, b) => math.min(a, b))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(sfDir, partial = true)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // 44 queries × several codegen stages exceed the default 100-entry
+      // 48 queries × several codegen stages exceed the default 100-entry
       // janino cache; evictions recompile mid-measurement
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
@@ -27,23 +65,36 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     Graft.register(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n => // warmup: codegen + JIT, result discarded
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    def timeOne(n: String): Double = {
+
+    def runOne(n: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $n failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    // min of two timed runs: one-off GC pauses / cache-eviction recompiles
-    // otherwise land on whichever query happens to follow a heavy one
-    val results = names.map(n => n -> math.min(timeOne(n), timeOne(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Warmup on a pool: codegen + JIT. Durations are wall-clock under
+    // contention (inflated, never deflated), so recording them as initial
+    // timings is a safe pessimistic fallback for a killed run.
+    val pool = Executors.newFixedThreadPool(8)
+    val tasks = names.map(n => pool.submit(new Runnable {
+      def run(): Unit = { record(n, runOne(n)); System.err.println(s"[bench] warm $n") }
+    }))
+    tasks.foreach(_.get())
+    pool.shutdown()
+
+    // Timed pass, serial for accurate latencies.
+    val firstRun = names.map { n =>
+      val t = runOne(n); record(n, t); n -> t
+    }
+    // Second run only where it matters: one-off GC pauses / recompiles
+    // land on whichever query follows a heavy one, but sub-second queries
+    // are already dominated by fixed overhead — skip their re-run.
+    firstRun.filter(_._2 > 1.0).foreach { case (n, _) => record(n, runOne(n)) }
+
+    emit(sfDir, partial = false)
     spark.stop()
   }
 }
