@@ -50,16 +50,46 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** All embedding near-duplicate pairs with cosine >= tau (exact, brute
-    * self-join). Validation-scale; the LSH variant is the scale path.
+  /** All embedding near-duplicate pairs with cosine >= tau — exact, via a
+    * BLOCKED all-pairs join rather than a nested-loop cartesian.
+    *
+    * Exact all-pairs at a low tau in high dimensions is inherently Θ(n²)
+    * compute (the candidate set IS all pairs; measured on the testdata:
+    * cluster radii ~1.6 exceed inter-centroid distances ~1.4, so no metric
+    * bound prunes anything at tau=0.4). What CAN be fixed is the plan shape:
+    * a BroadcastNestedLoopJoin ships one entire side to every executor and
+    * serializes the pair loop per partition. Instead we tile: rows are
+    * hashed into `blocks` buckets, a tiny (blocks·(blocks+1)/2)-row
+    * block-pair table is broadcast, and the pair computation becomes an
+    * equi-join on the block id — every task owns one (ba, bb) tile with
+    * bounded memory (2·n/blocks rows), replication is O(n·blocks/2) instead
+    * of O(n·executors), and the shuffle is hash-partitioned, AQE-splittable,
+    * and skew-free. At 100 TB, `blocks` scales with the cluster so tiles
+    * stay cache-sized. The LSH variants remain the approximate scale path
+    * when Θ(n²) itself is unaffordable.
+    *
+    * Pair uniqueness: row x lands on the A side of tiles (blk_x, j≥blk_x)
+    * and the B side of tiles (i≤blk_x, blk_x). An unordered pair {x,y}
+    * matches exactly once under `ba < bb OR id_a < id_b`; ids are
+    * canonicalized with least/greatest for the output.
     */
-  def nearDupPairs(df: DataFrame, tau: Double,
+  def nearDupPairs(df: DataFrame, tau: Double, blocks: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
+    val blockPairs = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j)).toDF("ba", "bb"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("blk"))
+      .join(blockPairs, col("blk") === col("ba"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("blk").as("blk_b"))
+    a.join(b, col("bb") === col("blk_b") &&
+        (col("ba") < col("bb") || col("id_a") < col("id_b")))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }

@@ -50,6 +50,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan(df).contains("cosine_sim"), plan(df))
   }
 
+  test("exact near-dup pairs plan is a blocked equi-join, not a nested-loop cartesian") {
+    val df = Similarity.nearDupPairs(Canon.embeddings(spark, sf), tau = 0.4)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the only broadcast is the tiny block-pair table; the tile join is an
+    // equi hash join on the block id
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("InferTimePredicates pushes derived raw-ts bounds to the parquet scan") {
     Graft.register(spark) // attaches the optimizer rule
     val p = plan(TS.readRange(Canon.events(spark, sf), Nil, 1704844800000000L, 1705708800000000L))
@@ -60,6 +70,23 @@ class PlanAuditSpec extends SparkSuite {
     // and results are unchanged
     val n = TS.readRange(Canon.events(spark, sf), Nil, 1704844800000000L, 1705708800000000L).count()
     assert(n > 0)
+  }
+
+  test("InferTimePredicates handles literal-on-left comparisons too") {
+    Graft.register(spark)
+    import org.apache.spark.sql.functions.{col, lit}
+    val ev = Canon.events(spark, sf)
+    // 5 <= ts_us DIV-derived column, literal on the LEFT — must still derive
+    // a pushed raw-nanos lower bound (was a dead match arm in round 1)
+    val lo = 1704844800000000L
+    val df = ev.filter(lit(lo) <= col("ts_us"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts,1704844800000000000"), p)
+    // and the mirrored upper bound: ts_us <= lit on the RIGHT of the literal
+    val hi = 1705708800000000L
+    val p2 = plan(ev.filter(lit(hi) >= col("ts_us")))
+    assert(p2.contains("LessThanOrEqual(ts,"), p2)
   }
 
   test("aggregation uses partial (map-side) aggregation before the shuffle") {
