@@ -45,6 +45,15 @@ object InferTimePredicates extends Rule[LogicalPlan] {
   }
 
   private def implied(cmp: Expression): Option[Expression] = cmp match {
+    // Literal-on-left forms normalize to the mirrored comparison FIRST —
+    // these cases must precede the unguarded ones below, which would
+    // otherwise match and return None (divOf of a literal fails), leaving
+    // `5 <= x DIV 1000`-shaped predicates without derived bounds.
+    case GreaterThanOrEqual(l, r) if litVal(l).isDefined => implied(LessThanOrEqual(r, l))
+    case GreaterThan(l, r) if litVal(l).isDefined => implied(LessThan(r, l))
+    case LessThanOrEqual(l, r) if litVal(l).isDefined => implied(GreaterThanOrEqual(r, l))
+    case LessThan(l, r) if litVal(l).isDefined => implied(GreaterThan(r, l))
+    case EqualTo(l, r) if litVal(l).isDefined && divOf(r).isDefined => implied(EqualTo(r, l))
     case GreaterThanOrEqual(l, r) =>
       for ((a, k) <- divOf(l); v <- litVal(r) if v > 0 && v <= Long.MaxValue / k)
         yield GreaterThanOrEqual(a, Literal(v * k))
@@ -61,8 +70,6 @@ object InferTimePredicates extends Rule[LogicalPlan] {
       for ((a, k) <- divOf(l); v <- litVal(r) if v > 0 && v + 1 <= Long.MaxValue / k)
         yield And(GreaterThanOrEqual(a, Literal(v * k)),
           LessThanOrEqual(a, Literal((v + 1) * k - 1)))
-    // mirrored literal-on-left forms
-    case GreaterThanOrEqual(l, r) if litVal(l).isDefined => implied(LessThanOrEqual(r, l))
     case _ => None
   }
 
