@@ -39,6 +39,20 @@ object Graft {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.InferTimePredicates
     }
+    // InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+    // below every explode; predicate pushdown then substitutes the
+    // generator input's FULL defining expression into those filters at the
+    // scan. For this library every exploded array is a computed sketch
+    // (shingles, signatures, buckets, fingerprints), so the "free" filter
+    // re-runs the expensive chain per row — measured 3× the whole
+    // tokenize+shingle pipeline per document. The filters never save work
+    // here (Generate already skips empty inputs), so exclude the rule.
+    val ruleName = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!existing.exists(_.contains(ruleName)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (existing.toSeq :+ ruleName).mkString(","))
   }
 }
 

@@ -68,10 +68,13 @@ object Dedup {
     // (freq, rank, join keys, verification) runs on primitive longs. A
     // 64-bit collision inside one doc-pair's union (~1e3 elements) has
     // probability ~1e-13 — the string-vs-hash equivalence is covered by
-    // the naive-comparison test on real corpora.
-    val sets = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("ssh"))
-      .select(col("id"), array_sort(transform(col("ssh"), s => xxhash64(s))).as("sh"))
+    // the naive-comparison test on real corpora. The set is produced by
+    // ONE native per-row pass (HashedShingles): the equivalent HOF chain
+    // is re-evaluated wholesale inside scan filters when Catalyst
+    // substitutes it into inferred predicates, which multiplied the
+    // per-document tokenization cost several times over.
+    val sets = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("sh"))
     // global shingle frequency → a consistent total order (freq, hash)
     val freq = sets.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("f"))
@@ -156,8 +159,12 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sh = shingleSets(df, n, textCol, idCol)
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    // native hashed shingles (already 64-bit longs, sorted): the signature
+    // is minhash_sig directly over the set — no per-shingle string pass
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("sh"))
+    val sig = sh.select(col("id"),
+      graft.functions.SketchExpressions.minhash_sig(col("sh"), k).as("sig"))
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(slice(col("sig"), bnd * lit(r) + 1, lit(r))))))
@@ -166,13 +173,17 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard (joins back to shingle sets)
+    // verify candidates with exact Jaccard over the sorted hash sets
+    // (native two-pointer merge, same as the exact pipeline)
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        graft.functions.ArrayExpressions
+          .sorted_intersect_count(col("sh_a"), col("sh_b")).as("c"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy("id_a", "id_b")
   }

@@ -40,6 +40,22 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("hashed_shingles set sizes match the string shingle pipeline (incl. edge cases)") {
+    val edge = Seq(
+      (0L, "  leading and trailing  "),
+      (1L, "tab\tseparated\nnewline\rcarriagevtff tokens here"),
+      (2L, "unicode héllo wörld ünicode tokens čšž here too"),
+      (3L, ""), (4L, "   "), (5L, "two words"),
+      (6L, "a b c"), (7L, "x x x x x x")
+    ).toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").union(edge)
+    val both = corpus.select(
+      size(graft.functions.SketchExpressions.hashed_shingles($"text", 3)).as("native"),
+      size(Dedup.shinglesFromTokens(graft.operators.TextOps.tokens($"text"), 3)).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("minhash LSH finds the same verified pairs as exact jaccard here") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
