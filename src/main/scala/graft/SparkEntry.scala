@@ -149,13 +149,19 @@ object SparkEntry {
     "q_sim_ann" -> ((s, d) => // approximate (recall<1); rows-only check
       Similarity.annTopK(Canon.embeddings(s, d), QIDS, k = 10, dim = 64)
         .withColumn("rn", col("rn").cast("long"))),
+    "q_sim_ivf_trained" -> ((s, d) => // trained k-means cells; approximate → rows-only
+      Similarity.ivfTopKTrained(Canon.embeddings(s, d), QIDS, k = 10)
+        .withColumn("rn", col("rn").cast("long"))),
     // ----- beyond parity: multimodal plumbing (stubbed decode)
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Canon.documents(s, d))
         .select("media_id", "kind", "n_bytes").orderBy("media_id")),
-    "q_multimodal_features" -> ((s, d) => // stub decoder output; rows-only check
+    "q_multimodal_features" -> ((s, d) => // stub decoder is oracle-mirrorable arithmetic
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Canon.documents(s, d)))
-        .select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
         .orderBy("media_id")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
@@ -402,6 +408,21 @@ object SparkEntry {
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    // mirrors StubDecoder's arithmetic: h = byte_sum*31 + n_bytes (corpus is
+    // ASCII, so ascii(substr) per char IS the byte value)
+    "q_multimodal_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS bsum
+        |  FROM documents),
+        |f AS (SELECT media_id, kind, n_bytes, bsum * 31 + n_bytes AS h FROM m)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(64 + h % 1024 AS BIGINT) AS width,
+        |  CAST(64 + (h // 1024) % 1024 AS BIGINT) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN 1 + h % 120 ELSE 1 END AS BIGINT) AS n_frames
+        |FROM f ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

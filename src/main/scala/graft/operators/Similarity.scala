@@ -141,10 +141,82 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Train IVF coarse-quantizer centroids with k-means (MLlib: k-means||
+    * init, fixed seed → deterministic for a given input). The centroid set
+    * is tiny (k·dim doubles) and collected to the driver BY DESIGN — it is
+    * broadcast into the assignment expression, exactly like any dimension
+    * table; the training itself is distributed Lloyd's iterations. At
+    * 100 TB one trains on a sample and assigns the full corpus in a single
+    * scan (assignment is a pure map — see [[cellOf]]).
+    */
+  def trainCells(df: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L,
+                 vecCol: String = "embedding"): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .fit(feat).clusterCenters.map(_.toArray)
+  }
+
+  /** Nearest-centroid cell id for a vector column — an argmin over k
+    * Euclidean distances computed as k native dot products
+    * (argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2); the ‖c‖²/2 terms are
+    * precomputed literals, so assignment is one codegen'd map, no shuffle,
+    * no UDF). Ties break to the smallest cell id.
+    */
+  def cellOf(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      val score = graft.functions.VectorExpressions.dot_product(vec, array(c.map(lit): _*)) - lit(half)
+      struct(score.as("score"), lit(-i).as("negidx"))
+    }
+    (greatest(scored: _*).getField("negidx") * -1).cast("int")
+  }
+
+  /** Each query's `nprobe` nearest cells, exploded to (vector, cell) probe
+    * rows: per-centroid scores sorted descending, top nprobe kept.
+    */
+  private def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      val score = graft.functions.VectorExpressions.dot_product(vec, array(c.map(lit): _*)) - lit(half)
+      struct(score.as("score"), lit(-i).as("negidx"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+  }
+
+  /** IVF top-k over TRAINED centroids: assign every corpus vector to its
+    * nearest cell (one codegen'd scan — at ingest time in production, so
+    * queries join against a cell-bucketed layout), probe each query's
+    * `nprobe` nearest cells, exact-rescore only the probed candidates.
+    * Approximate by construction (recall < 1 when the true neighbour lives
+    * in an unprobed cell) — covered by a recall floor vs brute force in
+    * SimilaritySpec rather than an equality oracle.
+    */
+  def ivfTopKTrained(df: DataFrame, queryIds: Seq[Long], k: Int,
+                     cells: Int = 16, nprobe: Int = 3, seed: Long = 42L,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCells(df, cells, seed = seed, vecCol = vecCol)
+    val corpus = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellOf(col("v"), cents))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(probeCells(col("v"), cents, nprobe)).as("probe"))
+      .select(col("qid"), col("qv"), (col("probe.negidx") * -1).cast("int").as("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** IVF-style variant using precomputed labels as the coarse quantizer
     * (the testdata's `label` plays the centroid-assignment role): probe
     * only the query's cell. The production analog trains centroids with
-    * k-means; cell assignment is then an argmin over centroid dots.
+    * k-means ([[ivfTopKTrained]]); cell assignment is then an argmin over
+    * centroid dots.
     */
   def ivfTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",

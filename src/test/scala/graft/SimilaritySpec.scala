@@ -55,6 +55,31 @@ class SimilaritySpec extends SparkSuite {
     assert(got == Set(1L, 3L, 4L)) // label-0 cell only, no vec 2
   }
 
+  test("trained IVF: cell assignment is argmin distance, recall floor vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cents = Similarity.trainCells(emb, k = 8)
+    assert(cents.length == 8 && cents.head.length == 64)
+    // assignment agrees with a driver-side argmin on a sample
+    val sample = emb.limit(20)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        Similarity.cellOf($"embedding".cast("array<double>"), cents).as("cell"))
+      .as[(Long, Array[Double], Int)].collect()
+    sample.foreach { case (_, v, cell) =>
+      val best = cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }._2
+      assert(cell == best)
+    }
+    val brute = Similarity.bruteForceTopK(emb, qids, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKTrained(emb, qids, k = 10, cells = 8, nprobe = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size == brute.size)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("ann LSH achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
