@@ -33,14 +33,23 @@ object Multimodal {
   /** STUB: deterministic fake decode — dimensions and a tiny "embedding"
     * derived from byte statistics. Replace with a real codec off-container.
     * ??? -- real decode is stubbed; everything below this call is real.
+    *
+    * The fake is ORACLE-MIRRORABLE on purpose: h is plain integer
+    * arithmetic over the unsigned byte sum and length (all values
+    * non-negative, so % agrees across engines), which ANSI SQL can
+    * replicate — that upgrades the features query from a rows-only check
+    * to an exact hash-match.
     */
   object StubDecoder extends Decoder {
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = rows.map { r =>
-      val h = java.util.Arrays.hashCode(r.media)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
-      val frames = if (r.kind == "video") 1 + math.abs(h % 120) else 1
-      val emb = Array.tabulate(8)(i => ((h >> i) & 0xff).toFloat / 255f)
+      var s = 0L
+      var i = 0
+      while (i < r.media.length) { s += (r.media(i) & 0xff); i += 1 }
+      val h = s * 31L + r.n_bytes
+      val w = (64L + h % 1024L).toInt
+      val ht = (64L + (h / 1024L) % 1024L).toInt
+      val frames = if (r.kind == "video") (1L + h % 120L).toInt else 1
+      val emb = Array.tabulate(8)(i => ((h >> i) & 0xffL).toFloat / 255f)
       MediaFeatures(r.media_id, r.kind, r.n_bytes, w, ht, frames, emb)
     }
   }
@@ -56,16 +65,31 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** Decode/feature-extract over partition-sized batches. Repartitions by
-    * byte volume first so one fat video can't skew a task — the knob that
-    * matters at 100 TB where payloads are MBs not rows.
+  /** Decode/feature-extract over partition-sized batches, with the shuffle
+    * SIZED BY BYTE VOLUME, not row count — the knob that matters at 100 TB
+    * where payloads are MBs, not rows: a row-count repartition hands one
+    * task a partition of fat videos while another gets thumbnails.
+    *
+    * Mechanics: one column-pruned scalar aggregate reads Σ n_bytes (the
+    * same driver-side statistic AQE itself uses for sizing), the partition
+    * count becomes ⌈Σ/targetBytesPerPartition⌉, and rows hash-spread by
+    * media_id. With payload ≪ target the per-partition byte sums
+    * concentrate tightly around the target (sum of many independent
+    * payloads); a single payload larger than the target is indivisible and
+    * bounds any scheme. Hash spread beats a range partition on a running
+    * byte-sum here: it needs no global sort/prefix-scan pass and is
+    * immune to size-clustered input layouts (all big videos adjacent).
     */
   def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder,
-                      targetPartitions: Int = 0): DataFrame = {
-    val ds: Dataset[MediaRow] = {
-      val base = media.as(Encoders.product[MediaRow])
-      if (targetPartitions > 0) base.repartition(targetPartitions) else base
+                      targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = media.agg(sum("n_bytes")).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
     }
+    val nParts = math.max(1L,
+      (totalBytes + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
+    val ds: Dataset[MediaRow] = media.as(Encoders.product[MediaRow])
+      .repartition(nParts, col("media_id"))
     ds.mapPartitions(rows => decoder.decode(rows))(Encoders.product[MediaFeatures])
       .toDF()
   }

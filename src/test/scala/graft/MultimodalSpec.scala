@@ -23,11 +23,33 @@ class MultimodalSpec extends SparkSuite {
   test("stub decode is deterministic and batch-shaped") {
     val m = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(m).orderBy("media_id").collect()
-    val f2 = Multimodal.extractFeatures(m, targetPartitions = 2).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(m, targetBytesPerPartition = 16L)
+      .orderBy("media_id").collect()
     assert(f1.sameElements(f2)) // partitioning must not change results
     val video = f1.find(_.getString(1) == "video").get
     assert(video.getInt(5) >= 1) // n_frames
     assert(f1.forall(_.getAs[Seq[Float]]("embedding").length == 8))
+  }
+
+  test("extractFeatures sizes the shuffle by byte volume and spreads it") {
+    // skewed corpus: 200 small payloads + one 50x outlier
+    val skew = ((0 until 200).map(i => (i.toLong, "x" * 1000)) :+ (999L, "y" * 50000))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(skew)
+    val target = 16384L
+    val total = media.agg(sum("n_bytes")).as[Long].head()
+    val expectParts = ((total + target - 1) / target).toInt
+    val feats = Multimodal.extractFeatures(media, targetBytesPerPartition = target)
+    assert(feats.rdd.getNumPartitions == expectParts)
+    // actual per-partition byte sums: bounded by the indivisible max payload
+    // plus a small multiple of the target (hash spread, not bin packing)
+    val sums = feats.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(sum("n_bytes").as("b")).select("b").as[Long].collect()
+    val maxPayload = 50000L
+    assert(sums.max <= maxPayload + 4 * target,
+      s"worst partition ${sums.max} bytes of target $target")
+    // hash spread leaves at most a few partitions empty
+    assert(sums.length >= expectParts - 3 && sums.length <= expectParts)
   }
 
   test("frame sample plan strides over stubbed frame counts") {
