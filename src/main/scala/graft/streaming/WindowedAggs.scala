@@ -17,6 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object WindowedAggs {
 
+  /** Session windows per key under a watermark — the streaming analog of
+    * the batch 30-min-gap sessionization (q_sessionize). State per key is
+    * one open session bounded by the watermark, not the full history.
+    *
+    * Gap semantics: the batch rule starts a new session when
+    * `gap > gapUs` (an event EXACTLY gapUs later continues the session),
+    * while `session_window` merges on STRICT `<` of the next event against
+    * window end — so the window gap is gapUs + 1 µs to make the two rules
+    * coincide.
+    */
+  def sessionsByKey(stream: DataFrame, keyCol: String,
+                    gapUs: Long = 1800000000L,
+                    watermark: String = "10 minutes"): DataFrame = {
+    val withEventTime = stream
+      .withColumn("event_time", timestamp_micros(col(TS_US)))
+      .withWatermark("event_time", watermark)
+    withEventTime
+      .groupBy(col(keyCol),
+        session_window(col("event_time"), s"${gapUs + 1} microseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(VALUE)).as("sum_value"))
+      .select(col(keyCol),
+        unix_micros(col("w.start")).as("sess_start_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Tumbling/sliding per-series window counts+sums+means over a streaming
     * canonical DataFrame (works identically on a batch frame, Spark's
     * unified semantics — handy for tests and backfills).

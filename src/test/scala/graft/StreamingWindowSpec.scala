@@ -33,6 +33,43 @@ class StreamingWindowSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows == batch lag-based sessionization") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = tmpDir("stream_sessions")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(src).schema
+    val rawStream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), expr("CAST(ts DIV 1000 AS LONG)").as("ts_us"),
+        col("value"))
+    val agg = WindowedAggs.sessionsByKey(rawStream, "user_id")
+    val q = agg.writeStream
+      .format("memory").queryName("sessagg").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("sessagg")
+      .select("user_id", "sess_start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // batch truth: identical lag/cumsum logic to q_sessionize
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").asc)
+    val batch = Canon.eventsRaw(spark, "/root/testdata/sf0.001")
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts_us")).as("sess_start_us"), count(lit(1)).as("n_events"))
+      .select("user_id", "sess_start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("graft SQL functions are registered and codegen-evaluable via spark.sql") {
     Graft.register(spark)
     val r = spark.sql(
