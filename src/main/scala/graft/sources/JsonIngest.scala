@@ -69,7 +69,7 @@ object JsonIngest {
     val valid = isValidShape(col("json"))
     val parsed = from_json(col("json"), wireSchema).as("p")
     val good = wire.filter(valid)
-      .select(col("series"), parsed)
+      .select(col("series"), col("json"), parsed)
       .select(
         col("series"),
         coalesce(col("p.timestamp").cast(LongType), lit(ingestTimeUs)).as(Canon.TS_US),
@@ -81,7 +81,18 @@ object JsonIngest {
           struct(e.getField("key").as("name"), e.getField("value").as("value"))
         }).as(Canon.TAG),
         col("p.value").as(Canon.VALUE),
-        monotonically_increasing_id().as(Canon.RID))
+        col("json"))
+      // rid is CONTENT-DERIVED: hash of (series, payload, intra-batch seq
+      // among byte-identical rows). monotonically_increasing_id() would
+      // depend on the partition layout, so re-ingesting the same batch
+      // yielded different rids. The seq window's order among identical
+      // rows is arbitrary but the rows are identical, so the emitted row
+      // SET is deterministic; rid stays a unique (ts, rid) sort tiebreak.
+      .withColumn(Canon.RID, xxhash64(col("series"), col("json"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series"), col("json"))
+          .orderBy(col("series")))))
+      .drop("json")
     val bad = wire.filter(!coalesce(valid, lit(false)))
     Result(good, bad)
   }

@@ -55,6 +55,23 @@ class JsonIngestSpec extends SparkSuite {
     assert(tags == (Seq("loc", "loc", "sci"), Seq("1", "2", "x")))
   }
 
+  test("re-ingest idempotence: identical batches yield identical rids") {
+    val batch = wire(
+      "s" -> """{"timestamp": 10, "value": 1}""",
+      "s" -> """{"timestamp": 10, "value": 1}""", // byte-identical duplicate
+      "s" -> """{"timestamp": 10, "value": 2}""",
+      "t" -> """{"timestamp": 10, "value": 1}""")
+    val a = JsonIngest.ingest(batch, T0).good
+      .select("series", "ts_us", "value", "rid").as[(String, Long, Double, Long)]
+      .collect().toSet
+    // different partition layout, same content → same row set incl. rids
+    val b = JsonIngest.ingest(batch.repartition(7), T0).good
+      .select("series", "ts_us", "value", "rid").as[(String, Long, Double, Long)]
+      .collect().toSet
+    assert(a == b)
+    assert(a.size == 4) // the duplicate row got a distinct seq-derived rid
+  }
+
   // ---- ported fixtures: butterflies + honeybees (8 points each) ----
 
   private val butterflies = Seq(
