@@ -97,6 +97,9 @@ object SparkEntry {
     // ----- D1: delete (surviving rows; SURVEY §2.8)
     "q_delete_range" -> ((s, d) =>
       raw(TS.deleteRange(ev(s, d), IDS2, R1, R2)).orderBy(col("rid"))),
+    "q_delete_tagged" -> ((s, d) => // delete with tag pipe (xargs-piped delete)
+      raw(TS.deleteRange(ev(s, d), IDS2, R1, R2,
+        Seq(Tags.Group("u", Seq("3"), Tags.Eq)))).orderBy(col("rid"))),
     // ----- U2/I1/I5/I6: metadata (SURVEY §2.7/§2.9)
     "q_names" -> ((s, d) => TS.names(ev(s, d))),
     "q_length" -> ((s, d) => TS.length(ev(s, d), IDS3)),
@@ -105,6 +108,8 @@ object SparkEntry {
     // ----- beyond parity: group-by + time-window generalizations
     "q_agg_by_series" -> ((s, d) =>
       TS.aggregateBySeries(ev(s, d), TS.Mean).select(col("series"), round(col("mean"), 6).as("mean"))),
+    "q_agg_quantiles" -> ((s, d) => // per-series p50/p90/p99 (exact interpolated)
+      TS.quantilesBySeries(ev(s, d))),
     "q_window_hourly" -> ((s, d) =>
       TS.windowAggregate(TS.readRange(ev(s, d), IDS3, R1, R2), HOUR_US, TS.Sum)
         .select(col("series"), col("bucket_us"), round(col("sum"), 4).as("sum"))),
@@ -152,6 +157,8 @@ object SparkEntry {
     "q_sim_ivf_trained" -> ((s, d) => // trained k-means cells; approximate → rows-only
       Similarity.ivfTopKTrained(Canon.embeddings(s, d), QIDS, k = 10)
         .withColumn("rn", col("rn").cast("long"))),
+    "q_vec_quantize" -> ((s, d) => // int8 quantization summary (exact arithmetic)
+      Similarity.quantizeInt8(Canon.embeddings(s, d))),
     // ----- beyond parity: multimodal plumbing (stubbed decode)
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Canon.documents(s, d))
@@ -297,6 +304,9 @@ object SparkEntry {
         s"$CANON_SQL SELECT round(avg(value), 6) AS mean FROM c WHERE ts_us >= $SINCE AND tag_u = '5'",
       "q_delete_range" ->
         s"$CANON_SQL SELECT $ROW FROM c WHERE NOT ($idsIn2 AND $range) ORDER BY rid",
+      "q_delete_tagged" ->
+        s"""$CANON_SQL SELECT $ROW FROM c
+           |WHERE NOT coalesce($idsIn2 AND $range AND tag_u = '3', false) ORDER BY rid""".stripMargin,
       "q_names" ->
         s"$CANON_SQL SELECT DISTINCT series FROM c ORDER BY series",
       "q_length" ->
@@ -308,6 +318,11 @@ object SparkEntry {
            |count(*) AS length FROM c GROUP BY series ORDER BY series""".stripMargin,
       "q_agg_by_series" ->
         s"$CANON_SQL SELECT series, round(avg(value), 6) AS mean FROM c GROUP BY series ORDER BY series",
+      "q_agg_quantiles" ->
+        s"""$CANON_SQL SELECT series, round(quantile_cont(value, 0.5), 6) AS p50,
+           |round(quantile_cont(value, 0.9), 6) AS p90,
+           |round(quantile_cont(value, 0.99), 6) AS p99
+           |FROM c GROUP BY series ORDER BY series""".stripMargin,
       "q_window_hourly" ->
         s"""$CANON_SQL SELECT series, (ts_us // $HOUR_US) * $HOUR_US AS bucket_us,
            |round(sum(value), 4) AS "sum" FROM c WHERE $idsIn3 AND $range
@@ -385,6 +400,16 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard FROM pairs) j
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // int8 quantization summary: double products are computed identically
+    // on both engines (same cast chain), round() is half-away-from-zero in
+    // both, so the summary hashes match exactly
+    "q_vec_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+        |s AS (SELECT vec_id, e, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m)
+        |SELECT vec_id, round(scale, 6) AS qscale,
+        |  CAST(list_sum(list_transform(e, x -> abs(round(x * scale)))) AS BIGINT) AS q_l1
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_sim_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),

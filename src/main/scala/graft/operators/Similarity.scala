@@ -94,6 +94,28 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Symmetric int8 quantization summary per embedding: scale = 127/max|v|
+    * (0 for the zero vector), plus the L1 norm of the quantized vector as
+    * an integrity scalar. The arithmetic is chosen to be bit-mirrorable in
+    * ANSI SQL (double products identical on both engines, round-half-away
+    * identical), so the oracle check is exact. The quantized array itself
+    * is what a vector store would persist (4× smaller than float32); the
+    * summary columns are what the oracle can hash.
+    */
+  def quantizeInt8(df: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      // materialize max|v| and the scale before the per-element fan-out
+      // (HOFs re-evaluate argument subtrees per lambda application)
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+    base.select(col("vec_id"),
+      round(col("scale"), 6).as("qscale"),
+      aggregate(transform(col("v"), x => abs(round(x * col("scale")))),
+        lit(0.0), (acc, x) => acc + x).cast("long").as("q_l1"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
   private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -149,13 +171,17 @@ object Similarity {
     * 100 TB one trains on a sample and assigns the full corpus in a single
     * scan (assignment is a pure map — see [[cellOf]]).
     */
-  def trainCells(df: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L,
+  def trainCells(df: DataFrame, k: Int, maxIter: Int = 10, seed: Long = 42L,
                  vecCol: String = "embedding"): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+    // cache for the duration of the Lloyd's iterations only (k-means scans
+    // its input once per iteration; uncached it would re-read parquet and
+    // re-convert every pass)
+    val feat = df.select(array_to_vector(asDouble(col(vecCol))).as("features")).cache()
+    try new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .fit(feat).clusterCenters.map(_.toArray)
+    finally feat.unpersist(blocking = false)
   }
 
   /** Nearest-centroid cell id for a vector column — an argmin over k

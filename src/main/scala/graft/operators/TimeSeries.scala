@@ -115,6 +115,23 @@ object TimeSeries {
       case other => throw new IllegalArgumentException(s"unknown path: $other")
     })
 
+  /** Per-series exact quantiles (p50/p90/p99) — the latency-percentile
+    * query every TSDB user writes; beyond the reference's global median.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    * sorted-linear-interpolation definition, so the oracle is exact.
+    */
+  def quantilesBySeries(df: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val q = expr(s"percentile($VALUE, $arr)")
+    df.groupBy(SERIES)
+      .agg(q.as("q"))
+      .select(col(SERIES) +: ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("q"), i + 1), 6)
+          .as("p" + math.round(p * 100).toString)
+      }: _*)
+      .orderBy(SERIES)
+  }
+
   // ------------------------------------------------------------------- D1
 
   /** D1 `delete since/range`: returns the SURVIVING rows. We implement the
