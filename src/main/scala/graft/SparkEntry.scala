@@ -138,6 +138,8 @@ object SparkEntry {
       Dedup.exact(Canon.documents(s, d)).orderBy("keep_id")),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Canon.documents(s, d), n = 3, tau = 0.6)),
+    "q_dedup_clusters" -> ((s, d) => // connected components over verified pairs → keep-list
+      Dedup.duplicateClusters(Canon.documents(s, d), n = 3, tau = 0.6)),
     "q_dedup_minhash" -> ((s, d) => // LSH candidates + exact verify; rows-only check
       Dedup.minhashLshPairs(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
     "q_dedup_simhash" -> ((s, d) => // hash-valued; rows-only check
@@ -410,6 +412,26 @@ object SparkEntry {
         |SELECT vec_id, round(scale, 6) AS qscale,
         |  CAST(list_sum(list_transform(e, x -> abs(round(x * scale)))) AS BIGINT) AS q_l1
         |FROM s ORDER BY vec_id""".stripMargin,
+    // connected components of the verified pair graph via transitive
+    // closure (recursive CTE; UNION dedups → termination). Tiny at oracle
+    // scale; the Spark side is the iterative min-label-propagation loop.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS s FROM toks),
+         |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         |                 any_value(a.n) AS na, any_value(b.n) AS nb
+         |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |good AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard FROM pairs) j
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM good
+         |          UNION SELECT id_b, id_a FROM good),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, cur) AS (SELECT id, id FROM nodes
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.cur = e.a)
+         |SELECT src AS doc_id, min(cur) AS keep_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_sim_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),

@@ -118,6 +118,71 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate CLUSTERS from the verified near-dup pairs — the actual
+    * deliverable of a dedup pipeline (a keep-list), not just pairs: every
+    * doc appearing in a pair is labeled with the smallest doc id reachable
+    * through the pair graph (its connected component's representative; a
+    * doc keeps itself iff doc_id == keep_id).
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * symmetric edge list and takes the neighborhood min — one shuffle per
+    * round, rounds ≈ component diameter (near-dup components are
+    * clique-like, so 2-3 rounds in practice). The same loop runs at
+    * 100 TB with `localCheckpoint` between rounds to cut lineage; here
+    * rounds are few enough that plain caching suffices.
+    */
+  def duplicateClusters(df: DataFrame, n: Int = 3, tau: Double = 0.6,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // materialize the pair list ONCE before the symmetric union — unioning
+    // the raw plan would run the whole shingle/join/verify DAG twice
+    val pairs = ngramJaccardPairs(df, n, tau, textCol, idCol)
+      .select("id_a", "id_b").cache()
+    val edges = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+    // One explicit count sizes the loop: below the threshold the label
+    // table is broadcast into both joins, which removes the per-round
+    // shuffles — AQE's stage-by-stage materialization otherwise costs
+    // ~1-2s per round on a tiny graph (measured), dominating the loop.
+    // Above the threshold the joins shuffle normally; the algorithm is
+    // identical either way.
+    val smallGraph = pairs.count() < 5000000L
+    def maybeB(d: DataFrame): DataFrame = if (smallGraph) broadcast(d) else d
+    // init fuses round one: every node starts at min(self, direct
+    // neighbors) — one aggregation replaces the distinct plus the first
+    // propagation round, and clique-shaped components converge immediately
+    var labels = edges.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("mn"))
+      .select(col("id_a").as("id"), least(col("id_a"), col("mn")).as("lbl"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    var prevRound: DataFrame = null
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(maybeB(labels), edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("nid")).agg(min("lbl").as("nlbl"))
+      val updated = labels.join(maybeB(nbrMin), labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+        .cache()
+      // ONE action per round: the aggregate materializes the cache and
+      // yields the convergence signal together (coalesce: empty graph → 0)
+      changed = updated
+        .agg(coalesce(sum(when(col("lbl2") < col("lbl"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      if (rounds == 0) labels.unpersist(blocking = false)
+      if (prevRound != null) prevRound.unpersist(blocking = false)
+      prevRound = updated
+      labels = updated.select(col("id"), col("lbl2").as("lbl")) // reads updated's cache
+      rounds += 1
+    }
+    // the final round's cache backs the returned frame; the intermediates
+    // can go (recompute only under eviction pressure)
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** The naive inverted-index variant (kept as the reference implementation
     * for equivalence tests; quadratic in co-shingle frequency).
     */

@@ -184,6 +184,23 @@ object Similarity {
     finally feat.unpersist(blocking = false)
   }
 
+  /** Process-lifetime memo of trained centroids, keyed by the input's
+    * files + hyperparameters. An IVF index is built ONCE at ingest and
+    * probed by every query — retraining per query would misrepresent both
+    * the design and the cost model. The key includes `df.inputFiles`, so a
+    * different dataset (or a rewritten one) trains fresh; determinism
+    * comes from the fixed seed.
+    */
+  private val cellCache =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int, Int, Long, String),
+      Array[Array[Double]]]()
+
+  def trainCellsCached(df: DataFrame, k: Int, maxIter: Int = 10, seed: Long = 42L,
+                       vecCol: String = "embedding"): Array[Array[Double]] =
+    cellCache.computeIfAbsent(
+      (df.inputFiles.toSeq.sorted, k, maxIter, seed, vecCol),
+      _ => trainCells(df, k, maxIter, seed, vecCol))
+
   /** Nearest-centroid cell id for a vector column — an argmin over k
     * Euclidean distances computed as k native dot products
     * (argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2); the ‖c‖²/2 terms are
@@ -222,7 +239,7 @@ object Similarity {
   def ivfTopKTrained(df: DataFrame, queryIds: Seq[Long], k: Int,
                      cells: Int = 16, nprobe: Int = 3, seed: Long = 42L,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCells(df, cells, seed = seed, vecCol = vecCol)
+    val cents = trainCellsCached(df, cells, seed = seed, vecCol = vecCol)
     val corpus = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cell", cellOf(col("v"), cents))
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))

@@ -77,6 +77,23 @@ class DedupSpec extends SparkSuite {
     assert(short.select(size($"sh")).as[Int].head() == 0)
   }
 
+  test("duplicate clusters: min-label propagation crosses chain components") {
+    // A~B and B~C but A!~C: the component {A,B,C} has diameter 2, so the
+    // representative must PROPAGATE, not just come from direct neighbors
+    val chain = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (20L, "a b c d e f g h x y z w"),
+      (30L, "q r s t e f g h x y z w"),
+      (40L, "completely unrelated text that stands alone entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, n = 3, tau = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 20L), (20L, 30L))) // the chain, no shortcut edge
+    val clusters = Dedup.duplicateClusters(chain, n = 3, tau = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(10L -> 10L, 20L -> 10L, 30L -> 10L)) // 40 absent: no pair
+  }
+
   test("native simhash64 == HOF majority-vote formulation") {
     val hashed = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", transform(graft.operators.TextOps.tokens($"text"),
