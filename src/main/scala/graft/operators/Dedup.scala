@@ -75,6 +75,9 @@ object Dedup {
     // per-document tokenization cost several times over.
     val sets = df.select(col(idCol).as("id"),
       graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("sh"))
+      // feeds the frequency agg, the ranked index, and both verify joins —
+      // cached, the per-doc shingle pass runs once instead of five times
+      .cache()
     // global shingle frequency → a consistent total order (freq, hash)
     val freq = sets.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("f"))
@@ -88,6 +91,7 @@ object Dedup {
     // prefix length p = |s| - ceil(tau*|s|) + 1
     val prefixes = ranked.filter(
       col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
+      .cache() // both sides of the candidate self-join read this index
     val cand = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("shingle"), col("pos").as("pos_a"))
       .join(prefixes.select(col("id").as("id_b"), col("n_sh").as("n_b"),

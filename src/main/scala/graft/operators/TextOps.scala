@@ -148,8 +148,14 @@ object TextOps {
   def winnowingOverlapPairs(df: DataFrame, minShared: Int, k: Int = 8, w: Int = 4,
                             maxDocFreq: Int = 50,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // the (id, fp) index feeds the doc-frequency agg AND both self-join
+    // sides — cached, the per-doc winnowing pass runs once instead of 3×
+    // (the cache materializes inside the first action and is shared by the
+    // sibling branches; at 100 TB this is the "build the inverted index
+    // once" materialization any fingerprint join does)
     val fps = winnowingFingerprints(df, k, w, textCol, idCol)
       .select(col(idCol).as("id"), explode(col("fingerprints")).as("fp"))
+      .cache()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("fp")

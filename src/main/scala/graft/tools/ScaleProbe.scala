@@ -64,6 +64,12 @@ object ScaleProbe {
     probe("sim_brute_topk",
       Similarity.bruteForceTopK(emb1, Seq(0L, 1L, 2L), 10).count(),
       Similarity.bruteForceTopK(emb10, Seq(0L, 1L, 2L), 10).count())
+    probe("dedup_ngram_exact",
+      Dedup.ngramJaccardPairs(doc1, 3, 0.6).count(),
+      Dedup.ngramJaccardPairs(doc10, 3, 0.6).count())
+    probe("dedup_clusters",
+      Dedup.duplicateClusters(doc1, 3, 0.6).count(),
+      Dedup.duplicateClusters(doc10, 3, 0.6).count())
     spark.stop()
   }
 }
