@@ -182,6 +182,26 @@ object SparkEntry {
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    // TPC-H Q3 shape: selective dim filter broadcast into a 3-way join,
+    // partial-agg'd revenue, top-10 — the canonical shuffle-join + topn mix
+    "q_tpch_shipping" -> ((s, d) => {
+      val cust = Canon.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      // parquet stores these as TIMESTAMP_NTZ; with a UTC session the
+      // ntz→ltz cast is identity-on-the-wall-clock, matching DuckDB's
+      // naive-timestamp epoch_ms
+      val cutoff = lit("1995-06-01").cast("timestamp_ntz")
+      val ord = Canon.table(s, d, "orders").filter(col("o_orderdate") < cutoff)
+      val li = Canon.table(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
     // sessionization: 30-min-gap sessions per user (lag + cumulative flag)
     "q_sessionize" -> ((s, d) => {
       val e = Canon.eventsRaw(s, d)
@@ -412,6 +432,18 @@ object SparkEntry {
         |SELECT vec_id, round(scale, 6) AS qscale,
         |  CAST(list_sum(list_transform(e, x -> abs(round(x * scale)))) AS BIGINT) AS q_l1
         |FROM s ORDER BY vec_id""".stripMargin,
+    "q_tpch_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_date_ms,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-06-01'
+        |  AND l_shipdate > TIMESTAMP '1995-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     // connected components of the verified pair graph via transitive
     // closure (recursive CTE; UNION dedups → termination). Tiny at oracle
     // scale; the Spark side is the iterative min-label-propagation loop.
