@@ -110,6 +110,14 @@ object SparkEntry {
       TS.aggregateBySeries(ev(s, d), TS.Mean).select(col("series"), round(col("mean"), 6).as("mean"))),
     "q_agg_quantiles" -> ((s, d) => // per-series p50/p90/p99 (exact interpolated)
       TS.quantilesBySeries(ev(s, d))),
+    "q_agg_quantiles_approx" -> ((s, d) => // KLL-style sketch; rows-only check
+      ev(s, d).groupBy(col("series"))
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(1000))
+          .as("approx_q"))
+        .select(col("series"), element_at(col("approx_q"), 1).as("p50"),
+          element_at(col("approx_q"), 2).as("p90"),
+          element_at(col("approx_q"), 3).as("p99"))
+        .orderBy("series")),
     "q_window_hourly" -> ((s, d) =>
       TS.windowAggregate(TS.readRange(ev(s, d), IDS3, R1, R2), HOUR_US, TS.Sum)
         .select(col("series"), col("bucket_us"), round(col("sum"), 4).as("sum"))),

@@ -45,6 +45,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("Q3-shape query broadcasts the filtered dimension and pushes its filters") {
+    val p = plan(SparkEntry.queries("q_tpch_shipping")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"), p)
+  }
+
   test("native cosine expression appears in the generated plan (codegen'd)") {
     val df = Similarity.nearDupPairs(Canon.embeddings(spark, sf), tau = 0.99)
     assert(plan(df).contains("cosine_sim"), plan(df))
