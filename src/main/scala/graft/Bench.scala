@@ -27,6 +27,7 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
   private val timings = new ConcurrentHashMap[String, Double]()
+  private val failures = ConcurrentHashMap.newKeySet[String]()
   @volatile private var printed = false
   private val lock = new Object
 
@@ -38,8 +39,10 @@ object Bench {
     val qs = snap.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = snap.map(_._2).sum
+    val failed = failures.asScala.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$failed}""")
     System.out.flush()
     printed = true
   }
@@ -66,13 +69,27 @@ object Bench {
     Graft.register(spark)
     val names = SparkEntry.queries.keys.toSeq.sorted
 
-    def runOne(n: String): Double = {
+    // Default timing sink is count(): comparable with the round-1 numbers
+    // and with what a limit/aggregate consumer pays. count() lets Catalyst
+    // prune computed projection columns (q_vec_quantize times as a near-
+    // bare scan) — set SPARK_GRAFT_BENCH_SINK=noop for full-
+    // materialization timing (the noop sink consumes every column; whole-
+    // corpus projections then cost 2-4x more and the run takes ~2x wall).
+    // Failures record nothing (a 50ms crash must not win the min() over
+    // real runs) and surface in the JSON's "failed" list instead.
+    val noopSink = sys.env.get("SPARK_GRAFT_BENCH_SINK").contains("noop")
+    def runOne(n: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (noopSink) df.write.format("noop").mode("overwrite").save()
+        else df.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        failures.add(n)
         System.err.println(s"[bench] $n failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // Warmup on a pool: codegen + JIT. Durations are wall-clock under
@@ -80,19 +97,26 @@ object Bench {
     // timings is a safe pessimistic fallback for a killed run.
     val pool = Executors.newFixedThreadPool(8)
     val tasks = names.map(n => pool.submit(new Runnable {
-      def run(): Unit = { record(n, runOne(n)); System.err.println(s"[bench] warm $n") }
+      def run(): Unit = { runOne(n).foreach(record(n, _)); System.err.println(s"[bench] warm $n") }
     }))
     tasks.foreach(_.get())
     pool.shutdown()
 
-    // Timed pass, serial for accurate latencies.
-    val firstRun = names.map { n =>
-      val t = runOne(n); record(n, t); n -> t
+    // Timed pass, serial for accurate latencies. The stderr line per query
+    // makes a timeout postmortem show exactly where the run died.
+    val firstRun = names.flatMap { n =>
+      runOne(n).map { t =>
+        record(n, t)
+        System.err.println(f"[bench] timed $n%-28s $t%.2fs")
+        n -> t
+      }
     }
     // Second run only where it matters: one-off GC pauses / recompiles
     // land on whichever query follows a heavy one, but sub-second queries
     // are already dominated by fixed overhead — skip their re-run.
-    firstRun.filter(_._2 > 1.0).foreach { case (n, _) => record(n, runOne(n)) }
+    firstRun.filter(_._2 > 1.0).foreach { case (n, _) =>
+      runOne(n).foreach(record(n, _))
+    }
 
     emit(sfDir, partial = false)
     spark.stop()

@@ -56,7 +56,14 @@ object Graft {
   }
 }
 
-/** `spark.sql.extensions`-compatible injector. */
+/** `spark.sql.extensions`-compatible injector.
+  *
+  * NOTE: the extensions API cannot set SQL confs, so sessions built this
+  * way should ALSO set
+  * `spark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate`
+  * (see [[Graft.register]] for why) — or simply call `Graft.register`
+  * on the built session, which is idempotent and sets it.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

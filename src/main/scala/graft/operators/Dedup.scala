@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * its shingle self-join explodes quadratically inside hot shingles, which
   * is precisely what LSH banding avoids.
   *
+  * Caching note: the pair-finding operators `.cache()` internal indexes
+  * (shingle sets, prefix index, pair list) that feed several sibling
+  * branches of one query; entries are tiny relative to the corpus but are
+  * NOT auto-released — a long-lived session cycling many distinct corpora
+  * through these operators should `spark.catalog.clearCache()` between
+  * jobs (or accept block-manager eviction, which merely recomputes).
+  *
   * Performance note: every pipeline below MATERIALIZES intermediate arrays
   * (tokens, shingles, signatures) as projected columns before fanning out
   * over them. Higher-order functions don't CSE their argument subtree — a
@@ -161,7 +168,10 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     var prevRound: DataFrame = null
-    while (changed > 0 && rounds < 50) {
+    // propagation needs one round per component-diameter hop; 1000 bounds
+    // any plausible near-dup graph and the require below turns a
+    // non-converged exit into an error instead of silently wrong keep_ids
+    while (changed > 0 && rounds < 1000) {
       val nbrMin = edges.join(maybeB(labels), edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("nid")).agg(min("lbl").as("nlbl"))
       val updated = labels.join(maybeB(nbrMin), labels("id") === nbrMin("nid"), "left")
@@ -179,6 +189,7 @@ object Dedup {
       labels = updated.select(col("id"), col("lbl2").as("lbl")) // reads updated's cache
       rounds += 1
     }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
     // the final round's cache backs the returned frame; the intermediates
     // can go (recompute only under eviction pressure)
     pairs.unpersist(blocking = false)

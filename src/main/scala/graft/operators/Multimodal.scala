@@ -82,14 +82,19 @@ object Multimodal {
     */
   def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder,
                       targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = media.agg(sum("n_bytes")).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    val nParts = math.max(1L,
-      (totalBytes + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
-    val ds: Dataset[MediaRow] = media.as(Encoders.product[MediaRow])
-      .repartition(nParts, col("media_id"))
+    // a streaming frame can't run the sizing aggregate (and has no fixed
+    // total anyway) — decode with the micro-batch's own partitioning
+    val ds: Dataset[MediaRow] =
+      if (media.isStreaming) media.as(Encoders.product[MediaRow])
+      else {
+        val totalBytes = media.agg(sum("n_bytes")).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        val nParts = math.max(1L,
+          (totalBytes + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
+        media.as(Encoders.product[MediaRow]).repartition(nParts, col("media_id"))
+      }
     ds.mapPartitions(rows => decoder.decode(rows))(Encoders.product[MediaFeatures])
       .toDF()
   }

@@ -192,13 +192,18 @@ object Similarity {
     * comes from the fixed seed.
     */
   private val cellCache =
-    new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int, Int, Long, String),
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int, Int, Int, Long, String),
       Array[Array[Double]]]()
 
   def trainCellsCached(df: DataFrame, k: Int, maxIter: Int = 10, seed: Long = 42L,
                        vecCol: String = "embedding"): Array[Array[Double]] =
+    // key = files + the analyzed plan's semantic hash: inputFiles alone is
+    // empty for in-memory frames and identical for a filtered subset of
+    // the same files — either would silently share centroids across
+    // different datasets
     cellCache.computeIfAbsent(
-      (df.inputFiles.toSeq.sorted, k, maxIter, seed, vecCol),
+      (df.inputFiles.toSeq.sorted, df.queryExecution.analyzed.semanticHash(),
+        k, maxIter, seed, vecCol),
       _ => trainCells(df, k, maxIter, seed, vecCol))
 
   /** Nearest-centroid cell id for a vector column — an argmin over k

@@ -48,11 +48,18 @@ object InferTimePredicates extends Rule[LogicalPlan] {
     // Literal-on-left forms normalize to the mirrored comparison FIRST —
     // these cases must precede the unguarded ones below, which would
     // otherwise match and return None (divOf of a literal fails), leaving
-    // `5 <= x DIV 1000`-shaped predicates without derived bounds.
-    case GreaterThanOrEqual(l, r) if litVal(l).isDefined => implied(LessThanOrEqual(r, l))
-    case GreaterThan(l, r) if litVal(l).isDefined => implied(LessThan(r, l))
-    case LessThanOrEqual(l, r) if litVal(l).isDefined => implied(GreaterThanOrEqual(r, l))
-    case LessThan(l, r) if litVal(l).isDefined => implied(GreaterThan(r, l))
+    // `5 <= x DIV 1000`-shaped predicates without derived bounds. The
+    // divOf(r) guard prevents a literal-vs-literal comparison (possible if
+    // this rule ever sees a plan before constant folding) from mirroring
+    // back and forth forever.
+    case GreaterThanOrEqual(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+      implied(LessThanOrEqual(r, l))
+    case GreaterThan(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+      implied(LessThan(r, l))
+    case LessThanOrEqual(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+      implied(GreaterThanOrEqual(r, l))
+    case LessThan(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+      implied(GreaterThan(r, l))
     case EqualTo(l, r) if litVal(l).isDefined && divOf(r).isDefined => implied(EqualTo(r, l))
     case GreaterThanOrEqual(l, r) =>
       for ((a, k) <- divOf(l); v <- litVal(r) if v > 0 && v <= Long.MaxValue / k)
