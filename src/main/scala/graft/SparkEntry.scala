@@ -148,6 +148,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Canon.documents(s, d), n = 3, tau = 0.6)),
     "q_dedup_clusters" -> ((s, d) => // connected components over verified pairs → keep-list
       Dedup.duplicateClusters(Canon.documents(s, d), n = 3, tau = 0.6)),
+    "q_dedup_containment" -> ((s, d) => // small-set-in-big-set near-dup (asymmetric)
+      Dedup.containmentPairs(Canon.documents(s, d), t = 0.8)),
     "q_dedup_minhash" -> ((s, d) => // LSH candidates + exact verify; rows-only check
       Dedup.minhashLshPairs(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
     "q_dedup_simhash" -> ((s, d) => // hash-valued; rows-only check
@@ -452,6 +454,19 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-06-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    // asymmetric containment: overlap / smaller-set size, pair ordered
+    // smaller-first (ties by id); integer overlap threshold
+    "q_dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS s FROM toks),
+         |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         |                 any_value(a.n) AS na
+         |          FROM ex a JOIN ex b ON a.shingle = b.shingle
+         |            AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / na, 6) AS containment
+         |FROM pairs WHERE c >= ceil(na * 0.8) ORDER BY id_a, id_b""".stripMargin,
     // connected components of the verified pair graph via transitive
     // closure (recursive CTE; UNION dedups → termination). Tiny at oracle
     // scale; the Spark side is the iterative min-label-propagation loop.

@@ -129,6 +129,57 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact CONTAINMENT pairs: c(A,B) = |A∩B| / |A| >= t with A the
+    * smaller shingle set — catches a short document subsumed inside a
+    * longer one, which symmetric Jaccard misses (a 100-line file pasted
+    * into a 10,000-line one has Jaccard ≈ 0.01 but containment 1.0).
+    *
+    * The prefix filter here is the ASYMMETRIC variant: the required
+    * overlap ceil(t·|A|) depends only on the smaller side, so only A is
+    * prefix-reduced (first |A| − ⌈t·|A|⌉ + 1 elements under the global
+    * rarest-first order) while B is indexed in full — the Jaccard prefix
+    * theorem applies unchanged because the overlap must still hit A's
+    * prefix. Hot shingles sit at the end of the order and essentially
+    * never enter A-prefixes, which keeps the join off the full posting
+    * lists of boilerplate shingles. Verification is the same native
+    * sorted-intersect merge, with an INTEGER threshold
+    * (c >= ceil(t·|A|)) so no float-boundary flakiness exists.
+    */
+  def containmentPairs(df: DataFrame, t: Double,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.hashed_shingles(col(textCol), 3).as("sh"))
+      .cache()
+    val freq = sets.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("f"))
+    val exploded = sets.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("f").asc, col("shingle").asc)
+    val ranked = exploded.join(freq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+    // A-side prefix: |A| - ceil(t*|A|) + 1 rarest shingles
+    val prefixes = ranked.filter(
+      col("pos") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+    val cand = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+      .join(exploded.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+          col("shingle").as("shingle_b")),
+        col("shingle") === col("shingle_b") &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("id_a") < col("id_b"))))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayExpressions
+          .sorted_intersect_count(col("sh_a"), col("sh_b")).as("c"),
+        size(col("sh_a")).as("na"))
+      .filter(col("c") >= ceil(col("na") * t))
+      .select(col("id_a"), col("id_b"), round(col("c").cast("double") / col("na"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Duplicate CLUSTERS from the verified near-dup pairs — the actual
     * deliverable of a dedup pipeline (a keep-list), not just pairs: every
     * doc appearing in a pair is labeled with the smallest doc id reachable

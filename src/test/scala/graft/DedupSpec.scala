@@ -77,6 +77,20 @@ class DedupSpec extends SparkSuite {
     assert(short.select(size($"sh")).as[Int].head() == 0)
   }
 
+  test("containment catches a short doc subsumed in a long one (jaccard misses it)") {
+    val subs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " +
+        Seq.tabulate(30)(i => s"filler$i word$i extra$i").mkString(" ")),
+      (3L, "totally different content entirely unrelated words stand alone")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(subs, t = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 >= 0.999))
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
+    assert(Dedup.ngramJaccardPairs(subs, n = 3, tau = 0.8).count() == 0)
+  }
+
   test("duplicate clusters: min-label propagation crosses chain components") {
     // A~B and B~C but A!~C: the component {A,B,C} has diameter 2, so the
     // representative must PROPAGATE, not just come from direct neighbors
