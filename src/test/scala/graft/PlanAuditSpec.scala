@@ -95,6 +95,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(p2.contains("LessThanOrEqual(ts,"), p2)
   }
 
+  test("no cartesian/nested-loop joins anywhere in the query set") {
+    Graft.register(spark)
+    // q_sim_topk deliberately broadcasts the 10-row query batch into a
+    // non-equi join (BNLJ with a tiny build side IS the intended shape)
+    val allowedBnlj = Set("q_sim_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val p = plan(SparkEntry.queries(n)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      if (!allowedBnlj(n))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a BNLJ")
+    }
+  }
+
   test("aggregation uses partial (map-side) aggregation before the shuffle") {
     val df = TS.aggregateBySeries(Canon.events(spark, sf), TS.Mean)
     val p = df.queryExecution.executedPlan.toString
