@@ -110,4 +110,24 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("hashed_shingles set size == string shingle pipeline on fuzzed text") {
+    import org.apache.spark.sql.functions.{col, size}
+    // strings mixing tokens, every \s whitespace char, unicode, and junk —
+    // the byte-scan tokenizer must agree with filter(split(text,"\\s+"))
+    val genText: Gen[String] = for {
+      n <- Gen.chooseNum(0, 40)
+      parts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf("fox", "dog", "a", "émù", "词语", "x1"),
+        Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "\u000B", "  ", " \t\n")))
+    } yield parts.mkString
+    val texts = samples(genText, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val both = df.select(
+      size(graft.functions.SketchExpressions.hashed_shingles(col("text"), 3)).as("native"),
+      size(graft.operators.Dedup.shinglesFromTokens(
+        graft.operators.TextOps.tokens(col("text")), 3)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
 }
