@@ -41,9 +41,20 @@ object Bench {
     val total = snap.map(_._2).sum
     val failed = failures.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$failed}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$failed}"""
+    println(line)
     System.out.flush()
+    // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),
+    // which has defeated the driver's parse two rounds running — also
+    // write the bare line to a file nothing rewrites.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     printed = true
   }
 

@@ -122,12 +122,14 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane (sign of the projection). */
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the projection).
+    * Projections are native codegen'd dot products — the interpreted
+    * `aggregate(zip_with(...))` fold cost 32 lambda-interpreter passes per
+    * row across the 8 tables and was the r2 bench regression.
+    */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.VectorExpressions.dot_product(vec, array(p.map(lit): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -148,14 +150,24 @@ object Similarity {
     val buckets = array(planeSets.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("tbl"), lshBucket(col("v"), planes).as("bkt"))
     }: _*)
-    val corpus = base.select(col("vec_id"), col("v"), explode(buckets).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bkt"))
-    val scored = corpus.join(broadcast(queries), Seq("tbl", "bkt"))
+    // the bucket index carries ONLY (id, tbl, bkt): vector payloads stay
+    // out of the candidate join and the multi-table dedup. r2's plan
+    // distinct'ed on the full (qid, vec_id, qv, v) tuple — a shuffle of
+    // 128 doubles per candidate plus interpreted array normalization,
+    // where the 16-byte id pair suffices.
+    val bucketed = base.select(col("vec_id"), explode(buckets).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val qbuckets = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val cand = bucketed.join(broadcast(qbuckets), Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("qv"), col("v"))
-      .distinct() // a pair may collide in several tables
+      .select("qid", "vec_id")
+      .distinct() // a pair may collide in several tables — id-only dedup
+    // rescore: candidate ids pull their vectors back in (AQE broadcasts
+    // the small candidate list), query vectors are a broadcast dim table
+    val qvecs = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = cand.join(base, Seq("vec_id")).join(broadcast(qvecs), Seq("qid"))
       .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -51,6 +51,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("PushedFilters") && p.contains("c_mktsegment"), p)
   }
 
+  test("no fact-table (lineitem/orders) scan ever sits under a BroadcastExchange") {
+    // r2 verdict: statistics chose the filtered lineitem as a broadcast
+    // build side at bench scale — an OOM at 100×. Gate it structurally,
+    // across every query that reads the fact tables.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def leaves(p: SparkPlan): Seq[String] =
+      p.collectLeaves().map(_.toString)
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val exec = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan
+      exec.foreach {
+        case b: BroadcastExchangeExec =>
+          val scanned = leaves(b.child).mkString("\n")
+          assert(!scanned.contains("lineitem.parquet") && !scanned.contains("orders.parquet"),
+            s"$n broadcasts a fact-table scan:\n$scanned")
+        case _ =>
+      }
+    }
+  }
+
   test("native cosine expression appears in the generated plan (codegen'd)") {
     val df = Similarity.nearDupPairs(Canon.embeddings(spark, sf), tau = 0.99)
     assert(plan(df).contains("cosine_sim"), plan(df))
