@@ -196,27 +196,74 @@ object Similarity {
     finally feat.unpersist(blocking = false)
   }
 
-  /** Process-lifetime memo of trained centroids, keyed by the input's
-    * files + hyperparameters. An IVF index is built ONCE at ingest and
-    * probed by every query — retraining per query would misrepresent both
-    * the design and the cost model. The key includes `df.inputFiles`, so a
-    * different dataset (or a rewritten one) trains fresh; determinism
-    * comes from the fixed seed.
+  /** Memo of trained centroids, keyed by the input's files +
+    * hyperparameters — in-process map first, then a persisted centroid
+    * parquet. An IVF index is built ONCE at ingest and probed by every
+    * query — retraining per query (or per JVM: every verify/bench run is
+    * a fresh process) would misrepresent both the design and the cost
+    * model. The production shape is exactly this: the centroid table
+    * lives next to the data, keyed by the corpus fingerprint; here the
+    * cache dir is SPARK_GRAFT_IVF_CACHE (default under java.io.tmpdir).
+    * The key includes `df.inputFiles`, so a different dataset (or a
+    * rewritten one) trains fresh; determinism comes from the fixed seed.
+    * Only file-backed inputs persist to disk (an in-memory frame's
+    * fingerprint does not survive the JVM).
     */
   private val cellCache =
     new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int, Int, Int, Long, String),
       Array[Array[Double]]]()
 
+  /** Count of actual k-means fits this JVM (test/diagnostic hook). */
+  private[graft] val kmeansFits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def clearCellMemo(): Unit = cellCache.clear()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Cache key = files + the analyzed plan's semantic hash: inputFiles
+    * alone is empty for in-memory frames and identical for a filtered
+    * subset of the same files — either would silently share centroids
+    * across different datasets.
+    */
+  private[graft] def centroidKey(df: DataFrame, k: Int, maxIter: Int, seed: Long,
+                                 vecCol: String): (Seq[String], Int, Int, Int, Long, String) =
+    (df.inputFiles.toSeq.sorted, df.queryExecution.analyzed.semanticHash(),
+      k, maxIter, seed, vecCol)
+
+  private[graft] def centroidCachePath(key: Any): String = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_IVF_CACHE",
+      sys.props("java.io.tmpdir") + "/graft_ivf_cache")
+    s"$dir/centroids_${md5hex(key.toString)}.parquet"
+  }
+
   def trainCellsCached(df: DataFrame, k: Int, maxIter: Int = 10, seed: Long = 42L,
-                       vecCol: String = "embedding"): Array[Array[Double]] =
-    // key = files + the analyzed plan's semantic hash: inputFiles alone is
-    // empty for in-memory frames and identical for a filtered subset of
-    // the same files — either would silently share centroids across
-    // different datasets
-    cellCache.computeIfAbsent(
-      (df.inputFiles.toSeq.sorted, df.queryExecution.analyzed.semanticHash(),
-        k, maxIter, seed, vecCol),
-      _ => trainCells(df, k, maxIter, seed, vecCol))
+                       vecCol: String = "embedding"): Array[Array[Double]] = {
+    val key = centroidKey(df, k, maxIter, seed, vecCol)
+    cellCache.computeIfAbsent(key, _ => {
+      val ss = df.sparkSession
+      val persistable = key._1.nonEmpty
+      val path = centroidCachePath(key)
+      def readBack(): Option[Array[Array[Double]]] =
+        if (!persistable || !new java.io.File(path).exists()) None
+        else scala.util.Try {
+          val rows = ss.read.parquet(path).orderBy("cell").collect()
+          rows.map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+        }.toOption.filter(_.length == k)
+      readBack().getOrElse {
+        kmeansFits.incrementAndGet()
+        val cents = trainCells(df, k, maxIter, seed, vecCol)
+        if (persistable) scala.util.Try { // best effort: cache write only
+          import ss.implicits._
+          cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+            .toDF("cell", "centroid")
+            .repartition(1).write.mode("overwrite").parquet(path)
+        }
+        cents
+      }
+    })
+  }
 
   /** Nearest-centroid cell id for a vector column — an argmin over k
     * Euclidean distances computed as k native dot products

@@ -108,6 +108,41 @@ class DedupSpec extends SparkSuite {
     assert(clusters == Map(10L -> 10L, 20L -> 10L, 30L -> 10L)) // 40 absent: no pair
   }
 
+  test("containment df-cap: identical results on a real corpus, bounded on boilerplate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val capped = Dedup.containmentPairs(docs, t = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = Dedup.containmentPairs(docs, t = 0.7, maxDocFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped) // cap engages only on degenerate corpora
+    // synthetic boilerplate: 60 docs that are NOTHING but the same hot
+    // phrase — every shingle has df 60, far above the cap of 5, so the
+    // candidate join is empty instead of 60²/2 rows per shingle
+    val boiler = (1L to 60L)
+      .map(i => (i, "standard legal disclaimer text applies to all documents"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, t = 0.7, maxDocFreq = 5).count() == 0)
+    // and the documented recall trade: uncapped finds the full clique
+    assert(Dedup.containmentPairs(boiler, t = 0.7, maxDocFreq = 100).count() == 60L * 59 / 2)
+  }
+
+  test("duplicate clusters: distributed pointer-jumping tier == local union-find tier") {
+    // same chain graph, but force the distributed loop (localEdges = 0);
+    // both tiers must produce the identical keep-list
+    val chain = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (20L, "a b c d e f g h x y z w"),
+      (30L, "q r s t e f g h x y z w"),
+      (40L, "completely unrelated text that stands alone entirely here now")
+    ).toDF("doc_id", "text")
+    val local = Dedup.duplicateClusters(chain, n = 3, tau = 0.3)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.duplicateClusters(chain, n = 3, tau = 0.3, localEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    assert(dist == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
   test("native simhash64 == HOF majority-vote formulation") {
     val hashed = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", transform(graft.operators.TextOps.tokens($"text"),

@@ -80,6 +80,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("trained IVF centroids persist to disk: a fresh JVM skips the k-means fit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = 987654L // test-private key so parallel suites can't collide
+    val key = Similarity.centroidKey(emb, 8, 10, seed, "embedding")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(Similarity.centroidCachePath(key)))
+    Similarity.clearCellMemo()
+    val before = Similarity.kmeansFits.get()
+    val c1 = Similarity.trainCellsCached(emb, 8, seed = seed)
+    assert(Similarity.kmeansFits.get() == before + 1) // cold: one real fit
+    // simulate a fresh JVM: in-process memo gone, disk cache present
+    Similarity.clearCellMemo()
+    val c2 = Similarity.trainCellsCached(emb, 8, seed = seed)
+    assert(Similarity.kmeansFits.get() == before + 1) // no refit
+    assert(c1.length == c2.length &&
+      c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("ann LSH achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
