@@ -139,6 +139,10 @@ object SparkEntry {
       TextOps.langId(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_repetition" -> ((s, d) => // Gopher-style in-doc n-gram repetition
+      TextOps.repetitionRatio(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_vocab" -> ((s, d) => // corpus vocabulary head (top-20 tokens)
+      TextOps.vocabHead(Canon.documents(s, d), 20)),
     "q_text_winnowing" -> ((s, d) => // xxhash-valued; rows-only check
       TextOps.winnowingOverlapPairs(Canon.documents(s, d), minShared = 3)),
     // ----- beyond parity: dedup (documents)
@@ -410,6 +414,19 @@ object SparkEntry {
          |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
          |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH q AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |r AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n_ngrams,
+         |  len($SHINGLES) AS n_distinct FROM q)
+         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+         |  CASE WHEN n_ngrams > 0
+         |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+         |    ELSE 0.0 END AS repetition
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_text_vocab" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest($LTOKS) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "q_text_langid" ->
       s"""WITH toks AS (SELECT doc_id, $LTOKS AS t FROM documents),
          |h AS (SELECT doc_id,

@@ -116,6 +116,37 @@ object TextOps {
   def fingerprints(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
 
+  /** Within-document repetition: 1 − distinct/total word n-grams — the
+    * Gopher-style repetition filter (Rae et al. 2021, §A.1.1): template
+    * and spam docs that survive exact dedup show up as high in-doc n-gram
+    * repetition. Distinct count rides the native hashed-shingle set (same
+    * hash-identity argument as the dedup family: a 64-bit collision
+    * inside one doc is ~2⁻⁵⁷); total is arithmetic on the token count.
+    * Pure column expressions — scan speed, no shuffle.
+    */
+  def repetitionRatio(df: DataFrame, n: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val total = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+    val nDistinct = size(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n))
+    df.select(col(idCol),
+      total.cast("long").as("n_ngrams"),
+      when(total > 0,
+        round(lit(1.0) - nDistinct.cast("double") / total, 6)).otherwise(lit(0.0))
+        .as("repetition"))
+  }
+
+  /** Corpus vocabulary head: the k most frequent lowercased tokens — the
+    * seed of tokenizer/vocab construction and stopword mining. One explode
+    * feeding one hash-shuffle aggregation of (token, count) pairs with
+    * map-side partial aggregation; the top-k is a TakeOrdered, not a full
+    * sort. At 100 TB this is the canonical word-count shape.
+    */
+  def vocabHead(df: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every char k-gram of the normalized text, then
     * keep the minimum hash of each sliding window of `w` consecutive

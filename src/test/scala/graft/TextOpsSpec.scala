@@ -52,6 +52,28 @@ class TextOpsSpec extends SparkSuite {
     assert(fps(0).nonEmpty && fps(0).toSet.intersect(fps(1).toSet).size >= 2)
   }
 
+  test("repetition ratio: 0 for all-distinct n-grams, high for a repeated phrase") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // all 3-grams distinct
+      (2L, "spam phrase here spam phrase here spam phrase here spam phrase here"),
+      (3L, "a b") // fewer tokens than n: no n-grams, ratio 0 by definition
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionRatio(df).as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == ((8L, 0.0)))
+    // doc 2: 10 total 3-grams, only the 3 rotations of the phrase distinct
+    assert(r(2L)._1 == 10L && r(2L)._2 == 0.7)
+    assert(r(3L) == ((0L, 0.0)))
+  }
+
+  test("vocab head: top tokens by corpus frequency with deterministic tiebreak") {
+    val df = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "beta gamma delta")).toDF("doc_id", "text")
+    val v = TextOps.vocabHead(df, 3).as[(String, Long)].collect().toSeq
+    assert(v == Seq(("alpha", 3L), ("beta", 3L), ("gamma", 2L))) // alpha<beta on tie
+  }
+
   test("quality signals are in range and respond to structure") {
     val df = Seq(
       (1L, "the of and to in is a clean readable sentence with words"),
