@@ -164,6 +164,8 @@ object SparkEntry {
         .withColumn("rn", col("rn").cast("long"))),
     "q_sim_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Canon.embeddings(s, d), tau = 0.4)),
+    "q_sim_clusters" -> ((s, d) => // semantic dedup keep-list over cosine pairs
+      Dedup.semanticClusters(Canon.embeddings(s, d), tau = 0.4)),
     "q_sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Canon.embeddings(s, d), QIDS, k = 10)
         .withColumn("rn", col("rn").cast("long"))),
@@ -523,6 +525,18 @@ object SparkEntry {
          |  round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_clusters" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         |good AS (SELECT id_a, id_b FROM s WHERE cos >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM good
+         |          UNION SELECT id_b, id_a FROM good),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, cur) AS (SELECT id, id FROM nodes
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.cur = e.a)
+         |SELECT src AS vec_id, min(cur) AS keep_id FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS qid, label, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),

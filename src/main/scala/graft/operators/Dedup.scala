@@ -218,12 +218,34 @@ object Dedup {
     */
   def duplicateClusters(df: DataFrame, n: Int = 3, tau: Double = 0.6,
                         textCol: String = "text", idCol: String = "doc_id",
+                        localEdges: Long = 1000000L): DataFrame =
+    clustersFromPairs(ngramJaccardPairs(df, n, tau, textCol, idCol),
+      outIdCol = "doc_id", localEdges = localEdges)
+
+  /** Embedding-cosine near-duplicate keep-list — the "semantic dedup"
+    * deliverable over an embedding column: exact all-pairs cosine >= tau
+    * (the validation tier; at 100 TB the sign-LSH bucket join generates
+    * the candidate pairs instead — see Similarity.annTopK) → connected
+    * components → smallest reachable id per component.
+    */
+  def semanticClusters(df: DataFrame, tau: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       localEdges: Long = 1000000L): DataFrame =
+    clustersFromPairs(
+      Similarity.nearDupPairs(df, tau, idCol = idCol, vecCol = vecCol),
+      outIdCol = "vec_id", localEdges = localEdges)
+
+  /** Connected-component keep-list over ANY verified pair list (columns
+    * `id_a`, `id_b`) — the shared engine behind [[duplicateClusters]]
+    * (n-gram pairs) and [[semanticClusters]] (cosine pairs). See
+    * [[duplicateClusters]] for the two-tier design rationale.
+    */
+  def clustersFromPairs(pairsIn: DataFrame, outIdCol: String = "doc_id",
                         localEdges: Long = 1000000L): DataFrame = {
-    val ss = df.sparkSession
+    val ss = pairsIn.sparkSession
     // materialize the pair list ONCE before fan-out — reusing the raw plan
-    // would run the whole shingle/join/verify DAG per consumer
-    val pairs = ngramJaccardPairs(df, n, tau, textCol, idCol)
-      .select("id_a", "id_b").cache()
+    // would run the whole candidate/join/verify DAG per consumer
+    val pairs = pairsIn.select("id_a", "id_b").cache()
     val nPairs = pairs.count()
     if (nPairs < localEdges) {
       // ---- local tier: union-find with path compression, min-label roots
@@ -249,7 +271,7 @@ object Dedup {
       }
       val rows = parent.keysIterator.map(id => (id, minOfRoot(find(id)))).toSeq.sorted
       import ss.implicits._
-      return rows.toDF("doc_id", "keep_id").orderBy("doc_id")
+      return rows.toDF(outIdCol, "keep_id").orderBy(outIdCol)
     }
     // ---- distributed tier
     val edges = pairs.union(
@@ -302,8 +324,8 @@ object Dedup {
     // can go (recompute only under eviction pressure)
     pairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
-      .orderBy("doc_id")
+    labels.select(col("id").as(outIdCol), col("lbl").as("keep_id"))
+      .orderBy(outIdCol)
   }
 
   /** The naive inverted-index variant (kept as the reference implementation

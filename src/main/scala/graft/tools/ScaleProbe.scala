@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{Dedup, Similarity, TimeSeries => TS}
+import graft.operators.{Dedup, Similarity, TextOps, TimeSeries => TS}
 import graft.GraftSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -70,6 +70,39 @@ object ScaleProbe {
     probe("dedup_clusters",
       Dedup.duplicateClusters(doc1, 3, 0.6).count(),
       Dedup.duplicateClusters(doc10, 3, 0.6).count())
+    // --- round-3-fixed plans ---
+    probe("sim_ann",
+      Similarity.annTopK(emb1, Seq(0L, 1L, 2L), 10, dim = 64).count(),
+      Similarity.annTopK(emb10, Seq(0L, 1L, 2L), 10, dim = 64).count())
+    probe("text_winnowing", // output grows ~x45 on the self-multiplied corpus
+      TextOps.winnowingOverlapPairs(doc1, minShared = 3).count(),
+      TextOps.winnowingOverlapPairs(doc10, minShared = 3).count())
+    probe("dedup_containment",
+      Dedup.containmentPairs(doc1, 0.8).count(),
+      Dedup.containmentPairs(doc10, 0.8).count())
+
+    val cust = Canon.table(spark, dir, "customer").cache()
+    val li1 = Canon.table(spark, dir, "lineitem").cache()
+    val ord1 = Canon.table(spark, dir, "orders").cache()
+    val li10 = (0 until mult).map(i =>
+      li1.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _).cache()
+    val ord10 = (0 until mult).map(i =>
+      ord1.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _).cache()
+    Seq(cust, li1, ord1, li10, ord10).foreach(_.count())
+    def shipping(ord: DataFrame, li: DataFrame): Long = {
+      val cutoff = lit("1995-06-01").cast("timestamp_ntz")
+      val c = cust.filter(col("c_mktsegment") === "BUILDING")
+      ord.filter(col("o_orderdate") < cutoff)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .hint("shuffle_hash")
+        .join(li.filter(col("l_shipdate") > cutoff), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10).count()
+    }
+    probe("tpch_shipping", shipping(ord1, li1), shipping(ord10, li10))
     spark.stop()
   }
 }
