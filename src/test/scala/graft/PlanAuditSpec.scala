@@ -128,6 +128,31 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("no aggregation is keyed on an array column anywhere in the query set") {
+    // r2 regression class: q_sim_ann dedup'ed candidates by distinct() over
+    // full vector payloads — a HashAggregate keyed on two 64-dim arrays,
+    // shuffling 128 doubles per row with interpreted normalization lambdas,
+    // where the 16-byte id pair sufficed. Gate it structurally: group-by
+    // keys must be scalars (dedup on ids, rejoin payloads).
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.types.ArrayType
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val exec = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan
+      exec.foreach { node =>
+        val keys = node match {
+          case a: HashAggregateExec       => a.groupingExpressions
+          case a: ObjectHashAggregateExec => a.groupingExpressions
+          case a: SortAggregateExec       => a.groupingExpressions
+          case _                          => Nil
+        }
+        keys.foreach { k =>
+          assert(!k.dataType.isInstanceOf[ArrayType],
+            s"$n aggregates on an array key: $k")
+        }
+      }
+    }
+  }
+
   test("aggregation uses partial (map-side) aggregation before the shuffle") {
     val df = TS.aggregateBySeries(Canon.events(spark, sf), TS.Mean)
     val p = df.queryExecution.executedPlan.toString
