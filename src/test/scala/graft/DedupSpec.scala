@@ -108,6 +108,18 @@ class DedupSpec extends SparkSuite {
     assert(clusters == Map(10L -> 10L, 20L -> 10L, 30L -> 10L)) // 40 absent: no pair
   }
 
+  test("clusters on an edgeless graph: empty result with the right schema, both tiers") {
+    val lonely = Seq(
+      (1L, "completely distinct first document body here"),
+      (2L, "another unrelated second text with different words")
+    ).toDF("doc_id", "text")
+    for (localEdges <- Seq(1000000L, 0L)) {
+      val out = Dedup.duplicateClusters(lonely, n = 3, tau = 0.9, localEdges = localEdges)
+      assert(out.columns.toSeq == Seq("doc_id", "keep_id"))
+      assert(out.count() == 0)
+    }
+  }
+
   test("containment df-cap: identical results on a real corpus, bounded on boilerplate") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val capped = Dedup.containmentPairs(docs, t = 0.7)

@@ -130,4 +130,25 @@ class PropertySpec extends SparkSuite {
         graft.operators.TextOps.tokens(col("text")), 3)).as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
+
+  test("repetition ratio matches a driver-side reference on fuzzed text") {
+    val genText: Gen[String] = for {
+      n <- Gen.chooseNum(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "spam", "x", "yy", "z9"))
+    } yield toks.mkString(" ")
+    val texts = samples(genText, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextOps.repetitionRatio(texts.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val total = math.max(toks.length - 2, 0)
+      val distinct = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
+      val want =
+        if (total > 0) BigDecimal(1.0 - distinct.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+      assert(got(id) == ((total.toLong, want)), s"doc $id '$t'")
+    }
+  }
 }
