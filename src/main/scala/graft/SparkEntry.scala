@@ -148,6 +148,8 @@ object SparkEntry {
     // ----- beyond parity: dedup (documents)
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Canon.documents(s, d)).orderBy("keep_id")),
+    "q_dedup_stats" -> ((s, d) => // corpus duplication report
+      Dedup.stats(Canon.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Canon.documents(s, d), n = 3, tau = 0.6)),
     "q_dedup_clusters" -> ((s, d) => // connected components over verified pairs → keep-list
@@ -447,6 +449,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |sh AS (SELECT doc_id, $SHINGLES AS s FROM toks),

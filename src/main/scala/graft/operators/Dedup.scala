@@ -56,6 +56,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** Corpus duplication report — the first number any dedup pipeline
+    * produces: how many docs, how many distinct contents, what fraction
+    * is duplicated mass. One pass, two hash-aggregates (count +
+    * distinct-of-md5), no payload shuffle.
+    */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_distinct"))
+      .select(col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+
   /** Exact near-duplicate pairs by n-gram Jaccard >= tau, via PREFIX
     * FILTERING (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
     * Chaudhuri et al. ICDE'06): order every doc's shingles by ascending
