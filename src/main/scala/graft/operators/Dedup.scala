@@ -258,10 +258,17 @@ object Dedup {
     // materialize the pair list ONCE before fan-out — reusing the raw plan
     // would run the whole candidate/join/verify DAG per consumer
     val pairs = pairsIn.select("id_a", "id_b").cache()
-    val nPairs = pairs.count()
-    if (nPairs < localEdges) {
+    // ONE action picks the tier AND fetches the edges: collect through a
+    // limit of localEdges+1 — under the threshold (the overwhelmingly
+    // common case: keep-lists are verified-pair-sized) the rows are
+    // already in hand and the expensive pair pipeline ran exactly once;
+    // over it, the probe is discarded and the distributed tier recounts.
+    // (A separate count()-then-collect() ran the pipeline's actions twice
+    // per query — measured as most of q_sim_clusters' cost.)
+    val probe = pairs.limit(math.min(localEdges, Int.MaxValue - 2L).toInt.max(1) + 1).collect()
+    if (probe.length <= localEdges) {
       // ---- local tier: union-find with path compression, min-label roots
-      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -291,7 +298,7 @@ object Dedup {
     // Below the broadcast threshold the label table is broadcast into the
     // per-round joins, which removes the per-round shuffles; above it the
     // joins shuffle normally. The algorithm is identical either way.
-    val smallGraph = nPairs < 5000000L
+    val smallGraph = pairs.count() < 5000000L
     def maybeB(d: DataFrame): DataFrame = if (smallGraph) broadcast(d) else d
     // init fuses round one: every node starts at min(self, direct
     // neighbors) — one aggregation replaces the distinct plus the first
