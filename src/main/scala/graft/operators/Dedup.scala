@@ -138,6 +138,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
+      // cache the small pair list BEFORE the global sort: the range
+      // sort's sampling pass otherwise re-executes the expensive verify
+      // narrow stage a second time (shuffle stages are reused across the
+      // sampling and sort jobs; narrow stages are not)
+      .cache()
       .orderBy("id_a", "id_b")
   }
 
@@ -204,6 +209,11 @@ object Dedup {
         size(col("sh_a")).as("na"))
       .filter(col("c") >= ceil(col("na") * t))
       .select(col("id_a"), col("id_b"), round(col("c").cast("double") / col("na"), 6).as("containment"))
+      // cache the small pair list BEFORE the global sort: the range
+      // sort's sampling pass otherwise re-executes the expensive verify
+      // narrow stage a second time (shuffle stages are reused across the
+      // sampling and sort jobs; narrow stages are not)
+      .cache()
       .orderBy("id_a", "id_b")
   }
 
@@ -414,6 +424,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
+      // cache the small pair list BEFORE the global sort: the range
+      // sort's sampling pass otherwise re-executes the expensive verify
+      // narrow stage a second time (shuffle stages are reused across the
+      // sampling and sort jobs; narrow stages are not)
+      .cache()
       .orderBy("id_a", "id_b")
   }
 
@@ -462,6 +477,11 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      // cache the small pair list BEFORE the global sort: the range
+      // sort's sampling pass otherwise re-executes the expensive verify
+      // narrow stage a second time (shuffle stages are reused across the
+      // sampling and sort jobs; narrow stages are not)
+      .cache()
       .orderBy("id_a", "id_b")
   }
 }

@@ -91,6 +91,11 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= tau)
+      // cache the (small) result BEFORE the global sort: a range sort's
+      // sampling pass otherwise re-executes the whole Θ(n²) tile join a
+      // second time (RangePartitioner samples the child, then the sort
+      // reads it again — shuffle stages are reused, narrow stages are not)
+      .cache()
       .orderBy("id_a", "id_b")
   }
 

@@ -196,6 +196,9 @@ object TextOps {
         col("fp") === col("fp_b") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      // cache before the global sort: the range sort's sampling pass
+      // otherwise re-executes the pair-count narrow stage a second time
+      .cache()
       .orderBy("id_a", "id_b")
   }
 }
