@@ -227,6 +227,43 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    // TPC-H Q14 shape: fact filtered by time window, part dimension
+    // broadcast, conditional aggregation → one promo-revenue ratio
+    "q_tpch_promo" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1997-01-01").cast("timestamp_ntz")
+      val li = Canon.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(Canon.table(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))), 2)
+            .as("promo_rev"),
+          round(sum(disc), 2).as("total_rev"))
+        // ratio of the ROUNDED sums — bit-mirrorable in ANSI SQL
+        .select(col("promo_rev"), col("total_rev"),
+          round(col("promo_rev") * 100.0 / col("total_rev"), 6).as("promo_pct"))
+    }),
+    // TPC-H Q18 shape: a HAVING-aggregate over the fact table semi-joined
+    // back into the orders⋈customer join — the aggregated side stays a
+    // shuffle join (its leaves are the lineitem fact scan; broadcasting it
+    // is the same 100× OOM trap the shipping query pins against)
+    "q_tpch_bigorders" -> ((s, d) => {
+      val big = Canon.table(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val ord = Canon.table(s, d, "orders")
+      val cust = Canon.table(s, d, "customer")
+      big.hint("shuffle_hash")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
     // sessionization: 30-min-gap sessions per user (lag + cumulative flag)
     "q_sessionize" -> ((s, d) => {
       val e = Canon.eventsRaw(s, d)
@@ -487,6 +524,25 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-06-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_promo" ->
+      """WITH f AS (SELECT l_extendedprice * (1 - l_discount) AS disc, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |s AS (SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0.0 END), 2) AS promo_rev,
+        |  round(sum(disc), 2) AS total_rev FROM f)
+        |SELECT promo_rev, total_rev,
+        |  round(promo_rev * 100.0 / total_rev, 6) AS promo_pct FROM s""".stripMargin,
+    "q_tpch_bigorders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_date_ms,
+        |  o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     // asymmetric containment: overlap / smaller-set size, pair ordered
     // smaller-first (ties by id); integer overlap threshold
     "q_dedup_containment" ->
