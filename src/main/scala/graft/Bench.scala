@@ -31,18 +31,24 @@ object Bench {
   @volatile private var printed = false
   private val lock = new Object
 
+  /** The driver-contract JSON line (exposed for the format unit test —
+    * a malformed line silently costs a whole round's perf evidence).
+    */
+  private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
+                                sfDir: String, partial: Boolean): String = {
+    val qs = ts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = ts.map(_._2).sum
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$fl}"""
+  }
+
   /** Print the result line exactly once (normal end or shutdown hook). */
   private def emit(sfDir: String, partial: Boolean): Unit = lock.synchronized {
     if (printed) return
     val snap = timings.asScala.toSeq.sortBy(_._1)
     if (snap.isEmpty) return // nothing measured: stay silent, don't lie
-    val qs = snap.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = snap.map(_._2).sum
-    val failed = failures.asScala.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$failed}"""
+    val line = formatLine(snap, failures.asScala.toSeq.sorted, sfDir, partial)
     println(line)
     System.out.flush()
     // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),

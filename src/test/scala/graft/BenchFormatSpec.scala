@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench JSON line is the driver's only perf artifact — two rounds
+  * lost their parse to formatting accidents, so the format is pinned by
+  * test: must parse as JSON (Jackson, from Spark's classpath) with the
+  * exact contract fields, including edge values Scala prints oddly.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("bench line parses as JSON with the contract fields") {
+    val line = Bench.formatLine(
+      Seq("q_a" -> 0.123456789, "q_b" -> 12.0, "q_c" -> 1.0e-4),
+      Seq("q_bad"), "/root/testdata/sf0.1", partial = false)
+    val n = mapper.readTree(line)
+    assert(n.get("metric").asText == "total")
+    assert(n.get("unit").asText == "sec")
+    assert(math.abs(n.get("value").asDouble - (0.123456789 + 12.0 + 1.0e-4)) < 1e-9)
+    assert(n.get("queries").size == 3)
+    assert(math.abs(n.get("queries").get("q_b").asDouble - 12.0) < 1e-12)
+    assert(n.get("queries").get("q_c").asDouble > 0) // 1.0E-4 must stay legal JSON
+    assert(!n.get("partial").asBoolean)
+    assert(n.get("failed").get(0).asText == "q_bad")
+  }
+
+  test("empty failure list and partial flag render correctly") {
+    val line = Bench.formatLine(Seq("q" -> 1.5), Nil, "sf", partial = true)
+    val n = mapper.readTree(line)
+    assert(n.get("partial").asBoolean && n.get("failed").size == 0)
+  }
+}
