@@ -27,6 +27,11 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
   private val timings = new ConcurrentHashMap[String, Double]()
+  // warmup durations: fallback ONLY (used by emit when a query has no
+  // timed entry, e.g. the run was SIGTERM'd mid-pass). Never min()'d
+  // against timed numbers — a warmup run can be cache-assisted by a
+  // sibling thread's shared subplan cache and undercut honest compute.
+  private val warmupTimings = new ConcurrentHashMap[String, Double]()
   private val failures = ConcurrentHashMap.newKeySet[String]()
   @volatile private var printed = false
   private val lock = new Object
@@ -46,7 +51,8 @@ object Bench {
   /** Print the result line exactly once (normal end or shutdown hook). */
   private def emit(sfDir: String, partial: Boolean): Unit = lock.synchronized {
     if (printed) return
-    val snap = timings.asScala.toSeq.sortBy(_._1)
+    val merged = (warmupTimings.asScala ++ timings.asScala).toMap // timed wins
+    val snap = merged.toSeq.sortBy(_._1)
     if (snap.isEmpty) return // nothing measured: stay silent, don't lie
     val line = formatLine(snap, failures.asScala.toSeq.sorted, sfDir, partial)
     println(line)
@@ -114,14 +120,26 @@ object Bench {
     // timings is a safe pessimistic fallback for a killed run.
     val pool = Executors.newFixedThreadPool(8)
     val tasks = names.map(n => pool.submit(new Runnable {
-      def run(): Unit = { runOne(n).foreach(record(n, _)); System.err.println(s"[bench] warm $n") }
+      def run(): Unit = {
+        runOne(n).foreach(t => warmupTimings.merge(n, t, (a, b) => math.min(a, b)))
+        System.err.println(s"[bench] warm $n")
+      }
     }))
     tasks.foreach(_.get())
     pool.shutdown()
 
     // Timed pass, serial for accurate latencies. The stderr line per query
     // makes a timeout postmortem show exactly where the run died.
+    // clearCache first: several operators cache their (small) results and
+    // internal indexes, and Spark's CacheManager matches cached plans by
+    // canonical equality across separately-built invocations — without the
+    // clear, a timed run after warmup is a cache LOOKUP, not the pipeline
+    // compute, and the number overstates the engine. (Within one action the
+    // operators' in-query caches still engage — that is design, not warmup
+    // residue.) Codegen/JIT warmup survives the clear, which is the part
+    // warmup exists for.
     val firstRun = names.flatMap { n =>
+      spark.catalog.clearCache()
       runOne(n).map { t =>
         record(n, t)
         System.err.println(f"[bench] timed $n%-28s $t%.2fs")
@@ -132,6 +150,7 @@ object Bench {
     // land on whichever query follows a heavy one, but sub-second queries
     // are already dominated by fixed overhead — skip their re-run.
     firstRun.filter(_._2 > 1.0).foreach { case (n, _) =>
+      spark.catalog.clearCache()
       runOne(n).foreach(record(n, _))
     }
 

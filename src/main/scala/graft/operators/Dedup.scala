@@ -275,8 +275,13 @@ object Dedup {
     // over it, the probe is discarded and the distributed tier recounts.
     // (A separate count()-then-collect() ran the pipeline's actions twice
     // per query — measured as most of q_sim_clusters' cost.)
-    val probe = pairs.limit(math.min(localEdges, Int.MaxValue - 2L).toInt.max(1) + 1).collect()
-    if (probe.length <= localEdges) {
+    // limN caps what collect can fetch; the local-tier acceptance must
+    // compare against limN too, or a localEdges above Int range would
+    // treat a TRUNCATED probe as the complete graph (silently wrong
+    // components — worse than the distributed tier's explicit require)
+    val limN = math.min(localEdges, Int.MaxValue - 2L).toInt.max(1)
+    val probe = pairs.limit(limN + 1).collect()
+    if (probe.length < localEdges && probe.length <= limN) {
       // ---- local tier: union-find with path compression, min-label roots
       val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist(blocking = false)

@@ -227,20 +227,35 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Cache key = files + the analyzed plan's semantic hash: inputFiles
-    * alone is empty for in-memory frames and identical for a filtered
-    * subset of the same files — either would silently share centroids
-    * across different datasets.
+  /** In-process memo key = files + the analyzed plan's semantic hash:
+    * inputFiles alone is empty for in-memory frames and identical for a
+    * filtered subset of the same files — either would silently share
+    * centroids across different datasets. JVM-local only: semanticHash is
+    * NOT stable across processes (see [[centroidDiskKey]]).
     */
   private[graft] def centroidKey(df: DataFrame, k: Int, maxIter: Int, seed: Long,
                                  vecCol: String): (Seq[String], Int, Int, Int, Long, String) =
     (df.inputFiles.toSeq.sorted, df.queryExecution.analyzed.semanticHash(),
       k, maxIter, seed, vecCol)
 
-  private[graft] def centroidCachePath(key: Any): String = {
+  /** DISK key — must be identical across JVM runs or the persisted cache
+    * never hits (its whole purpose). `semanticHash` cannot be used here:
+    * it hashes through `HadoopFsRelation.fileFormat`, and
+    * `ParquetFileFormat.hashCode` is `getClass().hashCode()` — a per-JVM
+    * identity hash. Use the sorted input files plus the CANONICALIZED
+    * plan string (expression ids normalized, no object hashes), which
+    * still distinguishes a filtered/projected subset of the same files.
+    */
+  private[graft] def centroidDiskKey(df: DataFrame, k: Int, maxIter: Int, seed: Long,
+                                     vecCol: String): String = {
+    val plan = df.queryExecution.analyzed.canonicalized.toString
+    s"${df.inputFiles.toSeq.sorted.mkString(",")}|$plan|$k|$maxIter|$seed|$vecCol"
+  }
+
+  private[graft] def centroidCachePath(diskKey: String): String = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_IVF_CACHE",
       sys.props("java.io.tmpdir") + "/graft_ivf_cache")
-    s"$dir/centroids_${md5hex(key.toString)}.parquet"
+    s"$dir/centroids_${md5hex(diskKey)}.parquet"
   }
 
   def trainCellsCached(df: DataFrame, k: Int, maxIter: Int = 10, seed: Long = 42L,
@@ -249,7 +264,7 @@ object Similarity {
     cellCache.computeIfAbsent(key, _ => {
       val ss = df.sparkSession
       val persistable = key._1.nonEmpty
-      val path = centroidCachePath(key)
+      val path = centroidCachePath(centroidDiskKey(df, k, maxIter, seed, vecCol))
       def readBack(): Option[Array[Array[Double]]] =
         if (!persistable || !new java.io.File(path).exists()) None
         else scala.util.Try {

@@ -83,12 +83,16 @@ class SimilaritySpec extends SparkSuite {
   test("trained IVF centroids persist to disk: a fresh JVM skips the k-means fit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seed = 987654L // test-private key so parallel suites can't collide
-    val key = Similarity.centroidKey(emb, 8, 10, seed, "embedding")
+    val diskKey = Similarity.centroidDiskKey(emb, 8, 10, seed, "embedding")
+    // the disk key must not contain per-JVM material (identity hashes
+    // render as @hex or as bare ints next to class names); a stale hash
+    // here means every fresh process refits — the bug this cache had
+    assert(!diskKey.contains("@"), diskKey)
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete()
     }
-    deleteRec(new java.io.File(Similarity.centroidCachePath(key)))
+    deleteRec(new java.io.File(Similarity.centroidCachePath(diskKey)))
     Similarity.clearCellMemo()
     val before = Similarity.kmeansFits.get()
     val c1 = Similarity.trainCellsCached(emb, 8, seed = seed)
