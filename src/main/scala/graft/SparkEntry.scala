@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -160,6 +160,18 @@ object SparkEntry {
       Dedup.minhashLshPairs(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
     "q_dedup_simhash" -> ((s, d) => // hash-valued; rows-only check
       Dedup.simhashPairs(Canon.documents(s, d), maxHamming = 3)),
+    "q_decontaminate" -> ((s, d) => // eval-set n-gram overlap report
+      Dedup.decontaminationReport(Canon.documents(s, d), col("doc_id") % 10 === 0, n = 5)),
+    // ----- beyond parity: deterministic sampling (documents)
+    "q_sample_hash" -> ((s, d) => // uniform hash-gated sample, rate 64/256
+      Sampling.hashSample(Canon.documents(s, d), 64)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    "q_sample_stratified" -> ((s, d) => // per-language deterministic top-20
+      Sampling.stratifiedSample(Canon.documents(s, d), "lang", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+    "q_sample_mixture" -> ((s, d) => // per-source weighted mixing report
+      Sampling.mixtureReport(Canon.documents(s, d), "source",
+        Seq("src0" -> 192, "src1" -> 128, "src2" -> 64), default256 = 32)),
     // ----- beyond parity: similarity search (embeddings)
     "q_sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Canon.embeddings(s, d), QIDS, k = 10)
@@ -502,6 +514,48 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard FROM pairs) j
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // decontamination: DuckDB rebuilds the word 5-grams as strings; the
+    // Spark side joins 64-bit gram hashes — identical sets barring a
+    // birthday-bound collision (~2⁻²⁵ at this corpus), same argument as
+    // q_dedup_ngram. Eval set = doc_id % 10 == 0.
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(t) - 4, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id, g FROM ex WHERE doc_id % 10 <> 0)
+         |SELECT tr.doc_id AS doc_id,
+         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+         |  CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
+         |FROM tr JOIN ev ON tr.g = ev.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hash-gated sampling: the gate (substr(md5(id),1,2) < threshold-hex)
+    // is the same text on both engines — md5 of the decimal string is
+    // engine-independent, lexicographic compare on lowercase hex is
+    // numeric compare
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH k AS (SELECT source,
+        |  CASE source WHEN 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'c0'
+        |              WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '80'
+        |              WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '40'
+        |              ELSE substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '20' END AS kept
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // int8 quantization summary: double products are computed identically
     // on both engines (same cast chain), round() is half-away-from-zero in
     // both, so the summary hashes match exactly

@@ -460,6 +460,50 @@ object Dedup {
       .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
       .select(col("id"), simhashFromHashes(col("hashes")).as("sig"))
 
+  /** Benchmark decontamination — flag training documents that share word
+    * n-grams with an evaluation/benchmark set (the overlap filter of
+    * Brown et al. 2020, Appendix C, which uses 13-grams on web text; `n`
+    * is a parameter because the right value is corpus-shaped).
+    *
+    * Scale design: the eval side of the join is BROADCAST — benchmark
+    * suites are megabytes while the training corpus is the 100 TB side, so
+    * the gram join degenerates to a scan-speed hash probe with no shuffle
+    * of training data at all. Grams are the 64-bit `hashed_shingles`
+    * digests (one codegen'd pass per row, no string materialization); a
+    * cross-doc hash collision needs ~2³² grams per the birthday bound and
+    * only ever adds a candidate, never hides one.
+    *
+    * Returns one row per contaminated training doc: how many eval docs it
+    * collides with and how many distinct grams it shares.
+    */
+  def decontaminationReport(df: DataFrame, isEval: Column, n: Int = 5,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = df.select(col(idCol), isEval.as("is_eval"),
+      explode(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n)).as("g"))
+    val ev = grams.filter(col("is_eval")).select(col("g"), col(idCol).as("eval_id"))
+    val tr = grams.filter(!col("is_eval")).select(col("g"), col(idCol))
+    tr.join(broadcast(ev), Seq("g"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy(idCol)
+  }
+
+  /** The keep-side of decontamination: training docs with NO gram overlap
+    * with the eval set — a broadcast left-anti join, the actual corpus
+    * filter a pipeline runs after reviewing the report above.
+    */
+  def decontaminate(df: DataFrame, isEval: Column, n: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = df.select(col(idCol), isEval.as("is_eval"),
+      explode(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n)).as("g"))
+    val ev = grams.filter(col("is_eval")).select("g").distinct()
+    val contaminated = grams.filter(!col("is_eval"))
+      .join(broadcast(ev), Seq("g"))
+      .select(col(idCol)).distinct()
+    df.filter(!isEval).join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs = hamming(simhash) <= maxHamming, found via the
     * pigeonhole band trick (64 bits into maxHamming+1 chunks; a pair within
     * the radius must agree exactly on >= 1 chunk) — bucket join, not

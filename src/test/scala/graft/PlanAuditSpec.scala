@@ -51,6 +51,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("PushedFilters") && p.contains("c_mktsegment"), p)
   }
 
+  test("decontamination broadcasts the eval gram set (no shuffle of training grams)") {
+    val p = plan(SparkEntry.queries("q_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("stratified sample bounds the shuffle with a partial WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q_sample_stratified")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    // the hash-sample gate must stay codegen'd at the scan, not interpreted
+    // (codegen stage markers only exist on the FINAL plan → execute first)
+    val dfh = SparkEntry.queries("q_sample_hash")(spark, sf)
+    dfh.count()
+    val ph = plan(dfh)
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(ph).isDefined, ph)
+  }
+
   // Traverse a physical plan INCLUDING what hides behind leaf wrappers:
   // AdaptiveSparkPlanExec and QueryStageExec are LeafExecNodes (children =
   // Nil), so a naive plan.foreach never sees anything inside an
