@@ -38,12 +38,22 @@ object Bench {
 
   /** The driver-contract JSON line (exposed for the format unit test —
     * a malformed line silently costs a whole round's perf evidence).
+    *
+    * Values are rendered at millisecond resolution: the driver's log-tail
+    * capture is a 2000-char window and r3's full-precision line (1983
+    * chars) + sbt's trailing "[success]" line overran it, truncating the
+    * line's head — three rounds of parsed:null. 3dp keeps the line ~1.6KB
+    * with headroom for more queries; sub-ms precision is noise at bench
+    * timescales anyway.
     */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
                                 sfDir: String, partial: Boolean): String = {
-    val qs = ts.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = ts.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = ts.map(_._2).sum
+    val total = fmt(ts.map(_._2).sum)
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$fl}"""
   }

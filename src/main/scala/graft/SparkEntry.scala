@@ -428,7 +428,10 @@ object SparkEntry {
 
   // DuckDB mirrors of the text/dedup/similarity operators. Token split,
   // regex replaces (note DuckDB needs the 'g' flag), rounding and tiebreaks
-  // textually mirror the Scala column expressions.
+  // textually mirror the Scala column expressions. DuckDB's RE2 \s here is
+  // exactly the engine's TextOps.wsClass (the Spark side deliberately
+  // excludes vertical tab to match RE2), so '\s+' below is byte-identical
+  // to the Spark tokenizer on ANY input, not just the VT-free corpus.
   private val TOKS =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val LTOKS =

@@ -219,9 +219,12 @@ object SketchExpressions {
     * static forwarders, so janino can call this directly; the body is
     * JIT-compiled, equivalent to inlining the loop).
     *
-    * Tokenization is byte-exact with `filter(split(text, "\\s+"), _ != "")`:
-    * Java's \s is the six ASCII whitespace chars, whose bytes never occur
-    * inside multi-byte UTF-8 sequences, so a byte scan splits identically.
+    * Tokenization is byte-exact with `TextOps.tokens` (split on
+    * `TextOps.wsClass`): the class is RE2's \s — tab/LF/FF/CR/space,
+    * deliberately EXCLUDING vertical tab (0x0B), which Java's \s includes
+    * but RE2-based engines (the DuckDB oracle) do not. These bytes never
+    * occur inside multi-byte UTF-8 sequences, so a byte scan splits
+    * identically.
     * Each token is hashed in place (no substring allocation), each n-gram
     * is an order-sensitive splitmix64 fold of its token hashes, and the
     * result is the SORTED DISTINCT hash set — drop-in for the
@@ -235,7 +238,9 @@ object SketchExpressions {
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val len = u.numBytes
-    def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+    // RE2 \s: space, tab, LF, FF, CR — NOT vertical tab (11); see scaladoc
+    def isWs(b: Byte): Boolean =
+      b == 32 || b == 9 || b == 10 || b == 12 || b == 13
     // pass 1: count tokens
     var nTok = 0
     var in = false

@@ -465,24 +465,34 @@ object Dedup {
     * Brown et al. 2020, Appendix C, which uses 13-grams on web text; `n`
     * is a parameter because the right value is corpus-shaped).
     *
-    * Scale design: the eval side of the join is BROADCAST — benchmark
-    * suites are megabytes while the training corpus is the 100 TB side, so
-    * the gram join degenerates to a scan-speed hash probe with no shuffle
-    * of training data at all. Grams are the 64-bit `hashed_shingles`
-    * digests (one codegen'd pass per row, no string materialization); a
-    * cross-doc hash collision needs ~2³² grams per the birthday bound and
-    * only ever adds a candidate, never hides one.
+    * Scale design: when `broadcastEval` is true (the default) the eval side
+    * of the join is BROADCAST — benchmark suites are typically megabytes
+    * while the training corpus is the 100 TB side, so the gram join
+    * degenerates to a scan-speed hash probe with no shuffle of training
+    * data at all. The hint is a CALLER PROMISE that `isEval` selects a
+    * broadcast-sized subset (grams of it must fit the driver/broadcast
+    * limits); pass `broadcastEval = false` when the eval slice is a large
+    * corpus fraction and the join falls back to a shuffle hash join on the
+    * gram key. Grams are the 64-bit `hashed_shingles` digests (one
+    * codegen'd pass per row, no string materialization); a cross-doc hash
+    * collision needs ~2³² grams per the birthday bound and only ever adds
+    * a candidate, never hides one.
+    *
+    * A NULL `isEval` (e.g. a predicate over a nullable column) counts as
+    * training, not silently dropped.
     *
     * Returns one row per contaminated training doc: how many eval docs it
     * collides with and how many distinct grams it shares.
     */
   def decontaminationReport(df: DataFrame, isEval: Column, n: Int = 5,
-                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = df.select(col(idCol), isEval.as("is_eval"),
+                            textCol: String = "text", idCol: String = "doc_id",
+                            broadcastEval: Boolean = true): DataFrame = {
+    val grams = df.select(col(idCol), coalesce(isEval, lit(false)).as("is_eval"),
       explode(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n)).as("g"))
-    val ev = grams.filter(col("is_eval")).select(col("g"), col(idCol).as("eval_id"))
+    val ev0 = grams.filter(col("is_eval")).select(col("g"), col(idCol).as("eval_id"))
+    val ev = if (broadcastEval) broadcast(ev0) else ev0
     val tr = grams.filter(!col("is_eval")).select(col("g"), col(idCol))
-    tr.join(broadcast(ev), Seq("g"))
+    tr.join(ev, Seq("g"))
       .groupBy(idCol)
       .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
         countDistinct(col("g")).as("n_shared_grams"))
@@ -491,17 +501,21 @@ object Dedup {
 
   /** The keep-side of decontamination: training docs with NO gram overlap
     * with the eval set — a broadcast left-anti join, the actual corpus
-    * filter a pipeline runs after reviewing the report above.
+    * filter a pipeline runs after reviewing the report above. Same
+    * `broadcastEval` contract and NULL-`isEval` semantics as the report.
     */
   def decontaminate(df: DataFrame, isEval: Column, n: Int = 5,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = df.select(col(idCol), isEval.as("is_eval"),
+                    textCol: String = "text", idCol: String = "doc_id",
+                    broadcastEval: Boolean = true): DataFrame = {
+    val evalFlag = coalesce(isEval, lit(false))
+    val grams = df.select(col(idCol), evalFlag.as("is_eval"),
       explode(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n)).as("g"))
-    val ev = grams.filter(col("is_eval")).select("g").distinct()
+    val ev0 = grams.filter(col("is_eval")).select("g").distinct()
+    val ev = if (broadcastEval) broadcast(ev0) else ev0
     val contaminated = grams.filter(!col("is_eval"))
-      .join(broadcast(ev), Seq("g"))
+      .join(ev, Seq("g"))
       .select(col(idCol)).distinct()
-    df.filter(!isEval).join(contaminated, Seq(idCol), "left_anti")
+    df.filter(!evalFlag).join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Near-dup pairs = hamming(simhash) <= maxHamming, found via the

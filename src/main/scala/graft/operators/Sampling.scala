@@ -53,11 +53,15 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, strataCol: String, k: Int,
                        idCol: String = "doc_id"): DataFrame = {
+    // collision-free rank column: an input that already carries the name
+    // would be silently overwritten and dropped from the result
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(col(strataCol))
       .orderBy(sampleKey(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 
   /** Weighted mixture sampling — the "domain mixing" step of corpus

@@ -10,11 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The whitespace class used by every tokenizer in the engine. This is
+    * RE2's \s ([\t\n\f\r ]), NOT Java's \s: Java additionally counts
+    * vertical tab (0x0B), and RE2-based engines (DuckDB, Go, Rust regex)
+    * do not — spelling the class out keeps tokenization byte-identical
+    * across engines on any input, not just VT-free corpora.
+    */
+  val wsClass = "[ \\t\\n\\f\\r]"
+
   /** Whitespace tokens, empties dropped (split+filter keeps the semantics
     * identical to DuckDB's string_split_regex + list_filter for oracles).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(text, wsClass + "+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -58,7 +66,7 @@ object TextOps {
       col(idCol),
       length(t).as("n_chars"),
       size(toks).as("n_tokens"),
-      round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+      round(length(regexp_replace(t, wsClass + "+", "")).cast("double") /
         greatest(size(toks), lit(1)), 4).as("mean_token_len"),
       round(punctCount(t).cast("double") / greatest(length(t), lit(1)), 6).as("punct_ratio"),
       round(size(filter(col("__ltoks"), x => x.isin(englishStopwords: _*))).cast("double") /

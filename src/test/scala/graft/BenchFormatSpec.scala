@@ -18,10 +18,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val n = mapper.readTree(line)
     assert(n.get("metric").asText == "total")
     assert(n.get("unit").asText == "sec")
-    assert(math.abs(n.get("value").asDouble - (0.123456789 + 12.0 + 1.0e-4)) < 1e-9)
+    // values render at 3dp (millisecond resolution, see Bench.fmt)
+    assert(math.abs(n.get("value").asDouble - 12.124) < 1e-9) // sum rounds once, at render
     assert(n.get("queries").size == 3)
     assert(math.abs(n.get("queries").get("q_b").asDouble - 12.0) < 1e-12)
-    assert(n.get("queries").get("q_c").asDouble > 0) // 1.0E-4 must stay legal JSON
+    assert(n.get("queries").get("q_c").asDouble == 0.0) // sub-ms floors to 0.000
     assert(!n.get("partial").asBoolean)
     assert(n.get("failed").get(0).asText == "q_bad")
   }
@@ -30,5 +31,15 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.formatLine(Seq("q" -> 1.5), Nil, "sf", partial = true)
     val n = mapper.readTree(line)
     assert(n.get("partial").asBoolean && n.get("failed").size == 0)
+  }
+
+  test("a full-size query roster fits the driver's 2000-char tail window") {
+    // The driver keeps only the LAST 2000 chars of the run log; sbt's
+    // trailing "[success] Total time ..." line (~80 chars) shares that
+    // window, so the whole JSON line must stay comfortably under ~1900.
+    val roster = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val line = Bench.formatLine(roster, Nil, "/root/testdata/sf0.1", partial = false)
+    assert(mapper.readTree(line).get("queries").size == roster.size)
+    assert(line.length <= 1850, s"bench line too long for tail window: ${line.length}")
   }
 }

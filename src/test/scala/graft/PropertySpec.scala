@@ -113,8 +113,9 @@ class PropertySpec extends SparkSuite {
 
   test("hashed_shingles set size == string shingle pipeline on fuzzed text") {
     import org.apache.spark.sql.functions.{col, size}
-    // strings mixing tokens, every \s whitespace char, unicode, and junk —
-    // the byte-scan tokenizer must agree with filter(split(text,"\\s+"))
+    // strings mixing tokens, whitespace (including VT, which is NOT a
+    // separator in the engine's RE2-aligned class), unicode, and junk —
+    // the byte-scan tokenizer must agree with TextOps.tokens
     val genText: Gen[String] = for {
       n <- Gen.chooseNum(0, 40)
       parts <- Gen.listOfN(n, Gen.oneOf(
@@ -141,7 +142,7 @@ class PropertySpec extends SparkSuite {
     val got = graft.operators.TextOps.repetitionRatio(texts.toDF("doc_id", "text"))
       .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     texts.foreach { case (id, t) =>
-      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val toks = t.split("[ \t\n\f\r]+").filter(_.nonEmpty)
       val total = math.max(toks.length - 2, 0)
       val distinct = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
       val want =
