@@ -172,6 +172,39 @@ object SparkEntry {
     "q_sample_mixture" -> ((s, d) => // per-source weighted mixing report
       Sampling.mixtureReport(Canon.documents(s, d), "source",
         Seq("src0" -> 192, "src1" -> 128, "src2" -> 64), default256 = 32)),
+    // end-to-end curation pipeline: quality-filter → exact-dedup (keep min
+    // doc_id per content hash) → deterministic sample → per-language
+    // report. One corpus scan; the text payload is REDUCED to
+    // (id, lang, quality, n_tokens, 16-byte content hash) BEFORE the only
+    // shuffle (the dedup window), so at 100 TB the shuffle moves ~40-byte
+    // rows, not documents. The sample gate must run AFTER dedup: it keys
+    // on the KEPT doc's id, and sampling first could drop a group's min
+    // member and flip the keep decision.
+    "q_pipeline_curate" -> ((s, d) => {
+      val scored = TextOps.withQuality(Canon.documents(s, d))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("text")).as("__fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy(col("doc_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(Sampling.hashGate(col("doc_id"), 128))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          round(avg("quality"), 4).as("mean_quality"))
+        .orderBy("lang")
+    }),
+    // token-count magnitude histogram (decimal-digit buckets — exact and
+    // portable, unlike floor(log2(n)) whose libm rounding can flip a
+    // boundary bucket between engines)
+    "q_len_histogram" -> ((s, d) =>
+      Canon.documents(s, d)
+        .select(TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy(length(col("n_tokens").cast("string")).cast("long").as("magnitude"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+        .orderBy("magnitude")),
     // ----- beyond parity: similarity search (embeddings)
     "q_sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Canon.embeddings(s, d), QIDS, k = 10)
@@ -191,6 +224,19 @@ object SparkEntry {
         .withColumn("rn", col("rn").cast("long"))),
     "q_vec_quantize" -> ((s, d) => // int8 quantization summary (exact arithmetic)
       Similarity.quantizeInt8(Canon.embeddings(s, d))),
+    // filtered vector search: metadata predicate on the aligned documents
+    // table restricts the corpus via a PINNED shuffle semi-join on the id
+    // (at 100 TB the filtered doc-id set is itself fact-scale — billions
+    // of ids — so broadcasting it is the same trap as broadcasting a
+    // filtered fact table); query vectors still come from the FULL set
+    "q_sim_filtered" -> ((s, d) => {
+      val emb = Canon.embeddings(s, d)
+      val enIds = Canon.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val corpus = emb.join(enIds.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+      Similarity.topKOver(corpus, emb.filter(col("vec_id").isin(QIDS: _*)), k = 10)
+        .withColumn("rn", col("rn").cast("long"))
+    }),
     // ----- beyond parity: multimodal plumbing (stubbed decode)
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Canon.documents(s, d))
@@ -274,6 +320,67 @@ object SparkEntry {
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
           col("o_totalprice"), col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+    // TPC-H Q5 shape: the 6-way join — fixed-size dims (region, nation)
+    // broadcast; every SF-scaled table (customer, orders, lineitem,
+    // supplier) pinned to shuffle hash joins, because at 100 TB none of
+    // them is broadcastable and leaving the choice to bench-scale
+    // statistics is exactly the r2 fact-broadcast trap. Supplier carries
+    // the region filter (dim pushdown); the c_nationkey = s_nationkey
+    // "local supplier" condition rides the suppkey join as a residual.
+    "q_tpch_regional" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1997-01-01").cast("timestamp_ntz")
+      val natAsia = Canon.table(s, d, "nation")
+        .join(broadcast(Canon.table(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Canon.table(s, d, "supplier")
+        .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Canon.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val co = ord.join(Canon.table(s, d, "customer").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      // revenue accumulates in integer CENTS: per-row round(x*100) is one
+      // IEEE multiply + one half-away round — identical in any engine —
+      // and integer addition is order-independent, so the aggregate can't
+      // flip a 2dp boundary under Spark's nondeterministic partial-agg
+      // order (a plain round(sum(double),2) did, on a .xx5 landing)
+      val lco = co.hint("shuffle_hash")
+        .join(Canon.table(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("c_nationkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+      lco.join(sup.hint("shuffle_hash"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg((sum("rev_cents").cast("double") / 100).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+    // TPC-H Q10 shape: returned-item revenue per customer — two filtered
+    // fact scans shuffle-joined on orderkey, customer shuffle-joined on
+    // custkey (unfiltered customer is NOT broadcastable at 100 TB),
+    // fixed-size nation broadcast, top-20
+    "q_tpch_returns" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp_ntz")
+      val hi = lit("1996-07-01").cast("timestamp_ntz")
+      val li = Canon.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = Canon.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      ord.hint("shuffle_hash")
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .hint("shuffle_hash")
+        .join(Canon.table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Canon.table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        // integer-cents sum — see q_tpch_regional for why
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).cast("double") / 100).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
     // sessionization: 30-min-gap sessions per user (lag + cumulative flag)
@@ -591,6 +698,33 @@ object SparkEntry {
         |  round(sum(disc), 2) AS total_rev FROM f)
         |SELECT promo_rev, total_rev,
         |  round(promo_rev * 100.0 / total_rev, 6) AS promo_pct FROM s""".stripMargin,
+    // revenue in integer cents (sum of per-row round(x*100), rendered as
+    // dollars): integer addition is order-independent, so the hash can't
+    // flip on a .xx5 rounding boundary the way round(sum(double),2) does
+    // under engine-dependent summation order
+    "q_tpch_regional" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_tpch_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_tpch_bigorders" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
         |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300)
@@ -633,6 +767,40 @@ object SparkEntry {
          |reach(src, cur) AS (SELECT id, id FROM nodes
          |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.cur = e.a)
          |SELECT src AS doc_id, min(cur) AS keep_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // curation pipeline: same score arithmetic as q_text_score, then
+    // min-id-per-md5 keep list, then the q_sample_hash gate at 128/256
+    "q_pipeline_curate" ->
+      s"""WITH q AS (SELECT doc_id, lang, text, $TOKS AS t, $LTOKS AS lt FROM documents),
+         |r AS (SELECT doc_id, lang, text, len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM q),
+         |s AS (SELECT doc_id, lang, text, n_tokens, round(
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality FROM r),
+         |f AS (SELECT * FROM s WHERE quality >= 0.5),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         |g AS (SELECT f.* FROM f JOIN k USING (doc_id)
+         |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(avg(quality), 4) AS mean_quality
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_len_histogram" ->
+      s"""WITH t AS (SELECT len($TOKS) AS n_tokens FROM documents)
+         |SELECT CAST(length(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS magnitude,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sim_filtered" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |f AS (SELECT v.* FROM v JOIN (SELECT doc_id FROM documents WHERE lang = 'en') d
+         |      ON v.vec_id = d.doc_id),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),
+         |s AS (SELECT qid, f.vec_id, $COS AS cos FROM q, f WHERE f.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+         |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     "q_sim_topk" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN ($QIDS_SQL)),

@@ -33,21 +33,30 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Exact top-k neighbours for the given query ids: broadcast the query
-    * vectors, scan the corpus once, per-query window top-k (WindowGroupLimit
-    * keeps the shuffle small). Self-matches excluded.
+  /** Exact top-k of an explicit (small) query set over an arbitrary corpus
+    * DataFrame — the building block behind [[bruteForceTopK]] and filtered
+    * vector search: broadcast the query vectors, scan the corpus once,
+    * per-query window top-k (WindowGroupLimit keeps the shuffle small).
+    * Self-matches excluded. The corpus side may carry any pre-filter
+    * (metadata predicates, semi-joins) — it stays the streamed side.
     */
-  def bruteForceTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val corpus = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+  def topKOver(corpusDf: DataFrame, queriesDf: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = corpusDf.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val queries = queriesDf.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "vec_id", "cos", "rn")
       .orderBy("qid", "rn")
+  }
+
+  /** Exact top-k neighbours for the given query ids over the whole corpus. */
+  def bruteForceTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+    topKOver(base, base.filter(col(idCol).isin(queryIds: _*)), k, idCol, vecCol)
   }
 
   /** All embedding near-duplicate pairs with cosine >= tau — exact, via a

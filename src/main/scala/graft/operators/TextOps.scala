@@ -86,6 +86,32 @@ object TextOps {
         6).as("quality"))
   }
 
+  /** [[qualityScore]]'s composite as an APPENDED column, keeping every
+    * input column — the shape a curation pipeline needs (score, then
+    * filter, then keep using the text/metadata downstream) without a
+    * self-join back onto the corpus. Same arithmetic as qualityScore
+    * (ratios rounded to 6dp before the mix, composite rounded to 6dp),
+    * so the two agree bit-for-bit.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text",
+                  outCol: String = "quality"): DataFrame = {
+    val t = col(textCol)
+    // materialize token arrays once per row (HOFs don't CSE; see quality())
+    val toksC = "__graft_toks"; val ltoksC = "__graft_ltoks"
+    require(!df.columns.contains(toksC) && !df.columns.contains(ltoksC),
+      s"input already has a $toksC/$ltoksC column")
+    val staged = df.withColumn(toksC, tokens(t)).withColumn(ltoksC, tokens(lower(t)))
+    val nToks = size(col(toksC))
+    val punct = round(punctCount(t).cast("double") / greatest(length(t), lit(1)), 6)
+    val stop = round(size(filter(col(ltoksC), x => x.isin(englishStopwords: _*))).cast("double") /
+      greatest(nToks, lit(1)), 6)
+    staged.withColumn(outCol, round(
+        least(nToks.cast("double") / 100.0, lit(1.0)) * 0.4 +
+        least(stop * 5.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punct * 10.0, lit(1.0))) * 0.2, 6))
+      .drop(toksC, ltoksC)
+  }
+
   /** Tiny stopword lexicons for the n-gram-free language-ID heuristic. */
   val langLexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "it"),

@@ -61,9 +61,10 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan(SparkEntry.queries("q_sample_stratified")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
     // the hash-sample gate must stay codegen'd at the scan, not interpreted
-    // (codegen stage markers only exist on the FINAL plan → execute first)
+    // (codegen stage markers only exist on the FINAL plan → execute THIS
+    // df's own QueryExecution; dfh.count() would finalize a separate one)
     val dfh = SparkEntry.queries("q_sample_hash")(spark, sf)
-    dfh.count()
+    dfh.queryExecution.toRdd.count()
     val ph = plan(dfh)
     assert("""\*\(\d+\) Filter""".r.findFirstIn(ph).isDefined, ph)
   }
@@ -176,9 +177,10 @@ class PlanAuditSpec extends SparkSuite {
 
   test("no cartesian/nested-loop joins anywhere in the query set") {
     Graft.register(spark)
-    // q_sim_topk deliberately broadcasts the 10-row query batch into a
-    // non-equi join (BNLJ with a tiny build side IS the intended shape)
-    val allowedBnlj = Set("q_sim_topk")
+    // q_sim_topk/q_sim_filtered deliberately broadcast the 10-row query
+    // batch into a non-equi join (BNLJ with a tiny build side IS the
+    // intended shape for the exact scoring pass)
+    val allowedBnlj = Set("q_sim_topk", "q_sim_filtered")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = plan(SparkEntry.queries(n)(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")

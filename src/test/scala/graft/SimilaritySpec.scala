@@ -42,6 +42,17 @@ class SimilaritySpec extends SparkSuite {
     assert(got == Seq(4L, 1L, 2L)) // 0.999 > 0.994 > 0
   }
 
+  test("topKOver searches only the filtered corpus; queries come from the full set") {
+    // corpus restricted to ids {1,2}: query 0 is NOT in the corpus but must
+    // still be answerable; its neighbours must exclude 3 and 4 entirely
+    val corpus = vecs.filter(col("vec_id").isin(1L, 2L))
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val got = Similarity.topKOver(corpus, queries, k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSet == Set(1L, 2L))
+    assert(got.head._2 == 1L) // 0.9-cos neighbour outranks the orthogonal one
+  }
+
   test("near-dup pairs respects tau") {
     val got = Similarity.nearDupPairs(vecs, tau = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

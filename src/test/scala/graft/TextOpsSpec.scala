@@ -11,6 +11,24 @@ class TextOpsSpec extends SparkSuite {
     assert(df.select(TextOps.tokenCount($"text")).as[Int].collect().toSeq == Seq(3, 3))
   }
 
+  test("vertical tab is NOT a token separator (RE2 \\s alignment)") {
+    // Java's \s would split on VT (0x0B); the engine's class must not — that
+    // is what keeps Spark and the RE2-based DuckDB oracle byte-identical
+    val df = Seq("a\u000Bb c", "a\tb c").toDF("text")
+    assert(df.select(TextOps.tokenCount($"text")).as[Int].collect().toSeq == Seq(2, 3))
+  }
+
+  test("withQuality appends the same composite qualityScore computes, keeping all columns") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val byScore = TextOps.qualityScore(docs)
+      .as[(Long, Double)].collect().toMap
+    val appended = TextOps.withQuality(docs)
+    assert(appended.columns.toSeq ==
+      docs.columns.toSeq :+ "quality")
+    val got = appended.select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    assert(got == byScore)
+  }
+
   test("bpe-ish count adds subword pieces for long words") {
     val df = Seq(("a bb cccc ddddddddd", 1L)).toDF("text", "id")
     // 1 + 1 + 1 + ceil(9/4)=3 => 6
