@@ -213,6 +213,8 @@ object SparkEntry {
       Similarity.nearDupPairs(Canon.embeddings(s, d), tau = 0.4)),
     "q_sim_clusters" -> ((s, d) => // semantic dedup keep-list over cosine pairs
       Dedup.semanticClusters(Canon.embeddings(s, d), tau = 0.4)),
+    "q_sim_clusters_ivf" -> ((s, d) => // SemDeDup scale tier; approximate → rows-only
+      Dedup.semanticClustersIvf(Canon.embeddings(s, d), tau = 0.4)),
     "q_sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Canon.embeddings(s, d), QIDS, k = 10)
         .withColumn("rn", col("rn").cast("long"))),

@@ -257,6 +257,21 @@ object Dedup {
       Similarity.nearDupPairs(df, tau, idCol = idCol, vecCol = vecCol),
       outIdCol = "vec_id", localEdges = localEdges)
 
+  /** The SCALE tier of semantic dedup — the SemDeDup shape: candidate
+    * pairs come from trained-IVF cells (Θ(n²/cells) on clustered corpora)
+    * instead of exact all-pairs, then the same connected-component
+    * keep-list. Approximate: a cross-cell pair can be missed (recall
+    * floor unit-tested vs [[semanticClusters]]); `nassign` trades
+    * candidates for recall.
+    */
+  def semanticClustersIvf(df: DataFrame, tau: Double, cells: Int = 8,
+                          nassign: Int = 2,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          localEdges: Long = 1000000L): DataFrame =
+    clustersFromPairs(
+      Similarity.ivfNearDupPairs(df, tau, cells, nassign, idCol = idCol, vecCol = vecCol),
+      outIdCol = "vec_id", localEdges = localEdges)
+
   /** Connected-component keep-list over ANY verified pair list (columns
     * `id_a`, `id_b`) — the shared engine behind [[duplicateClusters]]
     * (n-gram pairs) and [[semanticClusters]] (cosine pairs). See

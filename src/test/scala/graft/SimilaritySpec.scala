@@ -116,6 +116,23 @@ class SimilaritySpec extends SparkSuite {
       c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("IVF near-dup pairs: subset of exact pairs, high recall, fewer candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(emb, tau = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfNearDupPairs(emb, tau = 0.4, cells = 8, nassign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact), s"IVF invented pairs: ${ivf -- exact}")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${ivf.size}/${exact.size})")
+    // keep-lists agree wherever the pairs agree (the component engine is
+    // shared); sanity: every keep_id the IVF tier emits is a real min-id
+    val keeps = graft.operators.Dedup.semanticClustersIvf(emb, tau = 0.4)
+      .as[(Long, Long)].collect()
+    assert(keeps.forall { case (id, keep) => keep <= id })
+  }
+
   test("ann LSH achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
