@@ -401,6 +401,49 @@ object SparkEntry {
           round(col("n_events").cast("double") / col("n_sessions"), 6))
         .orderBy("user_id")
     }),
+    // ordered conversion funnel: users reaching view → click-after-view →
+    // purchase-after-that-click. Stage timestamps chain through per-user
+    // joins (each stage = one agg + one equi-join on user_id — at 100 TB
+    // these co-partition with a user-bucketed layout); counts surface as
+    // (stage, n_users) rows via union, NOT a 1-row cross join (which would
+    // plan the CartesianProduct the audit bans)
+    "q_funnel" -> ((s, d) => {
+      val e = Canon.eventsRaw(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v.hint("shuffle_hash"), Seq("user_id"))
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c.hint("shuffle_hash"), Seq("user_id"))
+        .filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+    // weekly cohort retention: users active k weeks after their first
+    // event — pure integer epoch-week arithmetic (exact on any engine),
+    // one user agg + one join + one distinct
+    "q_retention" -> ((s, d) => {
+      val W = 604800000000L // 7 days in µs
+      val e = Canon.eventsRaw(s, d)
+      // integer DIV, not `/`: double division of epoch-µs then cast can
+      // round UP across a week boundary before truncation
+      val first = e.groupBy("user_id")
+        .agg(min("ts_us").as("t0"))
+        .select(col("user_id"), expr(s"t0 DIV $W").as("w0"))
+      e.join(first.hint("shuffle_hash"), Seq("user_id"))
+        .select(col("user_id"),
+          (expr(s"ts_us DIV $W") - col("w0")).as("weeks_since"))
+        .distinct()
+        .groupBy("weeks_since").agg(count(lit(1)).as("n_users"))
+        .orderBy("weeks_since")
+    }),
     // distinct counts: exact (oracle) + HLL sketch (rows-only scale path)
     "q_distinct_users" -> ((s, d) =>
       Canon.eventsRaw(s, d).groupBy(col("event_type").as("series"))
@@ -884,6 +927,24 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type AS series, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY series""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, min(ts_us) // 604800000000 AS w0 FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, ts_us // 604800000000 - w0 AS weeks_since
+        |      FROM e JOIN f USING (user_id))
+        |SELECT weeks_since, count(*) AS n_users FROM a
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
