@@ -174,27 +174,9 @@ object SparkEntry {
         Seq("src0" -> 192, "src1" -> 128, "src2" -> 64), default256 = 32)),
     // end-to-end curation pipeline: quality-filter → exact-dedup (keep min
     // doc_id per content hash) → deterministic sample → per-language
-    // report. One corpus scan; the text payload is REDUCED to
-    // (id, lang, quality, n_tokens, 16-byte content hash) BEFORE the only
-    // shuffle (the dedup window), so at 100 TB the shuffle moves ~40-byte
-    // rows, not documents. The sample gate must run AFTER dedup: it keys
-    // on the KEPT doc's id, and sampling first could drop a group's min
-    // member and flip the keep decision.
-    "q_pipeline_curate" -> ((s, d) => {
-      val scored = TextOps.withQuality(Canon.documents(s, d))
-        .filter(col("quality") >= 0.5)
-        .select(col("doc_id"), col("lang"), col("quality"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-          md5(col("text")).as("__fp"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__fp").orderBy(col("doc_id").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .filter(Sampling.hashGate(col("doc_id"), 128))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
-          round(avg("quality"), 4).as("mean_quality"))
-        .orderBy("lang")
-    }),
+    // report; see Curation.report for the one-scan/one-shuffle design
+    "q_pipeline_curate" -> ((s, d) =>
+      operators.Curation.report(Canon.documents(s, d), minQuality = 0.5, rate256 = 128)),
     // token-count magnitude histogram (decimal-digit buckets — exact and
     // portable, unlike floor(log2(n)) whose libm rounding can flip a
     // boundary bucket between engines)
@@ -235,8 +217,7 @@ object SparkEntry {
       val emb = Canon.embeddings(s, d)
       val enIds = Canon.documents(s, d).filter(col("lang") === "en")
         .select(col("doc_id").as("vec_id"))
-      val corpus = emb.join(enIds.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
-      Similarity.topKOver(corpus, emb.filter(col("vec_id").isin(QIDS: _*)), k = 10)
+      Similarity.topKOverIds(emb, enIds, emb.filter(col("vec_id").isin(QIDS: _*)), k = 10)
         .withColumn("rn", col("rn").cast("long"))
     }),
     // ----- beyond parity: multimodal plumbing (stubbed decode)
@@ -372,10 +353,14 @@ object SparkEntry {
       val li = Canon.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
       val ord = Canon.table(s, d, "orders")
         .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      // hints mark the intended BUILD side: the dim-filtered orders under
+      // the lineitem join, and customer (150k/SF rows) under the custkey
+      // join — hinting the (orders⋈lineitem) fact output would build the
+      // hash table over the WIDE fact side and stream the smaller customer
       ord.hint("shuffle_hash")
         .join(li, col("l_orderkey") === col("o_orderkey"))
-        .hint("shuffle_hash")
-        .join(Canon.table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Canon.table(s, d, "customer").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
         .join(broadcast(Canon.table(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
@@ -401,49 +386,12 @@ object SparkEntry {
           round(col("n_events").cast("double") / col("n_sessions"), 6))
         .orderBy("user_id")
     }),
-    // ordered conversion funnel: users reaching view → click-after-view →
-    // purchase-after-that-click. Stage timestamps chain through per-user
-    // joins (each stage = one agg + one equi-join on user_id — at 100 TB
-    // these co-partition with a user-bucketed layout); counts surface as
-    // (stage, n_users) rows via union, NOT a 1-row cross join (which would
-    // plan the CartesianProduct the audit bans)
-    "q_funnel" -> ((s, d) => {
-      val e = Canon.eventsRaw(s, d)
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v.hint("shuffle_hash"), Seq("user_id"))
-        .filter(col("ts_us") > col("t1"))
-        .groupBy("user_id").agg(min("ts_us").as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c.hint("shuffle_hash"), Seq("user_id"))
-        .filter(col("ts_us") > col("t2"))
-        .groupBy("user_id").agg(min("ts_us").as("t3"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
-        .unionByName(c.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click").as("stage"), col("n_users")))
-        .unionByName(p.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase").as("stage"), col("n_users")))
-        .orderBy("stage")
-    }),
-    // weekly cohort retention: users active k weeks after their first
-    // event — pure integer epoch-week arithmetic (exact on any engine),
-    // one user agg + one join + one distinct
-    "q_retention" -> ((s, d) => {
-      val W = 604800000000L // 7 days in µs
-      val e = Canon.eventsRaw(s, d)
-      // integer DIV, not `/`: double division of epoch-µs then cast can
-      // round UP across a week boundary before truncation
-      val first = e.groupBy("user_id")
-        .agg(min("ts_us").as("t0"))
-        .select(col("user_id"), expr(s"t0 DIV $W").as("w0"))
-      e.join(first.hint("shuffle_hash"), Seq("user_id"))
-        .select(col("user_id"),
-          (expr(s"ts_us DIV $W") - col("w0")).as("weeks_since"))
-        .distinct()
-        .groupBy("weeks_since").agg(count(lit(1)).as("n_users"))
-        .orderBy("weeks_since")
-    }),
+    // ordered conversion funnel + weekly cohort retention — see
+    // operators.Events for the per-user join shapes
+    "q_funnel" -> ((s, d) =>
+      operators.Events.funnelCounts(Canon.eventsRaw(s, d), Seq("view", "click", "purchase"))),
+    "q_retention" -> ((s, d) =>
+      operators.Events.weeklyRetention(Canon.eventsRaw(s, d))),
     // distinct counts: exact (oracle) + HLL sketch (rows-only scale path)
     "q_distinct_users" -> ((s, d) =>
       Canon.eventsRaw(s, d).groupBy(col("event_type").as("series"))
@@ -829,7 +777,8 @@ object SparkEntry {
          |g AS (SELECT f.* FROM f JOIN k USING (doc_id)
          |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  round(avg(quality), 4) AS mean_quality
+         |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / (count(*) * 1000000.0), 4) AS mean_quality
          |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "q_len_histogram" ->
       s"""WITH t AS (SELECT len($TOKS) AS n_tokens FROM documents)

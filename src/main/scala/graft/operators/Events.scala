@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a (user, ts, type) stream — the funnel /
+  * retention pair every product-analytics workload starts from, shared by
+  * the benched queries and the scale probe.
+  *
+  * Scale shape: per-user aggregates and equi-joins on the user key only —
+  * with a user-bucketed layout these co-partition and the joins are
+  * shuffle-free; counts are partial-aggregated. Joins are PINNED
+  * `shuffle_hash` (per-user stage tables are user-count-scale — not
+  * broadcastable at 100 TB).
+  */
+object Events {
+
+  /** Users reaching each stage IN ORDER: stage i counts users with an
+    * event of type stages(i) strictly after their stage i-1 timestamp.
+    * Output rows ("1_view", n), ("2_click", n), … via union — a 1-row
+    * cross join of the counts would plan a CartesianProduct.
+    */
+  def funnelCounts(e: DataFrame, stages: Seq[String],
+                   userCol: String = "user_id", tsCol: String = "ts_us",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var prev: Option[DataFrame] = None
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      val evs = e.filter(col(typeCol) === st)
+      val cur = prev match {
+        case None => evs.groupBy(userCol).agg(min(tsCol).as("__t"))
+        case Some(p) => evs.join(p.hint("shuffle_hash"), Seq(userCol))
+          .filter(col(tsCol) > col("__t"))
+          .groupBy(userCol).agg(min(tsCol).as("__t"))
+      }
+      prev = Some(cur)
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$st").as("stage"), col("n_users"))
+    }
+    counts.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  /** Users active k weeks after their first event, per k — cohort
+    * retention on integer epoch-week arithmetic (`DIV`, exact on any
+    * engine; double division then cast can round UP across a week
+    * boundary before truncation).
+    */
+  def weeklyRetention(e: DataFrame, weekUs: Long = 604800000000L,
+                      userCol: String = "user_id", tsCol: String = "ts_us"): DataFrame = {
+    val first = e.groupBy(userCol).agg(min(tsCol).as("__t0"))
+      .select(col(userCol), expr(s"__t0 DIV $weekUs").as("__w0"))
+    e.join(first.hint("shuffle_hash"), Seq(userCol))
+      .select(col(userCol), (expr(s"$tsCol DIV $weekUs") - col("__w0")).as("weeks_since"))
+      .distinct()
+      .groupBy("weeks_since").agg(count(lit(1)).as("n_users"))
+      .orderBy("weeks_since")
+  }
+}

@@ -52,6 +52,18 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Filtered vector search: restrict the corpus to `keepIds` (any
+    * DataFrame carrying `idCol`) via a PINNED shuffle semi-join before
+    * scoring — at 100 TB a metadata-filtered id set of a fact-scale table
+    * is itself fact-scale, so broadcasting it is the same trap as
+    * broadcasting a filtered fact table; with an id-bucketed layout the
+    * semi-join co-partitions and costs one id-only shuffle.
+    */
+  def topKOverIds(df: DataFrame, keepIds: DataFrame, queriesDf: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKOver(df.join(keepIds.hint("shuffle_hash"), Seq(idCol), "left_semi"),
+      queriesDf, k, idCol, vecCol)
+
   /** Exact top-k neighbours for the given query ids over the whole corpus. */
   def bruteForceTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

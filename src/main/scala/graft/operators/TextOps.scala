@@ -91,10 +91,14 @@ object TextOps {
     * filter, then keep using the text/metadata downstream) without a
     * self-join back onto the corpus. Same arithmetic as qualityScore
     * (ratios rounded to 6dp before the mix, composite rounded to 6dp),
-    * so the two agree bit-for-bit.
+    * so the two agree bit-for-bit. `tokenCountCol` additionally exposes
+    * the token count the score already paid for — downstream consumers
+    * that re-ran `tokenCount` were re-splitting every document (HOFs
+    * don't CSE, and neither do separate projections).
     */
   def withQuality(df: DataFrame, textCol: String = "text",
-                  outCol: String = "quality"): DataFrame = {
+                  outCol: String = "quality",
+                  tokenCountCol: Option[String] = None): DataFrame = {
     val t = col(textCol)
     // materialize token arrays once per row (HOFs don't CSE; see quality())
     val toksC = "__graft_toks"; val ltoksC = "__graft_ltoks"
@@ -105,10 +109,11 @@ object TextOps {
     val punct = round(punctCount(t).cast("double") / greatest(length(t), lit(1)), 6)
     val stop = round(size(filter(col(ltoksC), x => x.isin(englishStopwords: _*))).cast("double") /
       greatest(nToks, lit(1)), 6)
-    staged.withColumn(outCol, round(
+    val scored = staged.withColumn(outCol, round(
         least(nToks.cast("double") / 100.0, lit(1.0)) * 0.4 +
         least(stop * 5.0, lit(1.0)) * 0.4 +
         (lit(1.0) - least(punct * 10.0, lit(1.0))) * 0.2, 6))
+    tokenCountCol.fold(scored)(c => scored.withColumn(c, nToks))
       .drop(toksC, ltoksC)
   }
 

@@ -117,24 +117,17 @@ object ScaleProbe {
     }
     probe("tpch_shipping", shipping(ord1, li1), shipping(ord10, li10))
 
-    // --- round-4 additions ---
-    def curate(docs: DataFrame): Long = {
-      val scored = TextOps.withQuality(docs).filter(col("quality") >= 0.5)
-        .select(col("doc_id"), col("lang"), col("quality"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-          md5(col("text")).as("__fp"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__fp").orderBy(col("doc_id").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .filter(graft.operators.Sampling.hashGate(col("doc_id"), 128))
-        .groupBy("lang").agg(count(lit(1)).as("n_docs")).count()
-    }
-    probe("pipeline_curate", curate(doc1), curate(doc10))
+    // --- round-4 additions (same builders as the benched queries —
+    // SparkEntry delegates to these operator defs, so probe and bench
+    // cannot drift) ---
+    probe("pipeline_curate",
+      graft.operators.Curation.report(doc1).count(),
+      graft.operators.Curation.report(doc10).count())
 
     def filtered(docs: DataFrame, embs: DataFrame): Long = {
       val ids = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
-      val corpus = embs.join(ids.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
-      Similarity.topKOver(corpus, embs.filter(col("vec_id").isin(0L, 1L, 2L)), 10).count()
+      Similarity.topKOverIds(embs, ids,
+        embs.filter(col("vec_id").isin(0L, 1L, 2L)), 10).count()
     }
     probe("sim_filtered", filtered(doc1, emb1), filtered(doc10, emb10))
 
@@ -147,34 +140,13 @@ object ScaleProbe {
       graft.operators.Dedup.semanticClustersIvf(emb1, tau = 0.4).count(),
       graft.operators.Dedup.semanticClustersIvf(emb10, tau = 0.4).count())
 
-    def funnel(e: DataFrame): Long = {
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v.hint("shuffle_hash"), Seq("user_id"))
-        .filter(col("ts_us") > col("t1"))
-        .groupBy("user_id").agg(min("ts_us").as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c.hint("shuffle_hash"), Seq("user_id"))
-        .filter(col("ts_us") > col("t2"))
-        .groupBy("user_id").agg(min("ts_us").as("t3"))
-      v.agg(count(lit(1)).as("n")).select(lit("1v").as("s"), col("n"))
-        .unionByName(c.agg(count(lit(1)).as("n")).select(lit("2c").as("s"), col("n")))
-        .unionByName(p.agg(count(lit(1)).as("n")).select(lit("3p").as("s"), col("n")))
-        .count()
-    }
-    probe("funnel", funnel(evr1), funnel(evr10))
-
-    def retention(e: DataFrame): Long = {
-      val W = 604800000000L
-      val first = e.groupBy("user_id").agg(min("ts_us").as("t0"))
-        .select(col("user_id"), expr(s"t0 DIV $W").as("w0"))
-      e.join(first.hint("shuffle_hash"), Seq("user_id"))
-        .select(col("user_id"), (expr(s"ts_us DIV $W") - col("w0")).as("wk"))
-        .distinct()
-        .groupBy("wk").agg(count(lit(1))).count()
-    }
-    probe("retention", retention(evr1), retention(evr10))
+    val stages = Seq("view", "click", "purchase")
+    probe("funnel",
+      graft.operators.Events.funnelCounts(evr1, stages).count(),
+      graft.operators.Events.funnelCounts(evr10, stages).count())
+    probe("retention",
+      graft.operators.Events.weeklyRetention(evr1).count(),
+      graft.operators.Events.weeklyRetention(evr10).count())
     spark.stop()
   }
 }
