@@ -177,6 +177,10 @@ object SparkEntry {
     // report; see Curation.report for the one-scan/one-shuffle design
     "q_pipeline_curate" -> ((s, d) =>
       operators.Curation.report(Canon.documents(s, d), minQuality = 0.5, rate256 = 128)),
+    // fixed-size overlapping token chunks (pre-packing fan-out)
+    "q_text_chunks" -> ((s, d) =>
+      TextOps.chunks(Canon.documents(s, d), maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
     // token-count magnitude histogram (decimal-digit buckets — exact and
     // portable, unlike floor(log2(n)) whose libm rounding can flip a
     // boundary bucket between engines)
@@ -780,6 +784,17 @@ object SparkEntry {
          |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
          |        / (count(*) * 1000000.0), 4) AS mean_quality
          |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    // chunking: starts 1, 1+step, … (1-based in DuckDB); chunk_id =
+    // (start-1)/step exactly; list_slice end is inclusive
+    "q_text_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |nz AS (SELECT * FROM toks WHERE len(t) > 0),
+         |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start FROM nz),
+         |c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+         |      list_slice(t, start, start + 31) AS ck FROM st)
+         |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
+         |  array_to_string(ck, ' ') AS chunk
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_len_histogram" ->
       s"""WITH t AS (SELECT len($TOKS) AS n_tokens FROM documents)
          |SELECT CAST(length(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS magnitude,

@@ -186,6 +186,32 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Fixed-size overlapping token chunks — the pre-packing step of a
+    * training pipeline (long documents become maxTokens-token windows
+    * overlapping by `overlap`). Chunk starts are 0, step, 2·step, … with
+    * step = maxTokens − overlap, while start < n_tokens; the final chunk
+    * may be short (no tail padding — packing handles that downstream).
+    * Empty docs produce no chunks. One explode per row, no shuffle — the
+    * canonical scan-stage fan-out; at 100 TB output row count is
+    * ~n_tokens/step per doc and each chunk carries only its own text.
+    */
+  def chunks(df: DataFrame, maxTokens: Int = 32, overlap: Int = 8,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0,
+      s"need maxTokens > overlap >= 0, got $maxTokens/$overlap")
+    val step = maxTokens - overlap
+    val t = col("__toks")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(t) > 0)
+      .select(col(idCol), t,
+        posexplode(sequence(lit(0), size(t) - 1, lit(step))).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(t, col("__start") + 1, lit(maxTokens)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every char k-gram of the normalized text, then
     * keep the minimum hash of each sliding window of `w` consecutive

@@ -29,6 +29,24 @@ class TextOpsSpec extends SparkSuite {
     assert(got == byScore)
   }
 
+  test("chunks: overlapping windows, short tail, empty docs drop out") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // single short chunk
+      (3L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunks(df, maxTokens = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0,2,4,6,8 -> 5 chunks; last is the 2-token tail
+    assert(got(1L).map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got(1L).head._4 == "w1 w2 w3 w4")
+    assert(got(1L)(1)._4 == "w3 w4 w5 w6") // overlap of 2
+    assert(got(1L).last == ((1L, 4L, 2L, "w9 w10")))
+    assert(got(2L).toSeq == Seq((2L, 0L, 2L, "a b")))
+    assert(!got.contains(3L))
+  }
+
   test("bpe-ish count adds subword pieces for long words") {
     val df = Seq(("a bb cccc ddddddddd", 1L)).toDF("text", "id")
     // 1 + 1 + 1 + ceil(9/4)=3 => 6
