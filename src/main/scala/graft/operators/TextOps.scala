@@ -186,6 +186,38 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Regex masks for the PII classes every public cleanup recipe strips
+    * (C4/Dolma-style): emails, then IPv4 (before phone — digit runs with
+    * separators overlap), then SSN-shaped ids, then NANP-ish phone
+    * numbers. Masks are FIXED tokens so redacted text stays deterministic
+    * — fingerprints and dedup keys computed after redaction are stable
+    * across runs and engines.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+    ("""\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
+    // the \b applies to the digit-led alternative only: a word boundary
+    // can't sit between two non-word chars, so "(415)" needs its own arm
+    ("""(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b""", "<PHONE>"))
+
+  /** Apply every PII mask in order — pure column expression chain, scan
+    * speed, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, m)) => regexp_replace(c, p, m) }
+
+  /** Redacted corpus plus a per-class match count (the audit trail a
+    * pipeline logs before dropping the originals).
+    */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(df) { case (acc, (p, m)) =>
+      acc.withColumn(s"n_${m.stripPrefix("<").stripSuffix(">").toLowerCase}",
+        regexp_count(col(textCol), lit(p)))
+    }
+    withCounts.withColumn(textCol, redactPii(col(textCol)))
+  }
+
   /** Fixed-size overlapping token chunks — the pre-packing step of a
     * training pipeline (long documents become maxTokens-token windows
     * overlapping by `overlap`). Chunk starts are 0, step, 2·step, … with

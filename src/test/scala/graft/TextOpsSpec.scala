@@ -47,6 +47,27 @@ class TextOpsSpec extends SparkSuite {
     assert(!got.contains(3L))
   }
 
+  test("PII redaction masks emails/IPs/SSNs/phones and counts per class") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.com from 10.0.0.1 or call (415) 555-2671"),
+      (2L, "ssn 123-45-6789 stays out of the corpus"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redact(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val t1 = r(1L).getString(r(1L).fieldIndex("text"))
+    assert(t1.contains("<EMAIL>") && t1.contains("<IP>") && t1.contains("<PHONE>"))
+    assert(!t1.contains("@") && !t1.contains("10.0.0.1"))
+    assert(r(1L).getInt(r(1L).fieldIndex("n_email")) == 1)
+    assert(r(2L).getString(r(2L).fieldIndex("text")).contains("<SSN>"))
+    assert(r(2L).getInt(r(2L).fieldIndex("n_ssn")) == 1)
+    assert(r(3L).getString(r(3L).fieldIndex("text")).endsWith("at all"))
+    // masks are fixed tokens: redaction is idempotent
+    val once = df.select(TextOps.redactPii($"text").as("t"))
+    val twice = once.select(TextOps.redactPii($"t").as("t"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
   test("bpe-ish count adds subword pieces for long words") {
     val df = Seq(("a bb cccc ddddddddd", 1L)).toDF("text", "id")
     // 1 + 1 + 1 + ceil(9/4)=3 => 6
