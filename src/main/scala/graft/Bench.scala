@@ -93,7 +93,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // 48 queries × several codegen stages exceed the default 100-entry
+      // 75 queries × several codegen stages exceed the default 100-entry
       // janino cache; evictions recompile mid-measurement
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
