@@ -39,15 +39,19 @@ object Bench {
   /** The driver-contract JSON line (exposed for the format unit test —
     * a malformed line silently costs a whole round's perf evidence).
     *
-    * Values are rendered at millisecond resolution: the driver's log-tail
-    * capture is a 2000-char window and r3's full-precision line (1983
-    * chars) + sbt's trailing "[success]" line overran it, truncating the
-    * line's head — three rounds of parsed:null. 3dp keeps the line ~1.6KB
-    * with headroom for more queries; sub-ms precision is noise at bench
-    * timescales anyway.
+    * Values are rendered at centisecond resolution with trailing zeros
+    * trimmed: the driver's log-tail capture is a 2000-char window and
+    * r3's full-precision line (1983 chars) + sbt's trailing "[success]"
+    * line overran it, truncating the line's head — three rounds of
+    * parsed:null. 2dp keeps a 78-query line ~1.75KB with headroom for
+    * growth; sub-10ms differences are noise on a host with ±40%
+    * run-to-run variance anyway.
     */
-  private def fmt(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // "0.20" -> "0.2", "1.00" -> "1" (still legal JSON)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+  }
 
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
                                 sfDir: String, partial: Boolean): String = {

@@ -121,6 +121,42 @@ object SparkEntry {
     "q_window_hourly" -> ((s, d) =>
       TS.windowAggregate(TS.readRange(ev(s, d), IDS3, R1, R2), HOUR_US, TS.Sum)
         .select(col("series"), col("bucket_us"), round(col("sum"), 4).as("sum"))),
+    // per-series 5-row moving average (sliding ROWS frame). The frame sum
+    // runs in exact MICRO-UNITS: DuckDB evaluates sliding frames with a
+    // segment tree whose addition order differs from Spark's sequential
+    // WindowExec — integer sums are order-independent, double sums can
+    // flip the 6dp round
+    "q_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("series").orderBy(col("ts_us").asc, col("rid").asc)
+        .rowsBetween(-4, 0)
+      TS.readRange(ev(s, d), IDS3, R1, R2)
+        .select(col("series"), col("ts_us"), col("rid"),
+          round(sum(round(col("value") * 1000000).cast("long")).over(w).cast("double")
+            / (count(lit(1)).over(w) * lit(1000000.0)), 6).as("ma5"))
+        .orderBy("series", "ts_us", "rid")
+    }),
+    // quality deciles: ntile over the corpus-wide quality ranking
+    "q_ntile_quality" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      TextOps.qualityScore(Canon.documents(s, d))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("quality").as("min_q"), max("quality").as("max_q"))
+        .orderBy("decile")
+    }),
+    // daily × event-type pivot (count matrix); absent cells are 0, not
+    // null, so the frame matches a CASE-pivot on any engine
+    "q_pivot_daily" -> ((s, d) => {
+      val names = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, d)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .pivot("series", names).count()
+        .na.fill(0L, names)
+        .orderBy("day")
+    }),
     // ----- beyond parity: text analysis (documents)
     "q_text_tokens" -> ((s, d) =>
       Canon.documents(s, d).select(col("doc_id"),
@@ -526,7 +562,23 @@ object SparkEntry {
       "q_window_hourly" ->
         s"""$CANON_SQL SELECT series, (ts_us // $HOUR_US) * $HOUR_US AS bucket_us,
            |round(sum(value), 4) AS "sum" FROM c WHERE $idsIn3 AND $range
-           |GROUP BY series, bucket_us ORDER BY series, bucket_us""".stripMargin
+           |GROUP BY series, bucket_us ORDER BY series, bucket_us""".stripMargin,
+      "q_moving_avg" ->
+        s"""$CANON_SQL SELECT series, ts_us, rid,
+           |round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+           |      / (count(*) OVER w * 1000000.0), 6) AS ma5
+           |FROM c WHERE $idsIn3 AND $range
+           |WINDOW w AS (PARTITION BY series ORDER BY ts_us ASC, rid ASC
+           |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           |ORDER BY series, ts_us, rid""".stripMargin,
+      "q_pivot_daily" ->
+        s"""$CANON_SQL SELECT ts_us // 86400000000 AS day,
+           |  CAST(sum(CASE WHEN series = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           |  CAST(sum(CASE WHEN series = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           |  CAST(sum(CASE WHEN series = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           |  CAST(sum(CASE WHEN series = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           |  CAST(sum(CASE WHEN series = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+           |FROM c GROUP BY day ORDER BY day""".stripMargin
     ) ++ beyondParityOracles
   }
 
@@ -574,6 +626,20 @@ object SparkEntry {
          |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
          |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_ntile_quality" ->
+      s"""WITH q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt FROM documents),
+         |r AS (SELECT doc_id, len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM q),
+         |s AS (SELECT doc_id, round(
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality FROM r),
+         |d AS (SELECT quality, ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile FROM s)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+         |  min(quality) AS min_q, max(quality) AS max_q
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q_text_repetition" ->
       s"""WITH q AS (SELECT doc_id, $TOKS AS t FROM documents),
          |r AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n_ngrams,

@@ -18,11 +18,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val n = mapper.readTree(line)
     assert(n.get("metric").asText == "total")
     assert(n.get("unit").asText == "sec")
-    // values render at 3dp (millisecond resolution, see Bench.fmt)
-    assert(math.abs(n.get("value").asDouble - 12.124) < 1e-9) // sum rounds once, at render
+    // values render at 2dp (centisecond resolution, see Bench.fmt)
+    assert(math.abs(n.get("value").asDouble - 12.12) < 1e-9) // sum rounds once, at render
     assert(n.get("queries").size == 3)
     assert(math.abs(n.get("queries").get("q_b").asDouble - 12.0) < 1e-12)
-    assert(n.get("queries").get("q_c").asDouble == 0.0) // sub-ms floors to 0.000
+    assert(n.get("queries").get("q_c").asDouble == 0.0) // sub-ms floors to "0"
     assert(!n.get("partial").asBoolean)
     assert(n.get("failed").get(0).asText == "q_bad")
   }
@@ -35,16 +35,15 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("a full-size query roster fits the driver's 2000-char tail window") {
     // The driver keeps only the LAST 2000 chars of the run log; sbt's
-    // trailing "[success] Total time ..." line (~80 chars) shares that
-    // window, so the whole JSON line must stay comfortably under ~1900.
-    // Worst-case value width is two-digit seconds ("12.346"): any single
-    // query in the tens of seconds means the bench is broken anyway.
-    val roster = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 12.345678)
+    // trailing "[success] Total time ..." line (~80 chars) and "[info] "
+    // prefix share that window, so the whole JSON line must stay under
+    // ~1910. Values here are full-width 2dp seconds ("1.23" — no
+    // trailing-zero trimming applies), the realistic worst case: per-query
+    // times above 10s mean the bench is broken anyway.
+    val roster = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234567)
     val line = Bench.formatLine(roster, Nil, "/root/testdata/sf0.1", partial = false)
     assert(mapper.readTree(line).get("queries").size == roster.size)
-    // true budget: 2000-char window minus sbt's ~80-char trailing
-    // "[success] ..." line and the "[info] " prefix ≈ 1910
-    assert(line.length <= 1900,
-      s"bench line ${line.length} chars — headroom to the ~1910 window: ${1910 - line.length}")
+    assert(line.length <= 1850,
+      s"bench line ${line.length} chars — headroom to the ~1910 window: ${1910 - line.length}; time to shorten keys")
   }
 }

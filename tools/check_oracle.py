@@ -33,12 +33,19 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
     eq = g.equals(w)
     if not eq:
-        # locate first mismatch
-        import pandas as pd
-        diff = (g != w) & ~(g.isna() & w.isna())
-        bad = diff.any(axis=1)
-        i = bad.idxmax() if bad.any() else None
-        print(f"FAIL {name}: value mismatch at row {i}:\n got {g.loc[i].to_dict()}\nwant {w.loc[i].to_dict()}")
+        # locate first mismatch; dtype mismatches (e.g. DuckDB HUGEINT ->
+        # float64 vs Spark int64) make g != w throw or idxmax misbehave —
+        # a locator failure must still report FAIL, not crash the checker
+        try:
+            diff = (g != w) & ~(g.isna() & w.isna())
+            bad = diff.any(axis=1)
+            i = bad.idxmax() if bad.any() else None
+            detail = (f"at row {i}:\n got {g.loc[i].to_dict()}\nwant {w.loc[i].to_dict()}"
+                      if i is not None else
+                      f"(values equal elementwise but dtypes differ: got {dict(g.dtypes.astype(str))} vs want {dict(w.dtypes.astype(str))})")
+        except Exception as e:
+            detail = f"(locator failed: {e}; dtypes got {dict(g.dtypes.astype(str))} vs want {dict(w.dtypes.astype(str))})"
+        print(f"FAIL {name}: value mismatch {detail}")
         fails += 1; continue
     # row-order check (driver hash may be order-sensitive)
     ordered = got[gc].reset_index(drop=True).equals(want[wc].reset_index(drop=True))
