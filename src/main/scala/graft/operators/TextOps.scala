@@ -24,7 +24,13 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, wsClass + "+"), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Native codegen'd byte scan — equivalence-fuzzed against
+    * [[tokenCountHof]], the composable split-based formulation.
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.TextSignalExpressions.token_cnt(text)
+
+  def tokenCountHof(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish proxy token count: whitespace tokens plus an extra token per
     * 4 chars of long words (subword pieces), the standard cheap estimator
@@ -44,7 +50,13 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** Native: count of tokens whose lowercase form is a stopword —
+    * equivalence-fuzzed against [[stopwordCountHof]].
+    */
   def stopwordCount(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    graft.functions.TextSignalExpressions.token_hit_cnt(text, stopwords)
+
+  def stopwordCountHof(text: Column, stopwords: Seq[String] = englishStopwords): Column =
     size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))
 
   /** Quality signals per document: char/token counts, mean token length,
@@ -52,25 +64,27 @@ object TextOps {
     * Heuristics follow the C4/Gopher-style cheap filters from the public
     * literature; the composite is a deterministic affine mix so it can be
     * oracle-checked.
+    *
+    * Every signal is a NATIVE codegen'd byte scan (TextSignalExpressions)
+    * — no token arrays, no interpreted per-token lambdas; at 100 TB this
+    * pass is scan-bound and the old HOF chain (two materialized token
+    * arrays + an interpreted `filter` per row) was the bottleneck.
+    * `length(t) − ws_cnt(t)` equals the old
+    * `length(regexp_replace(t, \s+, ''))` because the ws class is ASCII.
     */
   def quality(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // materialize the token arrays once per row — higher-order functions
-    // do not CSE their argument subtree, so inlining `tokens(t)` at each
-    // of the three reference sites would re-run the regex split per site
-    val staged = df.select(col(idCol), col(textCol).as("__t"),
-      tokens(col(textCol)).as("__toks"),
-      tokens(lower(col(textCol))).as("__ltoks"))
-    val t = col("__t")
-    val toks = col("__toks")
-    staged.select(
+    import graft.functions.TextSignalExpressions._
+    val t = col(textCol)
+    val nToks = token_cnt(t)
+    df.select(
       col(idCol),
       length(t).as("n_chars"),
-      size(toks).as("n_tokens"),
-      round(length(regexp_replace(t, wsClass + "+", "")).cast("double") /
-        greatest(size(toks), lit(1)), 4).as("mean_token_len"),
-      round(punctCount(t).cast("double") / greatest(length(t), lit(1)), 6).as("punct_ratio"),
-      round(size(filter(col("__ltoks"), x => x.isin(englishStopwords: _*))).cast("double") /
-        greatest(size(toks), lit(1)), 6).as("stopword_ratio"))
+      nToks.as("n_tokens"),
+      round((length(t) - ws_cnt(t)).cast("double") /
+        greatest(nToks, lit(1)), 4).as("mean_token_len"),
+      round(punct_cnt(t).cast("double") / greatest(length(t), lit(1)), 6).as("punct_ratio"),
+      round(token_hit_cnt(t, englishStopwords).cast("double") /
+        greatest(nToks, lit(1)), 6).as("stopword_ratio"))
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with a sane
@@ -99,22 +113,17 @@ object TextOps {
   def withQuality(df: DataFrame, textCol: String = "text",
                   outCol: String = "quality",
                   tokenCountCol: Option[String] = None): DataFrame = {
+    import graft.functions.TextSignalExpressions._
     val t = col(textCol)
-    // materialize token arrays once per row (HOFs don't CSE; see quality())
-    val toksC = "__graft_toks"; val ltoksC = "__graft_ltoks"
-    require(!df.columns.contains(toksC) && !df.columns.contains(ltoksC),
-      s"input already has a $toksC/$ltoksC column")
-    val staged = df.withColumn(toksC, tokens(t)).withColumn(ltoksC, tokens(lower(t)))
-    val nToks = size(col(toksC))
-    val punct = round(punctCount(t).cast("double") / greatest(length(t), lit(1)), 6)
-    val stop = round(size(filter(col(ltoksC), x => x.isin(englishStopwords: _*))).cast("double") /
+    val nToks = token_cnt(t)
+    val punct = round(punct_cnt(t).cast("double") / greatest(length(t), lit(1)), 6)
+    val stop = round(token_hit_cnt(t, englishStopwords).cast("double") /
       greatest(nToks, lit(1)), 6)
-    val scored = staged.withColumn(outCol, round(
+    val scored = df.withColumn(outCol, round(
         least(nToks.cast("double") / 100.0, lit(1.0)) * 0.4 +
         least(stop * 5.0, lit(1.0)) * 0.4 +
         (lit(1.0) - least(punct * 10.0, lit(1.0))) * 0.2, 6))
     tokenCountCol.fold(scored)(c => scored.withColumn(c, nToks))
-      .drop(toksC, ltoksC)
   }
 
   /** Tiny stopword lexicons for the n-gram-free language-ID heuristic. */
@@ -129,13 +138,13 @@ object TextOps {
     * heuristic is deterministic, SQL-expressible, and O(tokens).
     */
   def langId(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // materialize lowered tokens once (see quality() for why)
-    val staged = df.select(col(idCol), tokens(lower(col(textCol))).as("__ltoks"))
-    val toks = col("__ltoks")
+    // one native byte pass per lexicon — no token-array materialization,
+    // no interpreted per-token lambdas (4 lexicons × every token was the
+    // old cost)
     val hits = langLexicons.map { case (lang, lex) =>
-      size(filter(toks, t => t.isin(lex: _*))).as(s"h_$lang")
+      graft.functions.TextSignalExpressions.token_hit_cnt(col(textCol), lex).as(s"h_$lang")
     }
-    val withHits = staged.select(col(idCol) +: hits: _*)
+    val withHits = df.select(col(idCol) +: hits: _*)
     val best = langLexicons.map { case (lang, _) => struct(col(s"h_$lang").as("h"), lit(lang).as("l")) }
     // argmax by (hits, then FIXED lexicon order en>de>fr>es via greatest's
     // left-bias? no — greatest on structs compares lexicographically, ties on
@@ -165,7 +174,7 @@ object TextOps {
     */
   def repetitionRatio(df: DataFrame, n: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val total = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+    val total = greatest(tokenCount(col(textCol)) - (n - 1), lit(0))
     val nDistinct = size(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n))
     df.select(col(idCol),
       total.cast("long").as("n_ngrams"),

@@ -132,6 +132,41 @@ class PropertySpec extends SparkSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native text signals match the HOF formulations on fuzzed text") {
+    import org.apache.spark.sql.functions.{col, length, lower, regexp_replace, size}
+    import graft.functions.TextSignalExpressions._
+    import graft.operators.TextOps
+    // whitespace (incl. VT — not a separator), unicode (incl. the Kelvin
+    // sign, whose full lowercase is ASCII 'k'), stopwords, junk
+    val genText: Gen[String] = for {
+      n <- Gen.chooseNum(0, 40)
+      parts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf("the", "and", "FOX", "The", "émù", "词语", "x1", "a.b,c!", ";;", "Kelvin", "IS"),
+        Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "\u000B", "  ", " \t\n")))
+    } yield parts.mkString
+    val texts = samples(genText, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val sw = TextOps.englishStopwords
+    val both = df.select(
+      token_cnt(col("text")).as("tc_n"),
+      TextOps.tokenCountHof(col("text")).as("tc_h"),
+      token_hit_cnt(col("text"), sw).as("hit_n"),
+      TextOps.stopwordCountHof(col("text"), sw).as("hit_h"),
+      (length(col("text")) - ws_cnt(col("text"))).as("nws_n"),
+      length(regexp_replace(col("text"), TextOps.wsClass + "+", "")).as("nws_h"),
+      punct_cnt(col("text")).as("p_n"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("p_h"))
+    assert(both.filter(
+      col("tc_n") =!= col("tc_h") || col("hit_n") =!= col("hit_h") ||
+      col("nws_n") =!= col("nws_h") || col("p_n") =!= col("p_h")).count() == 0)
+    // lexicon lookup also agrees through lower(): tokenize-then-lower ==
+    // lower-then-tokenize for the RE2 ws class
+    val viaLower = df.select(
+      token_hit_cnt(lower(col("text")), sw).as("a"),
+      token_hit_cnt(col("text"), sw).as("b"))
+    assert(viaLower.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("repetition ratio matches a driver-side reference on fuzzed text") {
     val genText: Gen[String] = for {
       n <- Gen.chooseNum(0, 30)
