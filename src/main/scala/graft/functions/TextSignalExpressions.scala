@@ -75,6 +75,34 @@ object TextSignalExpressions {
     n
   }
 
+  /** BPE-ish proxy token count == `Σ max(1, ceil(chars(tok)/4))` over
+    * whitespace tokens. Token length counts CHARS, not bytes (UTF-8
+    * continuation bytes `10xxxxxx` are skipped), matching `length()` in
+    * Spark and DuckDB on multibyte text.
+    */
+  def bpeishCountData(u: UTF8String): Int = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val len = u.numBytes
+    var total = 0
+    var chars = 0
+    var in = false
+    var i = 0
+    while (i <= len) {
+      val b = if (i == len) 32.toByte
+              else org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      val ws = i == len || isWs(b)
+      if (ws) {
+        if (in) { total += math.max(1, (chars + 3) / 4); chars = 0; in = false }
+      } else {
+        in = true
+        if ((b & 0xC0) != 0x80) chars += 1 // count only lead bytes
+      }
+      i += 1
+    }
+    total
+  }
+
   /** Tokens whose LOWERCASE form is in `set` == the
     * `size(filter(tokens(lower(text)), _.isin(words)))` chain:
     * lowercasing never creates or removes RE2-\s whitespace, so
@@ -138,6 +166,13 @@ object TextSignalExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class BpeishCnt(child: Expression) extends ByteScan {
+    override def prettyName: String = "bpeish_cnt"
+    protected def staticCall: String = "bpeishCountData"
+    protected def evalOne(u: UTF8String): Int = bpeishCountData(u)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `words` are lowercased into the lookup set at construction. */
   case class TokenHitCount(child: Expression, words: Seq[String]) extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -167,6 +202,8 @@ object TextSignalExpressions {
     ColumnBridge.column(WsCnt(ColumnBridge.expression(text)))
   def punct_cnt(text: Column): Column =
     ColumnBridge.column(PunctCnt(ColumnBridge.expression(text)))
+  def bpeish_cnt(text: Column): Column =
+    ColumnBridge.column(BpeishCnt(ColumnBridge.expression(text)))
   def token_hit_cnt(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokenHitCount(ColumnBridge.expression(text), words))
 }

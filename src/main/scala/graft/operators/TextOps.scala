@@ -34,9 +34,13 @@ object TextOps {
 
   /** A BPE-ish proxy token count: whitespace tokens plus an extra token per
     * 4 chars of long words (subword pieces), the standard cheap estimator
-    * for transformer-token budgeting.
+    * for transformer-token budgeting. Native char-aware byte scan;
+    * [[tokenCountBpeishHof]] is the composable reference.
     */
   def tokenCountBpeish(text: Column): Column =
+    graft.functions.TextSignalExpressions.bpeish_cnt(text)
+
+  def tokenCountBpeishHof(text: Column): Column =
     aggregate(tokens(text), lit(0),
       (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int")))
 

@@ -155,10 +155,13 @@ class PropertySpec extends SparkSuite {
       (length(col("text")) - ws_cnt(col("text"))).as("nws_n"),
       length(regexp_replace(col("text"), TextOps.wsClass + "+", "")).as("nws_h"),
       punct_cnt(col("text")).as("p_n"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("p_h"))
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("p_h"),
+      bpeish_cnt(col("text")).as("bp_n"),
+      TextOps.tokenCountBpeishHof(col("text")).as("bp_h"))
     assert(both.filter(
       col("tc_n") =!= col("tc_h") || col("hit_n") =!= col("hit_h") ||
-      col("nws_n") =!= col("nws_h") || col("p_n") =!= col("p_h")).count() == 0)
+      col("nws_n") =!= col("nws_h") || col("p_n") =!= col("p_h") ||
+      col("bp_n") =!= col("bp_h")).count() == 0)
     // lexicon lookup also agrees through lower(): tokenize-then-lower ==
     // lower-then-tokenize for the RE2 ws class
     val viaLower = df.select(
