@@ -43,34 +43,45 @@ object JsonlDocs {
       .json(path))
 
   /** Same contract over an already-read `(line STRING)` frame (tests,
-    * streaming foreachBatch).
+    * streaming). `passthrough` columns of the input survive into `good`
+    * (e.g. an event-time column for a streaming watermark). `idFallback`
+    * overrides the missing-id default — REQUIRED on a streaming frame,
+    * where the batch default (a row_number window) is unsupported; use a
+    * content+time hash there.
     */
-  def fromLines(lines: DataFrame): Result =
+  def fromLines(lines: DataFrame, passthrough: Seq[String] = Nil,
+                idFallback: Option[org.apache.spark.sql.Column] = None): Result =
     fromParsed(lines
-      .select(from_json(col("line"), schema).as("p"), col("line"))
+      .select(Seq(from_json(col("line"), schema).as("p"), col("line")) ++
+        passthrough.map(col): _*)
       // from_json nulls every field on malformed input; recover the raw
       // line for the quarantine frame whenever text didn't parse
-      .select(col("p.id").as("id"), col("p.text").as("text"),
+      .select(Seq(col("p.id").as("id"), col("p.text").as("text"),
         col("p.lang").as("lang"), col("p.source").as("source"),
-        when(col("p.text").isNull, col("line")).as(CORRUPT)))
+        when(col("p.text").isNull, col("line")).as(CORRUPT)) ++
+        passthrough.map(col): _*),
+      passthrough, idFallback)
 
-  private def fromParsed(parsed: DataFrame): Result = {
+  private def fromParsed(parsed: DataFrame, passthrough: Seq[String] = Nil,
+                         idFallback: Option[org.apache.spark.sql.Column] = None): Result = {
     val bad = parsed.filter(col(CORRUPT).isNotNull ||
         col("text").isNull || length(col("text")) === 0)
       .select(coalesce(col(CORRUPT), to_json(struct(col("id"), col("text"),
         col("lang"), col("source")))).as("raw"))
+    // batch default id: content hash + intra-batch sequence among
+    // byte-identical rows (idempotent re-ingest, duplicates kept distinct)
+    val defaultId = xxhash64(col("text"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("text"))).cast("long"))
     val good = parsed.filter(col(CORRUPT).isNull &&
         col("text").isNotNull && length(col("text")) > 0)
-      .select(
-        coalesce(col("id"),
-          xxhash64(col("text"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("text")).orderBy(col("text"))).cast("long")))
-          .as("doc_id"),
+      .select(Seq(
+        coalesce(col("id"), idFallback.getOrElse(defaultId)).as("doc_id"),
         col("text"),
         coalesce(col("lang"), lit("unk")).as("lang"),
         coalesce(col("source"), lit("unk")).as("source"),
-        length(col("text")).cast("long").as("n_chars"))
+        length(col("text")).cast("long").as("n_chars")) ++
+        passthrough.map(col): _*)
     Result(good, bad)
   }
 }
