@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM must inherit RAW stdout: sbt's default outputStrategy
+// routes forked-run output through its logger, which decorates every
+// line with an "[info] " prefix — and the bench driver parses the JSON
+// result line from stdout verbatim (BENCH parse was null for 4 rounds).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

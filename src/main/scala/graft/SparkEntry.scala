@@ -136,17 +136,17 @@ object SparkEntry {
             / (count(lit(1)).over(w) * lit(1000000.0)), 6).as("ma5"))
         .orderBy("series", "ts_us", "rid")
     }),
-    // quality deciles: ntile over the corpus-wide quality ranking
-    "q_ntile_quality" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("quality").desc, col("doc_id").asc)
-      TextOps.qualityScore(Canon.documents(s, d))
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+    // quality deciles over the corpus-wide ranking. NOT Spark's ntile —
+    // an unpartitioned window funnels the whole corpus through ONE task
+    // (Exchange SinglePartition, the r4 verdict's scale-killer); the
+    // two-pass distributed rank reproduces ntile's bucket sizes exactly
+    "q_ntile_quality" -> ((s, d) =>
+      operators.Ranking.withNtile(TextOps.qualityScore(Canon.documents(s, d)), 10,
+          Seq(col("quality").desc, col("doc_id").asc), "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),
           min("quality").as("min_q"), max("quality").as("max_q"))
-        .orderBy("decile")
-    }),
+        .orderBy("decile")),
     // daily × event-type pivot (count matrix); absent cells are 0, not
     // null, so the frame matches a CASE-pivot on any engine
     "q_pivot_daily" -> ((s, d) => {
@@ -338,7 +338,8 @@ object SparkEntry {
       val cust = Canon.table(s, d, "customer")
       big.hint("shuffle_hash")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // unfiltered customer is fact-scaled — never a broadcast side
+        .join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
           col("o_totalprice"), col("total_qty"))
@@ -474,7 +475,10 @@ object SparkEntry {
     "q_join_top_customers" -> ((s, d) => {
       val orders = Canon.table(s, d, "orders")
       val customer = Canon.table(s, d, "customer")
-      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // UNFILTERED customer is fact-scaled (150k rows/SF) — NOT
+      // broadcastable at 100 TB; pin the build side exactly as
+      // q_tpch_returns does (same table, same cardinality)
+      orders.join(customer.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)

@@ -23,13 +23,18 @@ object Curation {
   def report(docs: DataFrame, minQuality: Double = 0.5, rate256: Int = 128,
              textCol: String = "text", idCol: String = "doc_id",
              langCol: String = "lang"): DataFrame = {
-    val scored = TextOps.withQuality(docs, textCol, tokenCountCol = Some("__ntok"))
+    // collision-free internal names: an input already carrying __ntok/
+    // __fp/__rn would be silently overwritten (same class Sampling fixed)
+    def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
+      .find(n => !docs.columns.contains(n)).get
+    val (ntok, fp, rn) = (free("__graft_ntok"), free("__graft_fp"), free("__graft_rn"))
+    val scored = TextOps.withQuality(docs, textCol, tokenCountCol = Some(ntok))
       .filter(col("quality") >= minQuality)
       .select(col(idCol), col(langCol), col("quality"),
-        col("__ntok").cast("long").as("n_tokens"),
-        md5(col(textCol)).as("__fp"))
-    val w = Window.partitionBy("__fp").orderBy(col(idCol).asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        col(ntok).cast("long").as("n_tokens"),
+        md5(col(textCol)).as(fp))
+    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
+    scored.withColumn(rn, row_number().over(w)).filter(col(rn) === 1)
       .filter(Sampling.hashGate(col(idCol), rate256))
       .groupBy(langCol)
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),

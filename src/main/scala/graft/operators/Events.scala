@@ -35,9 +35,13 @@ object Events {
       }
       prev = Some(cur)
       cur.agg(count(lit(1)).as("n_users"))
-        .select(lit(s"${i + 1}_$st").as("stage"), col("n_users"))
+        .select(lit(i + 1).as("__stage_no"),
+          lit(s"${i + 1}_$st").as("stage"), col("n_users"))
     }
-    counts.reduce(_ unionByName _).orderBy("stage")
+    // order by the NUMERIC stage index: the lexicographic label would
+    // misorder funnels with 10+ stages ("10_x" sorts before "2_x")
+    counts.reduce(_ unionByName _).orderBy("__stage_no")
+      .select("stage", "n_users")
   }
 
   /** Users active k weeks after their first event, per k — cohort

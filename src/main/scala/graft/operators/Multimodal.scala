@@ -91,8 +91,13 @@ object Multimodal {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-        val nParts = math.max(1L,
-          (totalBytes + targetBytesPerPartition - 1) / targetBytesPerPartition).toInt
+        // byte sizing gives the UPPER bound on bytes/partition; flooring
+        // at cluster parallelism keeps every core busy when the corpus is
+        // small (and avoids the degenerate repartition(1) → Exchange
+        // SinglePartition that the PlanAuditSpec scale gate bans)
+        val nParts = math.max(
+          (totalBytes + targetBytesPerPartition - 1) / targetBytesPerPartition,
+          media.sparkSession.sparkContext.defaultParallelism.toLong).toInt
         media.as(Encoders.product[MediaRow]).repartition(nParts, col("media_id"))
       }
     ds.mapPartitions(rows => decoder.decode(rows))(Encoders.product[MediaFeatures])

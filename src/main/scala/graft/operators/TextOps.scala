@@ -61,7 +61,9 @@ object TextOps {
     graft.functions.TextSignalExpressions.token_hit_cnt(text, stopwords)
 
   def stopwordCountHof(text: Column, stopwords: Seq[String] = englishStopwords): Column =
-    size(filter(tokens(lower(text)), t => t.isin(stopwords: _*)))
+    // lowercase the lexicon too: the native path lowercases its word list
+    // at construction, and the two formulations must agree for ANY caller
+    size(filter(tokens(lower(text)), t => t.isin(stopwords.map(_.toLowerCase): _*)))
 
   /** Quality signals per document: char/token counts, mean token length,
     * punctuation + stopword ratios, and a composite [0,1] score.

@@ -69,10 +69,18 @@ object JsonlDocs {
       .select(coalesce(col(CORRUPT), to_json(struct(col("id"), col("text"),
         col("lang"), col("source")))).as("raw"))
     // batch default id: content hash + intra-batch sequence among
-    // byte-identical rows (idempotent re-ingest, duplicates kept distinct)
+    // same-text rows (idempotent re-ingest, duplicates kept distinct).
+    // The sequence is computed ONLY over id-null rows (explicit-id rows
+    // partition separately, so they don't occupy ranks) and ordered by
+    // the remaining row fields — a batch mixing explicit and missing ids,
+    // or same-text rows with different lang/source, yields the same
+    // doc_ids run-to-run; rows identical in ALL fields are
+    // interchangeable, so any rank assignment gives the same id multiset
     val defaultId = xxhash64(col("text"),
       row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("text")).orderBy(col("text"))).cast("long"))
+        .partitionBy(col("text"), col("id").isNotNull)
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first))
+        .cast("long"))
     val good = parsed.filter(col(CORRUPT).isNull &&
         col("text").isNotNull && length(col("text")) > 0)
       .select(Seq(

@@ -40,9 +40,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("top-customers join is a broadcast hash join") {
+  test("top-customers join builds a shuffled hash table, never broadcasts customer") {
+    // unfiltered customer is fact-scaled — the r2 fact-broadcast trap;
+    // the structural no-fact-broadcast gate below also covers customer
     val p = plan(SparkEntry.queries("q_join_top_customers")(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("Q3-shape query broadcasts the filtered dimension and pushes its filters") {
@@ -97,9 +100,13 @@ class PlanAuditSpec extends SparkSuite {
     //     lineitem/orders scan may appear under a BroadcastExchange.
     //  2. r2 regression: q_sim_ann distinct'ed on full vector payloads —
     //     no aggregate may be keyed on an array column (dedup on ids).
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.types.ArrayType
+    def isAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[HashAggregateExec] || p.isInstanceOf[ObjectHashAggregateExec] ||
+        p.isInstanceOf[SortAggregateExec]
     Graft.register(spark)
     var sawBroadcast = 0
     var sawAgg = 0
@@ -114,9 +121,21 @@ class PlanAuditSpec extends SparkSuite {
       sawAgg += nodes.count(_.isInstanceOf[HashAggregateExec])
       nodes.foreach {
         case b: BroadcastExchangeExec =>
-          val scanned = flatten(b.child).filter(_.children.isEmpty).map(_.toString).mkString("\n")
+          val leaves = flatten(b.child).filter(_.children.isEmpty).map(_.toString)
+          val scanned = leaves.mkString("\n")
           assert(!scanned.contains("lineitem.parquet") && !scanned.contains("orders.parquet"),
             s"$n broadcasts a fact-table scan:\n$scanned")
+          // customer is fact-scaled too (150k rows/SF): broadcastable ONLY
+          // when cut by a real selective predicate (the Q3 mktsegment
+          // shape); join-key IsNotNull inference alone doesn't count
+          leaves.filter(_.contains("customer.parquet")).foreach { s =>
+            val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+              .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+            val selective = pushed.split(",").map(_.trim)
+              .exists(f => f.nonEmpty && !f.startsWith("IsNotNull"))
+            assert(selective,
+              s"$n broadcasts an UNFILTERED customer scan:\n$s")
+          }
         case a: HashAggregateExec =>
           a.groupingExpressions.foreach(k => assert(!k.dataType.isInstanceOf[ArrayType],
             s"$n aggregates on an array key: $k"))
@@ -126,6 +145,17 @@ class PlanAuditSpec extends SparkSuite {
         case a: SortAggregateExec =>
           a.groupingExpressions.foreach(k => assert(!k.dataType.isInstanceOf[ArrayType],
             s"$n aggregates on an array key: $k"))
+        //  3. r4 regression (q_ntile_quality): a SinglePartition exchange
+        //     over raw scan output funnels the corpus through ONE task
+        //     (unpartitioned windows, global sorts). Allowed only over
+        //     aggregated input — a global agg's partial/final exchange
+        //     and the tiny per-partition offset tables in Ranking are
+        //     bounded by construction; a scan-fed one never is.
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          val sub = flatten(e.child)
+          val scansFile = sub.filter(_.children.isEmpty).exists(_.toString.contains(".parquet"))
+          assert(sub.exists(isAgg) || !scansFile,
+            s"$n funnels un-aggregated scan output through a SinglePartition exchange:\n$e")
         case _ =>
       }
     }
