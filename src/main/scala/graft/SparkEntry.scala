@@ -127,13 +127,16 @@ object SparkEntry {
     // WindowExec — integer sums are order-independent, double sums can
     // flip the 6dp round
     "q_moving_avg" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("series").orderBy(col("ts_us").asc, col("rid").asc)
-        .rowsBetween(-4, 0)
-      TS.readRange(ev(s, d), IDS3, R1, R2)
+      // NOT Window.partitionBy(series): 5 series ⇒ 5 tasks carry the whole
+      // range at 100 TB. The distributed two-pass prefix aggregation
+      // (Windowing.movingSumCount) reproduces the ROWS frame exactly
+      val in = TS.readRange(ev(s, d), IDS3, R1, R2)
         .select(col("series"), col("ts_us"), col("rid"),
-          round(sum(round(col("value") * 1000000).cast("long")).over(w).cast("double")
-            / (count(lit(1)).over(w) * lit(1000000.0)), 6).as("ma5"))
+          round(col("value") * 1000000).cast("long").as("__vmicro"))
+      operators.Windowing.movingSumCount(in, Seq("series"),
+          Seq(col("ts_us").asc, col("rid").asc), col("__vmicro"), 5, "__fs", "__fc")
+        .select(col("series"), col("ts_us"), col("rid"),
+          round(col("__fs").cast("double") / (col("__fc") * lit(1000000.0)), 6).as("ma5"))
         .orderBy("series", "ts_us", "rid")
     }),
     // quality deciles over the corpus-wide ranking. NOT Spark's ntile —

@@ -26,6 +26,12 @@ object ScaleProbe {
         .withColumn("rid", col("rid") + lit(i.toLong * 1000000L))
         .withColumn("ts_us", col("ts_us") + lit(i.toLong * 7L))
     }.reduce(_ unionByName _).cache()
+    // ALL extra rows on ONE series — the per-key-window serialization shape
+    val evSkew = (ev1 +: (1 until mult).map { i =>
+      Canon.events(spark, dir).filter(col("series") === "click")
+        .withColumn("rid", col("rid") + lit(i.toLong * 1000000L))
+        .withColumn("ts_us", col("ts_us") + lit(i.toLong * 7L))
+    }).reduce(_ unionByName _).cache()
     val doc1 = Canon.documents(spark, dir).cache()
     val doc10 = (0 until mult).map { i =>
       Canon.documents(spark, dir).withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
@@ -49,7 +55,7 @@ object ScaleProbe {
     val ord10 = (0 until mult).map(i =>
       ord1.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L)))
       .reduce(_ unionByName _).cache()
-    val bases = Seq(ev1, ev10, doc1, doc10, emb1, emb10, evr1, evr10,
+    val bases = Seq(ev1, ev10, evSkew, doc1, doc10, emb1, emb10, evr1, evr10,
       cust, li1, ord1, li10, ord10)
     bases.foreach(_.count()) // materialize
 
@@ -147,6 +153,19 @@ object ScaleProbe {
     probe("retention",
       graft.operators.Events.weeklyRetention(evr1).count(),
       graft.operators.Events.weeklyRetention(evr10).count())
+
+    // --- round 5: two-pass sliding frame under key skew. evSkew piles
+    // ALL extra rows onto ONE series (the others keep 1× rows) — the
+    // exact shape that serialized the old Window.partitionBy(series)
+    // plan through a single task; the two-pass prefix path should stay
+    // ~linear because its tasks are keyed by range partition, not series.
+    def movingAvg(e: DataFrame): Long =
+      graft.operators.Windowing.movingSumCount(
+        e.select(col("series"), col("ts_us"), col("rid"),
+          round(col("value") * 1000000).cast("long").as("__vmicro")),
+        Seq("series"), Seq(col("ts_us").asc, col("rid").asc),
+        col("__vmicro"), 5, "__fs", "__fc").count()
+    probe("moving_avg_skew", movingAvg(ev1), movingAvg(evSkew))
     spark.stop()
   }
 }

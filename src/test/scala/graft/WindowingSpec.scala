@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Windowing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Distributed sliding-frame aggregation vs the per-key window it
+  * replaces: same exact sums/counts on every row, including rows whose
+  * frame crosses a range-partition boundary (forced with tiny partition
+  * counts so most frames straddle partitions) and heavily skewed keys.
+  */
+class WindowingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def reference(df: org.apache.spark.sql.DataFrame, frame: Int) = {
+    val w = Window.partitionBy("k").orderBy(col("t").asc, col("id").asc)
+      .rowsBetween(-(frame - 1), 0)
+    df.withColumn("fs", sum(col("v")).over(w))
+      .withColumn("fc", count(lit(1)).over(w))
+      .select("id", "fs", "fc")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  private def distributed(df: org.apache.spark.sql.DataFrame, frame: Int, parts: Int) =
+    Windowing.movingSumCount(df, Seq("k"), Seq(col("t").asc, col("id").asc),
+        col("v"), frame, "fs", "fc", numPartitions = parts)
+      .select("id", "fs", "fc")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+  test("matches the per-key window across frame sizes and partition counts") {
+    val data = (1L to 300L).map(i => (s"k${i % 3}", i * 7 % 97, i, (i * 31 % 11) - 5))
+    val df = data.toDF("k", "t", "id", "v")
+    for (frame <- Seq(1, 2, 5, 50); parts <- Seq(2, 7, 32)) {
+      assert(distributed(df, frame, parts) === reference(df, frame),
+        s"frame=$frame parts=$parts")
+    }
+  }
+
+  test("one hot key carrying nearly all rows still matches (skew)") {
+    // 9/10 of rows in one key — the shape that serializes a per-key window
+    val data = (1L to 500L).map { i =>
+      (if (i % 10 == 0) s"cold${i % 40}" else "hot", i, i, i % 13)
+    }
+    val df = data.toDF("k", "t", "id", "v")
+    assert(distributed(df, 5, 8) === reference(df, 5))
+  }
+
+  test("property: random multisets with duplicate timestamps match") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        t <- Gen.chooseNum(0L, 20L) // heavy ts collisions; id breaks ties
+        v <- Gen.chooseNum(-100L, 100L)
+      } yield (k, t, v))
+    } yield rows
+    samples(gen, 6).foreach { rows =>
+      val data = rows.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val df = data.toDF("k", "t", "id", "v")
+      assert(distributed(df, 4, 5) === reference(df, 4))
+    }
+  }
+
+  test("input columns named like the internal stems survive") {
+    val df = (1L to 50L).map(i => ("k", i, i, i))
+      .toDF("k", "t", "id", "v").withColumn("__graft_rn0", lit(9))
+    val out = Windowing.movingSumCount(df, Seq("k"), Seq(col("t").asc, col("id").asc),
+      col("v"), 3, "fs", "fc", numPartitions = 3)
+    assert(out.columns.contains("__graft_rn0"))
+    assert(out.select("__graft_rn0").distinct().collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+}
