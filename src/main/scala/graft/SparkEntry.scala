@@ -267,12 +267,17 @@ object SparkEntry {
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Canon.documents(s, d))
         .select("media_id", "kind", "n_bytes").orderBy("media_id")),
-    "q_multimodal_features" -> ((s, d) => // stub decoder is oracle-mirrorable arithmetic
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(Canon.documents(s, d)))
-        .select(col("media_id"), col("kind"), col("n_bytes"),
+    "q_multimodal_features" -> ((s, d) =>
+      // REAL round trip: column expressions assemble genuine PNG/JPEG/GIF
+      // headers (dims derived from doc_id), HeaderDecoder parses the
+      // bytes back, and the oracle checks the arithmetic — an exact gate
+      // over actual byte-level decode, not stub arithmetic (r4 item 6)
+      Multimodal.decodeHeaders(
+          Multimodal.syntheticMediaFromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(col("media_id"), col("format"), col("n_bytes"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"))
+          col("height").cast("long").as("height"))
         .orderBy("media_id")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
@@ -918,21 +923,18 @@ object SparkEntry {
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
-    // mirrors StubDecoder's arithmetic: h = byte_sum*31 + n_bytes (corpus is
-    // ASCII, so ascii(substr) per char IS the byte value)
+    // mirrors the synthetic-header arithmetic: the Spark side assembles
+    // REAL PNG/JPEG/GIF header bytes from these same id-derived dims and
+    // re-parses them with HeaderDecoder, so a hash match proves the
+    // byte-level decode round trip; header sizes png 33 / jpeg 39 / gif 13
     "q_multimodal_features" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
-        |    i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS bsum
-        |  FROM documents),
-        |f AS (SELECT media_id, kind, n_bytes, bsum * 31 + n_bytes AS h FROM m)
-        |SELECT media_id, kind, n_bytes,
-        |  CAST(64 + h % 1024 AS BIGINT) AS width,
-        |  CAST(64 + (h // 1024) % 1024 AS BIGINT) AS height,
-        |  CAST(CASE WHEN kind = 'video' THEN 1 + h % 120 ELSE 1 END AS BIGINT) AS n_frames
-        |FROM f ORDER BY media_id""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  (['png','jpeg','gif'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(octet_length(encode(text)) +
+        |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 13 END AS BIGINT) AS n_bytes,
+        |  CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 1000) % 1000 AS BIGINT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,61 +1,101 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (driver north star): media as opaque BINARY
-  * plus typed metadata, with batch-shaped decode/feature-extract hooks.
-  *
-  * The image/audio codecs are NOT in this container, so the decode kernel is
-  * a clearly-marked STUB (deterministic fake derived from the bytes). The
-  * Spark-side plumbing — schema, partition-sized batching, decode signature,
-  * columnar handoff — is real and tested; swapping `StubDecoder` for a
-  * JNI/FFmpeg/ImageIO-backed decoder changes no plan shape.
+/** Multimodal-column operators (driver north star): media as opaque
+  * BINARY plus typed metadata, batch-shaped decode over a byte-volume-
+  * sized shuffle, and a REAL pure-JVM metadata decoder for the public
+  * image container formats (PNG IHDR, JPEG SOF marker walk, GIF logical
+  * screen descriptor) — no codec dependencies, just byte reading, so it
+  * runs in any executor. Full pixel decode (the part that genuinely
+  * needs libjpeg/ffmpeg-class codecs absent from this container) is out
+  * of scope; everything here parses real bytes.
   */
 object Multimodal {
 
   /** Media row: opaque payload + source metadata. */
   case class MediaRow(media_id: Long, kind: String, media: Array[Byte], n_bytes: Long)
 
-  /** Extracted features (what a real decoder would emit per item). */
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                           width: Int, height: Int, n_frames: Int,
-                           embedding: Array[Float])
+  /** Decoded header metadata. `ok=false` rows are the quarantine lane
+    * (unknown magic or truncated header): format "unknown", dims -1.
+    */
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                       format: String, width: Int, height: Int, ok: Boolean)
 
-  /** Decoder contract: one batch of payloads in, one batch of features out.
-    * Batch-shaped (Iterator→Iterator) so implementations can amortize
+  /** Decoder contract: one batch of payloads in, one batch of results
+    * out. Batch-shaped (Iterator→Iterator) so implementations amortize
     * codec/context setup per partition — mapInPandas-style, JVM-native.
     */
-  trait Decoder extends Serializable {
-    def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
+  trait Decoder[T] extends Serializable {
+    def decode(rows: Iterator[MediaRow]): Iterator[T]
   }
 
-  /** STUB: deterministic fake decode — dimensions and a tiny "embedding"
-    * derived from byte statistics. Replace with a real codec off-container.
-    * ??? -- real decode is stubbed; everything below this call is real.
-    *
-    * The fake is ORACLE-MIRRORABLE on purpose: h is plain integer
-    * arithmetic over the unsigned byte sum and length (all values
-    * non-negative, so % agrees across engines), which ANSI SQL can
-    * replicate — that upgrades the features query from a rows-only check
-    * to an exact hash-match.
-    */
-  object StubDecoder extends Decoder {
-    def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = rows.map { r =>
-      var s = 0L
-      var i = 0
-      while (i < r.media.length) { s += (r.media(i) & 0xff); i += 1 }
-      val h = s * 31L + r.n_bytes
-      val w = (64L + h % 1024L).toInt
-      val ht = (64L + (h / 1024L) % 1024L).toInt
-      val frames = if (r.kind == "video") (1L + h % 120L).toInt else 1
-      val emb = Array.tabulate(8)(i => ((h >> i) & 0xffL).toFloat / 255f)
-      MediaFeatures(r.media_id, r.kind, r.n_bytes, w, ht, frames, emb)
+  /** Real header parsing for the three public container formats. */
+  object HeaderDecoder extends Decoder[MediaMeta] {
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    private val pngMagic =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (format, width, height) if the prefix is a well-formed header. */
+    def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b.length >= 24 && b.startsWith(pngMagic) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        // IHDR is mandated first: width/height are the two BE int32s at 16/20
+        Some(("png", be32(b, 16), be32(b, 20)))
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        parseJpeg(b)
+      else if (b.length >= 10 && b.startsWith("GIF8".getBytes) &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(("gif", le16(b, 6), le16(b, 8)))
+      else None
+    }
+
+    /** Walk JFIF marker segments from SOI to the first start-of-frame
+      * (C0-C3, C5-C7, C9-CB, CD-CF — every SOFn; C4/C8/CC are not
+      * frames), which carries height then width as BE int16 after the
+      * 2-byte segment length and 1-byte precision. Truncated or
+      * malformed streams return None (quarantine).
+      */
+    private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+      var o = 2
+      while (o + 3 < b.length) {
+        if ((b(o) & 0xff) != 0xff) return None
+        var m = b(o + 1) & 0xff
+        while (m == 0xff && o + 2 < b.length) { o += 1; m = b(o + 1) & 0xff } // fill bytes
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { o += 2 } // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+        else {
+          val len = be16(b, o + 2)
+          if (len < 2 || o + 2 + len > b.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 7) return None
+            return Some(("jpeg", be16(b, o + 7), be16(b, o + 5)))
+          }
+          o += 2 + len
+        }
+      }
+      None
+    }
+
+    def decode(rows: Iterator[MediaRow]): Iterator[MediaMeta] = rows.map { r =>
+      parse(r.media) match {
+        case Some((fmt, w, h)) => MediaMeta(r.media_id, r.kind, r.n_bytes, fmt, w, h, ok = true)
+        case None => MediaMeta(r.media_id, r.kind, r.n_bytes, "unknown", -1, -1, ok = false)
+      }
     }
   }
 
   /** Build a media table from the documents corpus: the text bytes stand in
-    * for an image/audio payload (same plumbing, fake modality).
+    * for an opaque payload (byte-plumbing queries; not parseable media).
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -65,10 +105,48 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** Decode/feature-extract over partition-sized batches, with the shuffle
-    * SIZED BY BYTE VOLUME, not row count — the knob that matters at 100 TB
-    * where payloads are MBs, not rows: a row-count repartition hands one
-    * task a partition of fat videos while another gets thumbnails.
+  private def hexBe16(v: Column): Column = lpad(hex(v), 4, "0")
+  private def hexLe16(v: Column): Column = // low byte first
+    concat(lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(v, 8)), 2, "0"))
+
+  /** Synthetic-but-REAL media: each document becomes a payload whose
+    * prefix is a genuine PNG/JPEG/GIF header (format cycling by id,
+    * dimensions derived from doc_id) followed by the text bytes as body
+    * filler. Built from pure column expressions (hex assembly + unhex) so
+    * the whole round trip — Spark assembles real bytes, HeaderDecoder
+    * parses them back — is oracle-checkable as plain id arithmetic.
+    * Header sizes: png 33 B, jpeg 39 B (SOI + APP0/JFIF + SOF0, so the
+    * parser must actually walk markers), gif 13 B.
+    */
+  def syntheticMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val w = (lit(16L) + col("doc_id") % 1000L).cast("long")
+    val h = (lit(16L) + (col("doc_id").cast("long") / lit(1000L)).cast("long") % 1000L).cast("long")
+    val fmt = element_at(array(lit("png"), lit("jpeg"), lit("gif")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val headerHex =
+      when(fmt === "png", concat(
+        lit("89504E470D0A1A0A0000000D49484452"), // signature + IHDR len/type
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000DEADBEEF"))) // bit depth/color/crc filler
+      .when(fmt === "jpeg", concat(
+        lit("FFD8FFE000104A46494600010100000100010000"), // SOI + APP0 JFIF
+        lit("FFC0001108"), hexBe16(h), hexBe16(w), // SOF0: len 17, precision 8
+        lit("03011100021101031101"))) // 3 components
+      .otherwise(concat(
+        lit("474946383961"), hexLe16(w), hexLe16(h), // GIF89a + LE dims
+        lit("F70000"))) // GCT flags / background / aspect
+    docs.select(
+      col("doc_id").as("media_id"),
+      fmt.as("kind"),
+      concat(unhex(headerHex), encode(col("text"), "UTF-8")).as("media"))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** Decode over partition-sized batches, with the shuffle SIZED BY BYTE
+    * VOLUME, not row count — the knob that matters at 100 TB where
+    * payloads are MBs, not rows: a row-count repartition hands one task a
+    * partition of fat videos while another gets thumbnails.
     *
     * Mechanics: one column-pruned scalar aggregate reads Σ n_bytes (the
     * same driver-side statistic AQE itself uses for sizing), the partition
@@ -80,8 +158,8 @@ object Multimodal {
     * byte-sum here: it needs no global sort/prefix-scan pass and is
     * immune to size-clustered input layouts (all big videos adjacent).
     */
-  def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder,
-                      targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+  def decodeBatched[T: Encoder](media: DataFrame, decoder: Decoder[T],
+                                targetBytesPerPartition: Long = 128L << 20): Dataset[T] = {
     // a streaming frame can't run the sizing aggregate (and has no fixed
     // total anyway) — decode with the micro-batch's own partitioning
     val ds: Dataset[MediaRow] =
@@ -100,12 +178,20 @@ object Multimodal {
           media.sparkSession.sparkContext.defaultParallelism.toLong).toInt
         media.as(Encoders.product[MediaRow]).repartition(nParts, col("media_id"))
       }
-    ds.mapPartitions(rows => decoder.decode(rows))(Encoders.product[MediaFeatures])
-      .toDF()
+    ds.mapPartitions(rows => decoder.decode(rows))(implicitly[Encoder[T]])
   }
 
-  /** Frame sampling plan for video payloads: every `stride`-th frame index,
-    * computed from (stubbed) frame counts — pure column math, no decode.
+  /** Header metadata for every payload; `ok=false` rows are the
+    * quarantine lane. This replaces the r1-r4 `StubDecoder` — the decode
+    * is real byte parsing now.
+    */
+  def decodeHeaders(media: DataFrame,
+                    targetBytesPerPartition: Long = 128L << 20): DataFrame =
+    decodeBatched(media, HeaderDecoder, targetBytesPerPartition)(
+      Encoders.product[MediaMeta]).toDF()
+
+  /** Frame sampling plan for video payloads: every `stride`-th frame index
+    * from a frame-count column — pure column math, no decode.
     */
   def frameSamplePlan(features: DataFrame, stride: Int): DataFrame =
     features.filter(col("kind") === "video")

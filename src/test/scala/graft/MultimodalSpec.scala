@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.HeaderDecoder
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSuite {
@@ -9,6 +10,51 @@ class MultimodalSpec extends SparkSuite {
   lazy val docs = Seq(
     (0L, "an image payload"), (1L, "an audio payload"), (2L, "a video payload"),
     (3L, "another image")).toDF("doc_id", "text")
+
+  // hand-built real headers (independent of the column-expression builder)
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    bb.put(Array(8, 6, 0, 0, 0).map(_.toByte)).putInt(0x1234)
+    bb.array()
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(41)
+    bb.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16) // APP0
+    bb.put("JFIF".getBytes).put(Array(0, 1, 1, 0, 0, 1, 0, 1, 0, 0).map(_.toByte))
+    bb.put(Array(0xff, 0xc2).map(_.toByte)).putShort(11) // SOF2 (progressive)
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    bb.put(Array(1, 1, 17, 0).map(_.toByte))
+    bb.array()
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+    bb.put(Array(0xf7, 0, 0).map(_.toByte))
+    bb.array()
+  }
+
+  test("header parse: real PNG/JPEG/GIF bytes round-trip the dimensions") {
+    assert(HeaderDecoder.parse(pngBytes(640, 480)) == Some(("png", 640, 480)))
+    assert(HeaderDecoder.parse(jpegBytes(1920, 1080)) == Some(("jpeg", 1920, 1080)))
+    assert(HeaderDecoder.parse(gifBytes(320, 200)) == Some(("gif", 320, 200)))
+    // marker walk: SOF behind APP0 was found, not assumed at a fixed offset
+    assert(HeaderDecoder.parse(jpegBytes(1, 65535)) == Some(("jpeg", 1, 65535)))
+  }
+
+  test("header parse: truncated and malformed payloads quarantine (None)") {
+    assert(HeaderDecoder.parse(pngBytes(640, 480).take(20)) == None) // truncated IHDR
+    assert(HeaderDecoder.parse(jpegBytes(640, 480).take(21)) == None) // truncated pre-SOF
+    assert(HeaderDecoder.parse(gifBytes(320, 200).take(8)) == None)
+    assert(HeaderDecoder.parse("not an image at all".getBytes) == None)
+    assert(HeaderDecoder.parse(Array[Byte]()) == None)
+    // JPEG reaching SOS/EOI without a frame header
+    assert(HeaderDecoder.parse(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == None)
+    // corrupt marker stream (no FF where a marker must start)
+    assert(HeaderDecoder.parse(Array(0xff, 0xd8, 0x00, 0x11).map(_.toByte)) == None)
+  }
 
   test("media table: opaque binary + typed metadata, kind cycles by id") {
     val m = Multimodal.mediaFromDocuments(docs)
@@ -20,42 +66,62 @@ class MultimodalSpec extends SparkSuite {
     assert(nb == "an image payload".getBytes("UTF-8").length)
   }
 
-  test("stub decode is deterministic and batch-shaped") {
-    val m = Multimodal.mediaFromDocuments(docs)
-    val f1 = Multimodal.extractFeatures(m).orderBy("media_id").collect()
-    val f2 = Multimodal.extractFeatures(m, targetBytesPerPartition = 16L)
-      .orderBy("media_id").collect()
-    assert(f1.sameElements(f2)) // partitioning must not change results
-    val video = f1.find(_.getString(1) == "video").get
-    assert(video.getInt(5) >= 1) // n_frames
-    assert(f1.forall(_.getAs[Seq[Float]]("embedding").length == 8))
+  test("synthetic media carries REAL headers the decoder recovers exactly") {
+    val ids = ((0L to 20L) :+ 999L :+ 123456L).map(i => (i, s"body of $i"))
+    val media = Multimodal.syntheticMediaFromDocuments(ids.toDF("doc_id", "text"))
+    val meta = Multimodal.decodeHeaders(media)
+    assert(meta.filter(!col("ok")).count() == 0)
+    val rows = meta.select("media_id", "format", "width", "height")
+      .as[(Long, String, Int, Int)].collect()
+    rows.foreach { case (id, fmt, w, h) =>
+      assert(fmt == Seq("png", "jpeg", "gif")((id % 3).toInt), s"id=$id")
+      assert(w == 16 + id % 1000, s"id=$id")
+      assert(h == 16 + (id / 1000) % 1000, s"id=$id")
+    }
+    // the payload really is header + body bytes
+    val m0 = media.filter($"media_id" === 0L).select("media").as[Array[Byte]].head()
+    assert(m0.length == 33 + "body of 0".getBytes.length)
   }
 
-  test("extractFeatures sizes the shuffle by byte volume and spreads it") {
+  test("decode is deterministic and partitioning-invariant; quarantine flows as data") {
+    val media = Multimodal.syntheticMediaFromDocuments(docs.limit(3))
+      .unionByName(Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 3L))) // text bytes: unparseable
+    val f1 = Multimodal.decodeHeaders(media).orderBy("media_id").collect()
+    val f2 = Multimodal.decodeHeaders(media, targetBytesPerPartition = 16L)
+      .orderBy("media_id").collect()
+    assert(f1.sameElements(f2)) // partitioning must not change results
+    val bad = f1.filter(!_.getBoolean(6))
+    assert(bad.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(bad.head.getString(3) == "unknown" && bad.head.getInt(4) == -1)
+  }
+
+  test("decodeHeaders sizes the shuffle by byte volume and spreads it") {
     // skewed corpus: 200 small payloads + one 50x outlier
     val skew = ((0 until 200).map(i => (i.toLong, "x" * 1000)) :+ (999L, "y" * 50000))
       .toDF("doc_id", "text")
-    val media = Multimodal.mediaFromDocuments(skew)
+    val media = Multimodal.syntheticMediaFromDocuments(skew)
     val target = 16384L
     val total = media.agg(sum("n_bytes")).as[Long].head()
     val expectParts = ((total + target - 1) / target).toInt
-    val feats = Multimodal.extractFeatures(media, targetBytesPerPartition = target)
+    val feats = Multimodal.decodeHeaders(media, targetBytesPerPartition = target)
     assert(feats.rdd.getNumPartitions == expectParts)
     // actual per-partition byte sums: bounded by the indivisible max payload
     // plus a small multiple of the target (hash spread, not bin packing)
     val sums = feats.withColumn("pid", spark_partition_id())
       .groupBy("pid").agg(sum("n_bytes").as("b")).select("b").as[Long].collect()
-    val maxPayload = 50000L
+    val maxPayload = 50039L
     assert(sums.max <= maxPayload + 4 * target,
       s"worst partition ${sums.max} bytes of target $target")
     // hash spread leaves at most a few partitions empty
     assert(sums.length >= expectParts - 3 && sums.length <= expectParts)
   }
 
-  test("frame sample plan strides over stubbed frame counts") {
-    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+  test("frame sample plan strides over a frame-count column") {
+    val feats = Seq((1L, "video", 25L), (2L, "image", 1L), (3L, "video", 95L))
+      .toDF("media_id", "kind", "n_frames")
     val plan = Multimodal.frameSamplePlan(feats, stride = 10)
     val idx = plan.select("frame_indices").as[Seq[Long]].collect()
-    assert(idx.nonEmpty && idx.forall(s => s.head == 0L && s.zip(s.tail).forall { case (a, b) => b - a == 10 }))
+    assert(idx.length == 2)
+    assert(idx.forall(s => s.head == 0L && s.zip(s.tail).forall { case (a, b) => b - a == 10 }))
   }
 }
