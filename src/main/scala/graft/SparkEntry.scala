@@ -182,6 +182,28 @@ object SparkEntry {
       TextOps.repetitionRatio(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_vocab" -> ((s, d) => // corpus vocabulary head (top-20 tokens)
       TextOps.vocabHead(Canon.documents(s, d), 20)),
+    // PII redaction with an EXACT oracle: the corpus is digit-free word
+    // salad, so id-derived planted PII is the only match surface — the
+    // masked text and per-class counts mirror in DuckDB regexp_replace
+    // (both engines are leftmost-first with ASCII \b on this input)
+    "q_text_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = Canon.documents(s, d).select(id,
+        concat(col("text"),
+          lit(" contact user"), id.cast("string"), lit("@example.com"),
+          lit(" from 10."), (id % 256).cast("string"),
+          lit(".0."), ((id * 7) % 256).cast("string"),
+          lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" call (415) 555-"), lpad((id % 10000).cast("string"), 4, "0")
+        ).as("text"))
+      TextOps.redact(planted)
+        .select(id, col("text").as("redacted"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("n_phone").cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
     "q_text_winnowing" -> ((s, d) => // xxhash-valued; rows-only check
       TextOps.winnowingOverlapPairs(Canon.documents(s, d), minShared = 3)),
     // ----- beyond parity: dedup (documents)
@@ -665,6 +687,26 @@ object SparkEntry {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
          |  SELECT unnest($LTOKS) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // same planted-PII construction and the same four patterns applied in
+    // the same order; counts are per pattern over the pre-redaction text
+    "q_text_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+        |  ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' call (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b')) AS BIGINT) AS n_phone
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH toks AS (SELECT doc_id, $LTOKS AS t FROM documents),
          |h AS (SELECT doc_id,

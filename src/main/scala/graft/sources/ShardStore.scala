@@ -75,6 +75,31 @@ object ShardStore {
   def compact(spark: SparkSession, path: String, outPath: String): Unit =
     append(read(spark, path).repartition(col(SERIES)), outPath)
 
+  /** Production bucketed layout for id-keyed corpus tables (documents,
+    * embeddings): hash-bucketed AND sorted on the join id, so every
+    * id-equi join / semi-join between co-bucketed tables plans with ZERO
+    * exchange on either side (proven by `BucketedLayoutSpec` against the
+    * final AQE plan). At 100 TB this converts the per-query id shuffle
+    * of joins like filtered vector search, decontamination and funnel
+    * stages into a pure scan-side merge. Bucket metadata lives in the
+    * session catalog (Spark bucketing is table-scoped, not path-scoped);
+    * pass `path` to pin the parquet files to an external location.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Read a bucketed table back with its bucket metadata attached (a
+    * plain `spark.read.parquet` of the same files would lose it).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** D1 physical delete: rewrite the store without rows matching the
     * predicate-bearing `survivors` frame (callers build it via
     * TimeSeries.deleteRange/deleteSince). Partition-granular overwrite.

@@ -25,15 +25,14 @@ class BucketedLayoutSpec extends SparkSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumnRenamed("vec_id", "doc_id")
-    docs.write.mode("overwrite").bucketBy(8, "doc_id")
-      .sortBy("doc_id").saveAsTable("graft_docs_b")
-    embs.write.mode("overwrite").bucketBy(8, "doc_id")
-      .sortBy("doc_id").saveAsTable("graft_embs_b")
+    // the PRODUCTION writer/reader, not a test-local saveAsTable
+    graft.sources.ShardStore.writeBucketed(docs, "graft_docs_b", "doc_id", 8)
+    graft.sources.ShardStore.writeBucketed(embs, "graft_embs_b", "doc_id", 8)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val d = spark.table("graft_docs_b")
-      val e = spark.table("graft_embs_b")
+      val d = graft.sources.ShardStore.readBucketed(spark, "graft_docs_b")
+      val e = graft.sources.ShardStore.readBucketed(spark, "graft_embs_b")
       // inner join on the bucket key: both sides scan their buckets
       // directly — no exchange before the join (the groupBy downstream
       // still aggregates, which is its own business)
