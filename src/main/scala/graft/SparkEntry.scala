@@ -299,7 +299,8 @@ object SparkEntry {
         .filter(col("ok"))
         .select(col("media_id"), col("format"), col("n_bytes"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"))
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
         .orderBy("media_id")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
@@ -966,16 +967,19 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
     // mirrors the synthetic-header arithmetic: the Spark side assembles
-    // REAL PNG/JPEG/GIF header bytes from these same id-derived dims and
-    // re-parses them with HeaderDecoder, so a hash match proves the
-    // byte-level decode round trip; header sizes png 33 / jpeg 39 / gif 13
+    // REAL PNG/JPEG/GIF structures from these same id-derived values and
+    // re-parses them with HeaderDecoder (incl. a GIF data-stream block
+    // walk for frame counts), so a hash match proves the byte-level
+    // round trip; sizes: png 33, jpeg 39, gif 14 + 14·frames
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  (['png','jpeg','gif'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
         |  CAST(octet_length(encode(text)) +
-        |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 13 END AS BIGINT) AS n_bytes,
+        |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39
+        |      ELSE 14 + 14 * (doc_id % 8 + 1) END AS BIGINT) AS n_bytes,
         |  CAST(16 + doc_id % 1000 AS BIGINT) AS width,
-        |  CAST(16 + (doc_id // 1000) % 1000 AS BIGINT) AS height
+        |  CAST(16 + (doc_id // 1000) % 1000 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 8 + 1 ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -19,9 +19,12 @@ object Multimodal {
 
   /** Decoded header metadata. `ok=false` rows are the quarantine lane
     * (unknown magic or truncated header): format "unknown", dims -1.
+    * `n_frames`: GIF image-descriptor count from a real data-stream
+    * block walk (animations report their frame count); 1 for PNG/JPEG.
     */
   case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
-                       format: String, width: Int, height: Int, ok: Boolean)
+                       format: String, width: Int, height: Int,
+                       n_frames: Int, ok: Boolean)
 
   /** Decoder contract: one batch of payloads in, one batch of results
     * out. Batch-shaped (Iterator→Iterator) so implementations amortize
@@ -44,18 +47,61 @@ object Multimodal {
     private val pngMagic =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-    /** (format, width, height) if the prefix is a well-formed header. */
-    def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+    /** (format, width, height, n_frames) if the prefix is a well-formed
+      * header.
+      */
+    def parse(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
       if (b.length >= 24 && b.startsWith(pngMagic) &&
           b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
         // IHDR is mandated first: width/height are the two BE int32s at 16/20
-        Some(("png", be32(b, 16), be32(b, 20)))
+        Some(("png", be32(b, 16), be32(b, 20), 1))
       else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
         parseJpeg(b)
-      else if (b.length >= 10 && b.startsWith("GIF8".getBytes) &&
+      else if (b.length >= 13 && b.startsWith("GIF8".getBytes) &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-        Some(("gif", le16(b, 6), le16(b, 8)))
+        Some(("gif", le16(b, 6), le16(b, 8), gifFrames(b)))
       else None
+    }
+
+    /** Count GIF image descriptors with a real data-stream block walk:
+      * skip the global color table if flagged, then step extension
+      * blocks (0x21: label + length-prefixed sub-blocks) and image
+      * descriptors (0x2C: 9 descriptor bytes + optional local color
+      * table + LZW code size + sub-blocks) until the 0x3B trailer —
+      * frame count = descriptor count. Trailing bytes after the trailer
+      * are ignored (real files carry junk there too); a malformed or
+      * truncated stream yields the frames counted so far, floored at 1.
+      */
+    private def gifFrames(b: Array[Byte]): Int = {
+      var o = 13
+      if ((b(10) & 0x80) != 0) o += 3 * (1 << ((b(10) & 0x07) + 1)) // GCT
+      var frames = 0
+      def subBlocks(): Boolean = { // advance past length-prefixed blocks
+        while (o < b.length && b(o) != 0) {
+          o += 1 + (b(o) & 0xff)
+        }
+        if (o < b.length) { o += 1; true } else false // block terminator
+      }
+      var done = false
+      while (!done && o < b.length) {
+        (b(o) & 0xff) match {
+          case 0x2c => // image descriptor
+            if (o + 10 > b.length) done = true
+            else {
+              val packed = b(o + 9) & 0xff
+              o += 10
+              if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 0x07) + 1)) // LCT
+              o += 1 // LZW minimum code size
+              if (subBlocks()) frames += 1 else done = true
+            }
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            o += 2
+            if (!subBlocks()) done = true
+          case 0x3b => done = true // trailer
+          case _ => done = true // malformed: stop counting
+        }
+      }
+      math.max(frames, 1)
     }
 
     /** Walk JFIF marker segments from SOI to the first start-of-frame
@@ -64,7 +110,7 @@ object Multimodal {
       * 2-byte segment length and 1-byte precision. Truncated or
       * malformed streams return None (quarantine).
       */
-    private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
       var o = 2
       while (o + 3 < b.length) {
         if ((b(o) & 0xff) != 0xff) return None
@@ -78,7 +124,7 @@ object Multimodal {
           val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (isSof) {
             if (len < 7) return None
-            return Some(("jpeg", be16(b, o + 7), be16(b, o + 5)))
+            return Some(("jpeg", be16(b, o + 7), be16(b, o + 5), 1))
           }
           o += 2 + len
         }
@@ -88,8 +134,10 @@ object Multimodal {
 
     def decode(rows: Iterator[MediaRow]): Iterator[MediaMeta] = rows.map { r =>
       parse(r.media) match {
-        case Some((fmt, w, h)) => MediaMeta(r.media_id, r.kind, r.n_bytes, fmt, w, h, ok = true)
-        case None => MediaMeta(r.media_id, r.kind, r.n_bytes, "unknown", -1, -1, ok = false)
+        case Some((fmt, w, h, f)) =>
+          MediaMeta(r.media_id, r.kind, r.n_bytes, fmt, w, h, f, ok = true)
+        case None =>
+          MediaMeta(r.media_id, r.kind, r.n_bytes, "unknown", -1, -1, -1, ok = false)
       }
     }
   }
@@ -110,14 +158,24 @@ object Multimodal {
     concat(lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
       lpad(hex(shiftright(v, 8)), 2, "0"))
 
+  /** One minimal GIF frame, hex: image descriptor (1×1 at 0,0, no local
+    * color table) + LZW min code size + one 1-byte sub-block + block
+    * terminator — 14 bytes.
+    */
+  private val gifFrameHex = "2C00000000010001000002010000"
+
   /** Synthetic-but-REAL media: each document becomes a payload whose
-    * prefix is a genuine PNG/JPEG/GIF header (format cycling by id,
-    * dimensions derived from doc_id) followed by the text bytes as body
-    * filler. Built from pure column expressions (hex assembly + unhex) so
-    * the whole round trip — Spark assembles real bytes, HeaderDecoder
-    * parses them back — is oracle-checkable as plain id arithmetic.
-    * Header sizes: png 33 B, jpeg 39 B (SOI + APP0/JFIF + SOF0, so the
-    * parser must actually walk markers), gif 13 B.
+    * prefix is a genuine PNG/JPEG/GIF structure (format cycling by id,
+    * dimensions derived from doc_id) with the text bytes as body filler.
+    * Built from pure column expressions (hex assembly + unhex) so the
+    * whole round trip — Spark assembles real bytes, HeaderDecoder parses
+    * them back — is oracle-checkable as plain id arithmetic.
+    * PNG: 33-byte signature+IHDR. JPEG: 39 bytes of SOI + APP0/JFIF +
+    * SOF0, so the parser must actually walk markers. GIF: a complete
+    * well-formed stream — header + (1 + doc_id % 8) image descriptors +
+    * trailer (14 + 14·k bytes), so the frame-count block walk parses
+    * real animation structure; the text rides after the trailer (real
+    * files carry trailing junk too).
     */
   def syntheticMediaFromDocuments(docs: DataFrame): DataFrame = {
     val w = (lit(16L) + col("doc_id") % 1000L).cast("long")
@@ -135,7 +193,9 @@ object Multimodal {
         lit("03011100021101031101"))) // 3 components
       .otherwise(concat(
         lit("474946383961"), hexLe16(w), hexLe16(h), // GIF89a + LE dims
-        lit("F70000"))) // GCT flags / background / aspect
+        lit("000000"), // no GCT / background / aspect
+        expr(s"repeat('$gifFrameHex', CAST(doc_id % 8 + 1 AS INT))"),
+        lit("3B"))) // trailer
     docs.select(
       col("doc_id").as("media_id"),
       fmt.as("kind"),
@@ -190,11 +250,12 @@ object Multimodal {
     decodeBatched(media, HeaderDecoder, targetBytesPerPartition)(
       Encoders.product[MediaMeta]).toDF()
 
-  /** Frame sampling plan for video payloads: every `stride`-th frame index
-    * from a frame-count column — pure column math, no decode.
+  /** Frame sampling plan for multi-frame payloads (animations/video):
+    * every `stride`-th frame index from the parsed frame-count column —
+    * pure column math, no decode.
     */
   def frameSamplePlan(features: DataFrame, stride: Int): DataFrame =
-    features.filter(col("kind") === "video")
+    features.filter(col("n_frames") > 1)
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indices"))
 }

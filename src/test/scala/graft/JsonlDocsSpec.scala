@@ -44,6 +44,33 @@ class JsonlDocsSpec extends SparkSuite {
     assert(a == b && a.size == 3) // duplicates get distinct ids, stably
   }
 
+  test("fallback ids are stable when explicit-id and varied-metadata rows mix") {
+    // r4 advisor regression: explicit-id rows must not occupy fallback
+    // ranks, and same-text rows with different lang/source must order
+    // deterministically (not by partition luck)
+    val batch = lines(
+      """{"id": 42, "text": "same doc", "lang": "en", "source": "web"}""",
+      """{"text": "same doc", "lang": "de", "source": "web"}""",
+      """{"text": "same doc", "lang": "en", "source": "book"}""",
+      """{"text": "same doc"}""")
+    val runs = (1 to 4).map { _ =>
+      JsonlDocs.fromLines(batch).good
+        .select("doc_id", "lang", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    }
+    assert(runs.distinct.size == 1, "doc_id assignment varied run-to-run")
+    assert(runs.head.size == 4)
+    assert(runs.head.exists(_._1 == 42L))
+    // and the id-less subset alone gets the SAME ids (explicit-id rows
+    // never shift fallback ranks)
+    val without = JsonlDocs.fromLines(lines(
+      """{"text": "same doc", "lang": "de", "source": "web"}""",
+      """{"text": "same doc", "lang": "en", "source": "book"}""",
+      """{"text": "same doc"}""")).good
+      .select("doc_id").as[Long].collect().toSet
+    assert(without == runs.head.collect { case (id, _, _) if id != 42L => id })
+  }
+
   test("round-trips into the text operators") {
     val r = JsonlDocs.fromLines(lines(
       """{"text": "the quick brown fox"}""",

@@ -29,19 +29,40 @@ class MultimodalSpec extends SparkSuite {
     bb.put(Array(1, 1, 17, 0).map(_.toByte))
     bb.array()
   }
-  private def gifBytes(w: Int, h: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  private def gifBytes(w: Int, h: Int, frames: Int = 1): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13 + 14 * frames + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
-    bb.put(Array(0xf7, 0, 0).map(_.toByte))
+    bb.put(Array(0, 0, 0).map(_.toByte)) // no GCT
+    (1 to frames).foreach { _ =>
+      bb.put(0x2c.toByte).putShort(0).putShort(0).putShort(1).putShort(1)
+      bb.put(0.toByte) // no LCT
+      bb.put(Array(2, 1, 0, 0).map(_.toByte)) // LZW min + 1 sub-block + term
+    }
+    bb.put(0x3b.toByte) // trailer
     bb.array()
   }
 
   test("header parse: real PNG/JPEG/GIF bytes round-trip the dimensions") {
-    assert(HeaderDecoder.parse(pngBytes(640, 480)) == Some(("png", 640, 480)))
-    assert(HeaderDecoder.parse(jpegBytes(1920, 1080)) == Some(("jpeg", 1920, 1080)))
-    assert(HeaderDecoder.parse(gifBytes(320, 200)) == Some(("gif", 320, 200)))
+    assert(HeaderDecoder.parse(pngBytes(640, 480)) == Some(("png", 640, 480, 1)))
+    assert(HeaderDecoder.parse(jpegBytes(1920, 1080)) == Some(("jpeg", 1920, 1080, 1)))
+    assert(HeaderDecoder.parse(gifBytes(320, 200)) == Some(("gif", 320, 200, 1)))
     // marker walk: SOF behind APP0 was found, not assumed at a fixed offset
-    assert(HeaderDecoder.parse(jpegBytes(1, 65535)) == Some(("jpeg", 1, 65535)))
+    assert(HeaderDecoder.parse(jpegBytes(1, 65535)) == Some(("jpeg", 1, 65535, 1)))
+  }
+
+  test("GIF block walk counts animation frames, tolerates extensions + trailing junk") {
+    assert(HeaderDecoder.parse(gifBytes(320, 200, frames = 7)) == Some(("gif", 320, 200, 7)))
+    // a graphic-control extension before each frame must be stepped over
+    val ext = Array(0x21, 0xf9, 0x04, 0, 0, 0, 0, 0).map(_.toByte) // 4-byte sub-block + term
+    val g = gifBytes(8, 8, frames = 2)
+    val withExt = g.take(13) ++ ext ++ g.drop(13)
+    assert(HeaderDecoder.parse(withExt) == Some(("gif", 8, 8, 2)))
+    // bytes after the trailer are ignored, not parsed as blocks
+    assert(HeaderDecoder.parse(gifBytes(8, 8, 3) ++ "junk after trailer".getBytes) ==
+      Some(("gif", 8, 8, 3)))
+    // truncated mid-frame-3: the two complete frames counted, no crash
+    assert(HeaderDecoder.parse(gifBytes(8, 8, 4).dropRight(16)) == Some(("gif", 8, 8, 2)))
   }
 
   test("header parse: truncated and malformed payloads quarantine (None)") {
@@ -71,16 +92,20 @@ class MultimodalSpec extends SparkSuite {
     val media = Multimodal.syntheticMediaFromDocuments(ids.toDF("doc_id", "text"))
     val meta = Multimodal.decodeHeaders(media)
     assert(meta.filter(!col("ok")).count() == 0)
-    val rows = meta.select("media_id", "format", "width", "height")
-      .as[(Long, String, Int, Int)].collect()
-    rows.foreach { case (id, fmt, w, h) =>
+    val rows = meta.select("media_id", "format", "width", "height", "n_frames")
+      .as[(Long, String, Int, Int, Int)].collect()
+    rows.foreach { case (id, fmt, w, h, f) =>
       assert(fmt == Seq("png", "jpeg", "gif")((id % 3).toInt), s"id=$id")
       assert(w == 16 + id % 1000, s"id=$id")
       assert(h == 16 + (id / 1000) % 1000, s"id=$id")
+      assert(f == (if (id % 3 == 2) 1 + id % 8 else 1), s"id=$id")
     }
     // the payload really is header + body bytes
     val m0 = media.filter($"media_id" === 0L).select("media").as[Array[Byte]].head()
     assert(m0.length == 33 + "body of 0".getBytes.length)
+    // gif payload: full stream (header + k frames + trailer) + body junk
+    val m2 = media.filter($"media_id" === 2L).select("media").as[Array[Byte]].head()
+    assert(m2.length == 13 + 14 * 3 + 1 + "body of 2".getBytes.length)
   }
 
   test("decode is deterministic and partitioning-invariant; quarantine flows as data") {
@@ -90,7 +115,7 @@ class MultimodalSpec extends SparkSuite {
     val f2 = Multimodal.decodeHeaders(media, targetBytesPerPartition = 16L)
       .orderBy("media_id").collect()
     assert(f1.sameElements(f2)) // partitioning must not change results
-    val bad = f1.filter(!_.getBoolean(6))
+    val bad = f1.filter(!_.getBoolean(7))
     assert(bad.map(_.getLong(0)).toSeq == Seq(3L))
     assert(bad.head.getString(3) == "unknown" && bad.head.getInt(4) == -1)
   }
@@ -116,8 +141,8 @@ class MultimodalSpec extends SparkSuite {
     assert(sums.length >= expectParts - 3 && sums.length <= expectParts)
   }
 
-  test("frame sample plan strides over a frame-count column") {
-    val feats = Seq((1L, "video", 25L), (2L, "image", 1L), (3L, "video", 95L))
+  test("frame sample plan strides over the parsed frame counts") {
+    val feats = Seq((1L, "gif", 25L), (2L, "png", 1L), (3L, "gif", 95L))
       .toDF("media_id", "kind", "n_frames")
     val plan = Multimodal.frameSamplePlan(feats, stride = 10)
     val idx = plan.select("frame_indices").as[Seq[Long]].collect()
