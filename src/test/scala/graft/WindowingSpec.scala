@@ -67,6 +67,20 @@ class WindowingSpec extends SparkSuite {
     }
   }
 
+  test("empty key set = a corpus-GLOBAL sliding frame (no key column at all)") {
+    val df = (1L to 200L).map(i => ("x", i * 3 % 101, i, i % 7)).toDF("k", "t", "id", "v")
+    val got = Windowing.movingSumCount(df, Nil, Seq(col("t").asc, col("id").asc),
+        col("v"), 5, "fs", "fc", numPartitions = 6)
+      .select("id", "fs", "fc")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.orderBy(col("t").asc, col("id").asc).rowsBetween(-4, 0)
+    val want = df.withColumn("fs", sum(col("v")).over(w))
+      .withColumn("fc", count(lit(1)).over(w))
+      .select("id", "fs", "fc")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
   test("input columns named like the internal stems survive") {
     val df = (1L to 50L).map(i => ("k", i, i, i))
       .toDF("k", "t", "id", "v").withColumn("__graft_rn0", lit(9))
