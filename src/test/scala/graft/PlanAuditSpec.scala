@@ -161,6 +161,25 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("two-pass ranking/windowing scan the corpus ONCE (AQE stage reuse)") {
+    // Ranking/Windowing reference their range-partitioned input from two
+    // lineage branches (offset side + data side; Windowing adds the
+    // frame self-join). AQE stage reuse must collapse those to a single
+    // physical scan — a regression here silently doubles or quadruples
+    // the 100 TB read. Node VISITS > 1 are fine (reused stages are
+    // referenced from several places); distinct scan OBJECTS are not.
+    Graft.register(spark)
+    for (n <- Seq("q_ntile_quality", "q_moving_avg")) {
+      val qe = SparkEntry.queries(n)(spark, sf).queryExecution
+      qe.toRdd.count()
+      val scans = flatten(qe.executedPlan)
+        .filter(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(scans.nonEmpty, s"$n: no file scan found")
+      val unique = scans.map(System.identityHashCode).distinct
+      assert(unique.size == 1, s"$n physically scans the corpus ${unique.size} times")
+    }
+  }
+
   test("native cosine expression appears in the generated plan (codegen'd)") {
     val df = Similarity.nearDupPairs(Canon.embeddings(spark, sf), tau = 0.99)
     assert(plan(df).contains("cosine_sim"), plan(df))
