@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  private def free(df: DataFrame, stem: String): String =
-    Iterator.from(0).map(i => s"$stem$i").find(n => !df.columns.contains(n)).get
+  private def free(df: DataFrame, stem: String, reserved: Seq[String] = Nil): String =
+    Iterator.from(0).map(i => s"$stem$i")
+      .find(n => !df.columns.contains(n) && !reserved.contains(n)).get
 
   /** Adds `rankName` = global 1-based row_number under `sortExprs` (must
     * be a total order for deterministic ranks) and, if `totalName` is
@@ -36,10 +37,13 @@ object Ranking {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val pid = free(df, "__graft_pid")
-    val cnt = free(df, "__graft_cnt")
-    val off = free(df, "__graft_off")
-    val tot = totalName.getOrElse(free(df, "__graft_tot"))
+    // internal names must dodge the caller's output names too (a caller
+    // passing rankName = "__graft_pid0" must not have it dropped)
+    val reserved = rankName +: totalName.toSeq
+    val pid = free(df, "__graft_pid", reserved)
+    val cnt = free(df, "__graft_cnt", reserved)
+    val off = free(df, "__graft_off", reserved)
+    val tot = totalName.getOrElse(free(df, "__graft_tot", reserved))
     val ranged = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn(pid, spark_partition_id())
     // per-partition counts: ≤ `parts` rows after a map-side partial agg
@@ -70,8 +74,8 @@ object Ranking {
   def withNtile(df: DataFrame, n: Int, sortExprs: Seq[Column],
                 bucketName: String, numPartitions: Int = 0): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
-    val rn = free(df, "__graft_rank")
-    val tot = free(df, "__graft_total")
+    val rn = free(df, "__graft_rank", Seq(bucketName))
+    val tot = free(df, "__graft_total", Seq(bucketName, rn))
     val ranked = withGlobalRank(df, sortExprs, rn, Some(tot), numPartitions)
     // CASE arms: when total < n, base = 0 and the first arm covers every
     // rank (rem = total), so the DIV-by-zero arm is never evaluated

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object Windowing {
 
-  private def free(df: DataFrame, stem: String): String =
-    Iterator.from(0).map(i => s"$stem$i").find(n => !df.columns.contains(n)).get
+  private def free(df: DataFrame, stem: String, reserved: Seq[String]): String =
+    Iterator.from(0).map(i => s"$stem$i")
+      .find(n => !df.columns.contains(n) && !reserved.contains(n)).get
 
   /** Adds `sumName` = sliding sum of `valueCol` and `cntName` = sliding
     * row count over the last `frame` rows per key (frame-1 preceding +
@@ -44,15 +45,17 @@ object Windowing {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val v = free(df, "__graft_v")
-    val pid = free(df, "__graft_pid")
-    val rnl = free(df, "__graft_rnl")
-    val psl = free(df, "__graft_psl")
-    val cOff = free(df, "__graft_coff")
-    val sOff = free(df, "__graft_soff")
-    val rn = free(df, "__graft_rn")
-    val ps = free(df, "__graft_ps")
-    val psPrev = free(df, "__graft_psprev")
+    // internal names must dodge the caller's output names too
+    val reserved = Seq(sumName, cntName)
+    val v = free(df, "__graft_v", reserved)
+    val pid = free(df, "__graft_pid", reserved)
+    val rnl = free(df, "__graft_rnl", reserved)
+    val psl = free(df, "__graft_psl", reserved)
+    val cOff = free(df, "__graft_coff", reserved)
+    val sOff = free(df, "__graft_soff", reserved)
+    val rn = free(df, "__graft_rn", reserved)
+    val ps = free(df, "__graft_ps", reserved)
+    val psPrev = free(df, "__graft_psprev", reserved)
 
     val sortAll: Seq[Column] = keyCols.map(col) ++ orderCols
     val ranged = df.withColumn(v, valueCol)
