@@ -458,6 +458,16 @@ object SparkEntry {
           round(col("n_events").cast("double") / col("n_sessions"), 6))
         .orderBy("user_id")
     }),
+    // the same sessionization through the HOT-KEY-SAFE two-pass path
+    // (Events.sessionizeScalable): identical semantics and oracle, no
+    // per-user task — the variant for a single user too big for one task
+    "q_sessionize_hotkey" -> ((s, d) =>
+      operators.Events.sessionizeScalable(Canon.eventsRaw(s, d), 1800000000L)
+        .groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .withColumn("events_per_session",
+          round(col("n_events").cast("double") / col("n_sessions"), 6))
+        .orderBy("user_id")),
     // ordered conversion funnel + weekly cohort retention — see
     // operators.Events for the per-user join shapes
     "q_funnel" -> ((s, d) =>
@@ -996,6 +1006,22 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
     "q_sessionize" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |g AS (SELECT user_id,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM f)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(max(sess_id) AS BIGINT), 6) AS events_per_session
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical semantics to q_sessionize — the hotkey variant must
+    // reproduce the window formulation bit-for-bit
+    "q_sessionize_hotkey" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
         |f AS (SELECT user_id, ts_us, event_id,
         |  CASE WHEN lag(ts_us) OVER w IS NULL

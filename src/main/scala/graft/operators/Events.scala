@@ -44,6 +44,45 @@ object Events {
       .select("stage", "n_users")
   }
 
+  /** Gap sessionization with NO per-user task — the hot-key-safe variant
+    * of the lag + cumulative-flag window (`q_sessionize`). The windowed
+    * formulation partitions by user: correct and cheap when users are
+    * many and small, but one pathological user (a bot firing a large
+    * share of all events) serializes through a single task. This path
+    * routes both ORDER-dependent steps through the two-pass prefix
+    * machinery instead:
+    *
+    *  1. global per-user event rank ([[Windowing.withGlobalRankByKey]]);
+    *  2. the lag(ts) lookup as a self-join on the unique (user, rank−1);
+    *  3. session ids as the per-user running sum of new-session flags
+    *     ([[Windowing.withRankAndRunningSum]] over the rank order).
+    *
+    * Same exact output as the window (equivalence-tested under 9:1 user
+    * skew); costs ~2× the shuffles, so prefer the plain window until a
+    * single key can exceed one task's capacity.
+    */
+  def sessionizeScalable(e: DataFrame, gapUs: Long,
+                         userCol: String = "user_id", tsCol: String = "ts_us",
+                         idCol: String = "event_id", sessCol: String = "sess_id",
+                         numPartitions: Int = 0): DataFrame = {
+    def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
+      .find(n => !e.columns.contains(n) && n != sessCol).get
+    val rn = free("__graft_srn")
+    val rn2 = free("__graft_srn2")
+    val prevTs = free("__graft_sprev")
+    val flag = free("__graft_sflag")
+    val order = Seq(col(tsCol).asc, col(idCol).asc)
+    val ranked = Windowing.withGlobalRankByKey(e, Seq(userCol), order, rn, numPartitions)
+    val prev = ranked.select(col(userCol), (col(rn) + 1).as(rn), col(tsCol).as(prevTs))
+    val flagged = ranked.join(prev.hint("shuffle_hash"), Seq(userCol, rn), "left")
+      .withColumn(flag,
+        when(col(prevTs).isNull || col(tsCol) - col(prevTs) > gapUs, 1L).otherwise(0L))
+      .drop(prevTs)
+    Windowing.withRankAndRunningSum(flagged, Seq(userCol), Seq(col(rn).asc),
+        col(flag), rn2, sessCol, numPartitions)
+      .select(e.columns.map(col) :+ col(sessCol): _*) // input order preserved
+  }
+
   /** Users active k weeks after their first event, per k — cohort
     * retention on integer epoch-week arithmetic (`DIV`, exact on any
     * engine; double division then cast can round UP across a week

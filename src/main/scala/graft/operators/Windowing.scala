@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed sliding-frame aggregation for LOW-CARDINALITY keys — the
-  * two-pass prefix aggregation SCALE.md names for `q_moving_avg`-shaped
-  * windows. `Window.partitionBy(key)` over a handful of keys serializes
-  * each key's entire history through ONE task (1/5 of a 100 TB events
-  * table per task); this operator keeps the same exact semantics with no
-  * per-key task:
+/** Distributed ORDER-dependent window computation for LOW-CARDINALITY
+  * keys — the two-pass prefix aggregation SCALE.md names for
+  * `q_moving_avg`-shaped windows. `Window.partitionBy(key)` over a
+  * handful of keys serializes each key's entire history through ONE task
+  * (1/5 of a 100 TB events table per task); these operators keep the
+  * same exact semantics with no per-key task:
   *
   *  1. range-repartition on (key, order) so each partition holds a
   *     contiguous slice of each key's timeline;
@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   *     the PARTITION ID — `parts` balanced groups, never one per key);
   *  3. broadcast the tiny per-(partition, key) count/sum table, cumulated
   *     per key, to turn local ranks/prefixes into global ones;
-  *  4. the ROWS-frame sum at rank r is then P(r) − P(r−frame), fetched by
-  *     a hash self-join on (key, r−frame) — (key, rank) is unique, so the
-  *     join is shuffle-balanced regardless of key skew.
+  *  4. frame/lag lookups become hash self-joins on (key, rank) —
+  *     (key, rank) is unique, so the join is shuffle-balanced regardless
+  *     of key skew.
   *
-  * The frame count is `least(r, frame)` (ranks are dense per key), so
-  * `sum/count` reproduce `ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW`
-  * exactly. `valueCol` must be non-null (feed integral micro-units for
-  * engine-exact averages); an all-null-frame would return 0, not NULL.
+  * `withRankAndRunningSum` is the shared pass (global rank + running
+  * UNBOUNDED PRECEDING..CURRENT sum); `movingSumCount` adds the bounded
+  * ROWS frame as P(r) − P(r−frame). `valueCol` must be non-null (feed
+  * integral micro-units for engine-exact averages); an all-null frame
+  * would return 0, not NULL. AQE stage reuse keeps all of this at ONE
+  * physical corpus scan (gated in PlanAuditSpec).
   */
 object Windowing {
 
@@ -32,37 +34,33 @@ object Windowing {
     Iterator.from(0).map(i => s"$stem$i")
       .find(n => !df.columns.contains(n) && !reserved.contains(n)).get
 
-  /** Adds `sumName` = sliding sum of `valueCol` and `cntName` = sliding
-    * row count over the last `frame` rows per key (frame-1 preceding +
-    * current), ordered by `orderCols` (must totally order rows within a
-    * key). Input columns pass through unchanged.
+  /** Adds `rankName` = global 1-based per-key rank under `orderCols`
+    * (which must totally order rows within a key) and `sumName` = the
+    * per-key running sum of `valueCol` (UNBOUNDED PRECEDING..CURRENT
+    * ROW) — with no per-key task and no full-data single-partition
+    * exchange. Input columns pass through unchanged.
     */
-  def movingSumCount(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-                     valueCol: Column, frame: Int,
-                     sumName: String, cntName: String,
-                     numPartitions: Int = 0): DataFrame = {
-    require(frame >= 1, s"frame must be >= 1, got $frame")
+  def withRankAndRunningSum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+                            valueCol: Column, rankName: String, sumName: String,
+                            numPartitions: Int = 0): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // internal names must dodge the caller's output names too
-    val reserved = Seq(sumName, cntName)
+    val reserved = Seq(rankName, sumName)
     val v = free(df, "__graft_v", reserved)
     val pid = free(df, "__graft_pid", reserved)
     val rnl = free(df, "__graft_rnl", reserved)
     val psl = free(df, "__graft_psl", reserved)
     val cOff = free(df, "__graft_coff", reserved)
     val sOff = free(df, "__graft_soff", reserved)
-    val rn = free(df, "__graft_rn", reserved)
-    val ps = free(df, "__graft_ps", reserved)
-    val psPrev = free(df, "__graft_psprev", reserved)
 
     val sortAll: Seq[Column] = keyCols.map(col) ++ orderCols
     val ranged = df.withColumn(v, valueCol)
       .repartitionByRange(parts, sortAll: _*)
       .withColumn(pid, spark_partition_id())
     val grpCols = (pid +: keyCols).map(col)
-    // pass 1: rank + prefix sum WITHIN the range partition (running frame)
+    // pass 1: rank + prefix sum WITHIN the range partition
     val wLocal = Window.partitionBy(grpCols: _*).orderBy(orderCols: _*)
     val local = ranged
       .withColumn(rnl, row_number().over(wLocal).cast("long"))
@@ -77,13 +75,43 @@ object Windowing {
         coalesce(sum(col(cOff)).over(wOff), lit(0L)).as(cOff) :+
         coalesce(sum(col(sOff)).over(wOff), lit(0L)).as(sOff): _*)
     // pass 2: globalize rank and prefix via the broadcast offsets
-    val globalized = local.join(broadcast(offsets), pid +: keyCols)
-      .withColumn(rn, col(rnl) + col(cOff))
-      .withColumn(ps, col(psl) + col(sOff))
-    val cur = globalized.select(df.columns.map(col) :+ col(rn) :+ col(ps): _*)
+    local.join(broadcast(offsets), pid +: keyCols)
+      .withColumn(rankName, col(rnl) + col(cOff))
+      .withColumn(sumName, col(psl) + col(sOff))
+      .select(df.columns.map(col) :+ col(rankName) :+ col(sumName): _*)
+  }
+
+  /** Rank-only variant (global per-key `row_number`). */
+  def withGlobalRankByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+                          rankName: String, numPartitions: Int = 0): DataFrame = {
+    val tmp = free(df, "__graft_zsum", Seq(rankName))
+    withRankAndRunningSum(df, keyCols, orderCols, lit(0L), rankName, tmp, numPartitions)
+      .drop(tmp)
+  }
+
+  /** Adds `sumName` = sliding sum of `valueCol` and `cntName` = sliding
+    * row count over the last `frame` rows per key (frame-1 preceding +
+    * current), ordered by `orderCols` (must totally order rows within a
+    * key). Input columns pass through unchanged. The frame count is
+    * `least(r, frame)` (ranks are dense per key), so `sum/count`
+    * reproduce `ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW` exactly.
+    */
+  def movingSumCount(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+                     valueCol: Column, frame: Int,
+                     sumName: String, cntName: String,
+                     numPartitions: Int = 0): DataFrame = {
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    val reserved = Seq(sumName, cntName)
+    val rn = free(df, "__graft_rn", reserved)
+    val ps = free(df, "__graft_ps", reserved)
+    val psPrev = free(df, "__graft_psprev", reserved)
+    val globalized =
+      withRankAndRunningSum(df, keyCols, orderCols, valueCol, rn, ps, numPartitions)
+    // frame sum at rank r = P(r) − P(r−frame), via a self-join on the
+    // UNIQUE (key, rank) — shuffle-balanced under any key skew
     val prev = globalized.select(
       keyCols.map(col) :+ (col(rn) + frame).as(rn) :+ col(ps).as(psPrev): _*)
-    cur.join(prev, keyCols :+ rn, "left")
+    globalized.join(prev, keyCols :+ rn, "left")
       .withColumn(sumName, col(ps) - coalesce(col(psPrev), lit(0L)))
       .withColumn(cntName, least(col(rn), lit(frame.toLong)))
       .drop(rn, ps, psPrev)

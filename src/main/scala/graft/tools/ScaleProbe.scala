@@ -46,6 +46,13 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
     }.reduce(_ unionByName _).cache()
+    // ALL extra events on ONE user — the per-user-window serialization shape
+    val evrUserSkew = (evr1 +: (1 until mult).map { i =>
+      Canon.eventsRaw(spark, dir)
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", lit(7L))
+        .withColumn("ts_us", col("ts_us") + lit(i.toLong * 7L))
+    }).reduce(_ unionByName _).cache()
     val cust = Canon.table(spark, dir, "customer").cache()
     val li1 = Canon.table(spark, dir, "lineitem").cache()
     val ord1 = Canon.table(spark, dir, "orders").cache()
@@ -56,7 +63,7 @@ object ScaleProbe {
       ord1.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L)))
       .reduce(_ unionByName _).cache()
     val bases = Seq(ev1, ev10, evSkew, doc1, doc10, emb1, emb10, evr1, evr10,
-      cust, li1, ord1, li10, ord10)
+      evrUserSkew, cust, li1, ord1, li10, ord10)
     bases.foreach(_.count()) // materialize
 
     def time(f: => Long): Double = {
@@ -166,6 +173,11 @@ object ScaleProbe {
         Seq("series"), Seq(col("ts_us").asc, col("rid").asc),
         col("__vmicro"), 5, "__fs", "__fc").count()
     probe("moving_avg_skew", movingAvg(ev1), movingAvg(evSkew))
+    // hot-key-safe sessionization under the same shape: ALL ×10 event
+    // growth on one user; the windowed formulation would serialize it
+    def sess(e: DataFrame): Long =
+      graft.operators.Events.sessionizeScalable(e, 1800000000L).count()
+    probe("sessionize_skew", sess(evr1), sess(evrUserSkew))
     spark.stop()
   }
 }
