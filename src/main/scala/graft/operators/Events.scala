@@ -72,14 +72,17 @@ object Events {
     val prevTs = free("__graft_sprev")
     val flag = free("__graft_sflag")
     val order = Seq(col(tsCol).asc, col(idCol).asc)
-    val ranked = Windowing.withGlobalRankByKey(e, Seq(userCol), order, rn, numPartitions)
+    // user_id is HIGH-cardinality: the offset tables are user-count-scale
+    // (not broadcastable at 100 TB) — pin the shuffle join
+    val ranked = Windowing.withGlobalRankByKey(e, Seq(userCol), order, rn,
+      numPartitions, broadcastOffsets = false)
     val prev = ranked.select(col(userCol), (col(rn) + 1).as(rn), col(tsCol).as(prevTs))
     val flagged = ranked.join(prev.hint("shuffle_hash"), Seq(userCol, rn), "left")
       .withColumn(flag,
         when(col(prevTs).isNull || col(tsCol) - col(prevTs) > gapUs, 1L).otherwise(0L))
       .drop(prevTs)
     Windowing.withRankAndRunningSum(flagged, Seq(userCol), Seq(col(rn).asc),
-        col(flag), rn2, sessCol, numPartitions)
+        col(flag), rn2, sessCol, numPartitions, broadcastOffsets = false)
       .select(e.columns.map(col) :+ col(sessCol): _*) // input order preserved
   }
 

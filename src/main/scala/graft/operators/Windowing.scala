@@ -39,10 +39,20 @@ object Windowing {
     * per-key running sum of `valueCol` (UNBOUNDED PRECEDING..CURRENT
     * ROW) — with no per-key task and no full-data single-partition
     * exchange. Input columns pass through unchanged.
+    *
+    * `broadcastOffsets`: the offset table has ~(numPartitions + distinct
+    * keys) rows — each key's range slice is contiguous, so a key appears
+    * in at most a couple of partitions. With LOW-cardinality keys (the
+    * moving-average shape) that is ≈ numPartitions rows: broadcast it.
+    * With HIGH-cardinality keys (sessionization by user) it is
+    * key-count-scale — a fact-table broadcast in disguise; pass false to
+    * pin a shuffle hash join instead (the pid column spreads any hot key
+    * across reducers).
     */
   def withRankAndRunningSum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
                             valueCol: Column, rankName: String, sumName: String,
-                            numPartitions: Int = 0): DataFrame = {
+                            numPartitions: Int = 0,
+                            broadcastOffsets: Boolean = true): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -74,8 +84,10 @@ object Windowing {
       .select(grpCols :+
         coalesce(sum(col(cOff)).over(wOff), lit(0L)).as(cOff) :+
         coalesce(sum(col(sOff)).over(wOff), lit(0L)).as(sOff): _*)
-    // pass 2: globalize rank and prefix via the broadcast offsets
-    local.join(broadcast(offsets), pid +: keyCols)
+    // pass 2: globalize rank and prefix via the offsets join
+    val offsetsSide =
+      if (broadcastOffsets) broadcast(offsets) else offsets.hint("shuffle_hash")
+    local.join(offsetsSide, pid +: keyCols)
       .withColumn(rankName, col(rnl) + col(cOff))
       .withColumn(sumName, col(psl) + col(sOff))
       .select(df.columns.map(col) :+ col(rankName) :+ col(sumName): _*)
@@ -83,9 +95,11 @@ object Windowing {
 
   /** Rank-only variant (global per-key `row_number`). */
   def withGlobalRankByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-                          rankName: String, numPartitions: Int = 0): DataFrame = {
+                          rankName: String, numPartitions: Int = 0,
+                          broadcastOffsets: Boolean = true): DataFrame = {
     val tmp = free(df, "__graft_zsum", Seq(rankName))
-    withRankAndRunningSum(df, keyCols, orderCols, lit(0L), rankName, tmp, numPartitions)
+    withRankAndRunningSum(df, keyCols, orderCols, lit(0L), rankName, tmp,
+        numPartitions, broadcastOffsets)
       .drop(tmp)
   }
 

@@ -161,6 +161,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("hotkey sessionize never broadcasts (every table in it is user-scale)") {
+    // the Windowing offset tables under a HIGH-cardinality key are
+    // user-count-scale — a broadcast there is the fact-broadcast trap in
+    // derived-table form, invisible to the scan-based gate below
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    Graft.register(spark)
+    val qe = SparkEntry.queries("q_sessionize_hotkey")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val b = flatten(qe.executedPlan).filter(_.isInstanceOf[BroadcastExchangeExec])
+    assert(b.isEmpty, s"q_sessionize_hotkey broadcasts:\n${b.mkString("\n")}")
+  }
+
   test("two-pass ranking/windowing scan the corpus ONCE (AQE stage reuse)") {
     // Ranking/Windowing reference their range-partitioned input from two
     // lineage branches (offset side + data side; Windowing adds the
