@@ -49,40 +49,68 @@ object Events {
     * formulation partitions by user: correct and cheap when users are
     * many and small, but one pathological user (a bot firing a large
     * share of all events) serializes through a single task. This path
-    * routes both ORDER-dependent steps through the two-pass prefix
-    * machinery instead:
+    * range-partitions the timeline instead, so a hot user spreads across
+    * partitions, and stitches the boundaries with per-(partition, user)
+    * side tables that are user-count-scale (shuffle-joined, NEVER
+    * broadcast — plan-gated):
     *
-    *  1. global per-user event rank ([[Windowing.withGlobalRankByKey]]);
-    *  2. the lag(ts) lookup as a self-join on the unique (user, rank−1);
-    *  3. session ids as the per-user running sum of new-session flags
-    *     ([[Windowing.withRankAndRunningSum]] over the rank order).
+    *  1. range-repartition on (user, ts, id); local lag + local flag
+    *     prefix sums via windows keyed by the PARTITION id;
+    *  2. each partition's first row per user takes its lag from the
+    *     previous partition's per-user tail timestamp (a tiny aggregate,
+    *     laggged per user over partition ids);
+    *  3. session ids = local flag prefix + the cumulated per-(partition,
+    *     user) flag offsets.
     *
-    * Same exact output as the window (equivalence-tested under 9:1 user
-    * skew); costs ~2× the shuffles, so prefer the plain window until a
-    * single key can exceed one task's capacity.
+    * Every join keys on (partition id, user), which the window exchange
+    * already satisfies on the big side — ONE corpus range shuffle + ONE
+    * (pid, user) hash shuffle total. Same exact output as the window
+    * (equivalence-tested under 9:1 user skew); prefer the plain window
+    * until a single key can exceed one task's capacity.
     */
   def sessionizeScalable(e: DataFrame, gapUs: Long,
                          userCol: String = "user_id", tsCol: String = "ts_us",
                          idCol: String = "event_id", sessCol: String = "sess_id",
                          numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
       .find(n => !e.columns.contains(n) && n != sessCol).get
-    val rn = free("__graft_srn")
-    val rn2 = free("__graft_srn2")
-    val prevTs = free("__graft_sprev")
-    val flag = free("__graft_sflag")
-    val order = Seq(col(tsCol).asc, col(idCol).asc)
-    // user_id is HIGH-cardinality: the offset tables are user-count-scale
-    // (not broadcastable at 100 TB) — pin the shuffle join
-    val ranked = Windowing.withGlobalRankByKey(e, Seq(userCol), order, rn,
-      numPartitions, broadcastOffsets = false)
-    val prev = ranked.select(col(userCol), (col(rn) + 1).as(rn), col(tsCol).as(prevTs))
-    val flagged = ranked.join(prev.hint("shuffle_hash"), Seq(userCol, rn), "left")
-      .withColumn(flag,
-        when(col(prevTs).isNull || col(tsCol) - col(prevTs) > gapUs, 1L).otherwise(0L))
-      .drop(prevTs)
-    Windowing.withRankAndRunningSum(flagged, Seq(userCol), Seq(col(rn).asc),
-        col(flag), rn2, sessCol, numPartitions, broadcastOffsets = false)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pid = free("__graft_pid")
+    val prevTs = free("__graft_prevts")
+    val tailTs = free("__graft_tailts")
+    val flag = free("__graft_flag")
+    val lsum = free("__graft_lsum")
+    val fOff = free("__graft_foff")
+
+    val ranged = e.repartitionByRange(parts,
+        col(userCol).asc, col(tsCol).asc, col(idCol).asc)
+      .withColumn(pid, spark_partition_id())
+    val wLocal = Window.partitionBy(col(pid), col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    // previous partition's last ts per user (range slices are contiguous,
+    // so "previous" = lag over pid within the tiny per-(pid,user) table)
+    val tails = ranged.groupBy(col(pid), col(userCol)).agg(max(col(tsCol)).as(tailTs))
+      .withColumn(tailTs,
+        lag(col(tailTs), 1).over(Window.partitionBy(col(userCol)).orderBy(col(pid))))
+      .select(col(pid), col(userCol), col(tailTs))
+    val flagged = ranged
+      .withColumn(prevTs, lag(col(tsCol), 1).over(wLocal))
+      .join(tails.hint("shuffle_hash"), Seq(pid, userCol), "left")
+      // a partition's first user row falls back to the previous tail
+      .withColumn(flag, when(coalesce(col(prevTs), col(tailTs)).isNull ||
+        col(tsCol) - coalesce(col(prevTs), col(tailTs)) > gapUs, 1L).otherwise(0L))
+    // per-user flag offsets over the same tiny aggregate shape
+    val offs = flagged.groupBy(col(pid), col(userCol)).agg(sum(col(flag)).as(fOff))
+      .withColumn(fOff, coalesce(sum(col(fOff)).over(Window.partitionBy(col(userCol))
+        .orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col(userCol), col(fOff))
+    flagged
+      .withColumn(lsum, sum(col(flag)).over(wLocal))
+      .join(offs.hint("shuffle_hash"), Seq(pid, userCol), "left")
+      .withColumn(sessCol, col(lsum) + coalesce(col(fOff), lit(0L)))
       .select(e.columns.map(col) :+ col(sessCol): _*) // input order preserved
   }
 
