@@ -347,7 +347,9 @@ object SparkEntry {
       val li = Canon.table(s, d, "lineitem")
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      li.join(broadcast(Canon.table(s, d, "part")),
+      // part is SF-scaled (200k rows/SF) and needed UNFILTERED for the
+      // p_type lookup — a fact-scale build side, never a broadcast
+      li.join(Canon.table(s, d, "part").hint("shuffle_hash"),
           col("l_partkey") === col("p_partkey"))
         .agg(round(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))), 2)
             .as("promo_rev"),

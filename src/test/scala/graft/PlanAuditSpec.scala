@@ -125,17 +125,21 @@ class PlanAuditSpec extends SparkSuite {
           val scanned = leaves.mkString("\n")
           assert(!scanned.contains("lineitem.parquet") && !scanned.contains("orders.parquet"),
             s"$n broadcasts a fact-table scan:\n$scanned")
-          // customer is fact-scaled too (150k rows/SF): broadcastable ONLY
-          // when cut by a real selective predicate (the Q3 mktsegment
-          // shape); join-key IsNotNull inference alone doesn't count
-          leaves.filter(_.contains("customer.parquet")).foreach { s =>
-            val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
-              .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-            val selective = pushed.split(",").map(_.trim)
-              .exists(f => f.nonEmpty && !f.startsWith("IsNotNull"))
-            assert(selective,
-              s"$n broadcasts an UNFILTERED customer scan:\n$s")
-          }
+          // customer/part/supplier are fact-scaled too (150k/200k/10k
+          // rows/SF): broadcastable ONLY when cut by a real selective
+          // predicate (the Q3 mktsegment shape, the Q5 region-filtered
+          // supplier); join-key IsNotNull inference alone doesn't count
+          Seq("customer.parquet", "part.parquet", "supplier.parquet")
+            .foreach { table =>
+              leaves.filter(_.contains(table)).foreach { s =>
+                val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+                  .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+                val selective = pushed.split(",").map(_.trim)
+                  .exists(f => f.nonEmpty && !f.startsWith("IsNotNull"))
+                assert(selective,
+                  s"$n broadcasts an UNFILTERED $table scan:\n$s")
+              }
+            }
         case a: HashAggregateExec =>
           a.groupingExpressions.foreach(k => assert(!k.dataType.isInstanceOf[ArrayType],
             s"$n aggregates on an array key: $k"))
