@@ -24,7 +24,10 @@ object RangeJoin {
     val r = right.withColumn("__bucket",
         explode(sequence((col(startCol).cast("long") / bucketUs).cast("long"),
           (col(endCol).cast("long") / bucketUs).cast("long"))))
-    l.join(r, keys :+ "__bucket")
+    // the interval side is key-count-scale (per-user sessions at 100 TB
+    // = billions of rows) — never a broadcast; pin the shuffle join with
+    // the exploded intervals as the per-(keys, bucket) build side
+    l.join(r.hint("shuffle_hash"), keys :+ "__bucket")
       .filter(col(tsCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }

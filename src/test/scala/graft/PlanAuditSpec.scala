@@ -125,17 +125,46 @@ class PlanAuditSpec extends SparkSuite {
           val scanned = leaves.mkString("\n")
           assert(!scanned.contains("lineitem.parquet") && !scanned.contains("orders.parquet"),
             s"$n broadcasts a fact-table scan:\n$scanned")
-          // customer/part/supplier are fact-scaled too (150k/200k/10k
-          // rows/SF): broadcastable ONLY when cut by a real selective
-          // predicate (the Q3 mktsegment shape, the Q5 region-filtered
-          // supplier); join-key IsNotNull inference alone doesn't count
-          Seq("customer.parquet", "part.parquet", "supplier.parquet")
+          // every other SF-scaled table — the TPC-H satellites
+          // (customer/part/supplier, 150k/200k/10k rows/SF) and the
+          // corpus tables (documents/embeddings/events) — is
+          // broadcastable ONLY when cut by a real selective predicate
+          // (the Q3 mktsegment shape, a query-vector isin, the eval-set
+          // gate); join-key IsNotNull inference alone doesn't count.
+          // Fixed dims (nation, region) and derived small tables (IVF
+          // centroid stores) are exempt. This is the r5 sweep class:
+          // AQE elected full-corpus broadcasts in the simhash/
+          // containment/neardup/range-join tile joins at bench scale.
+          // "selective" = a non-IsNotNull pushed filter on the scan OR a
+          // post-scan Filter with a non-IsNotNull conjunct anywhere in
+          // the broadcast subtree (expression predicates like the
+          // decontamination eval gate can't push to parquet)
+          def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+              : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              conjuncts(l) ++ conjuncts(r)
+            case x => Seq(x)
+          }
+          val subFilterSelective = flatten(b.child).exists {
+            case f: org.apache.spark.sql.execution.FilterExec =>
+              conjuncts(f.condition).exists(c =>
+                !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+            // Ranking/Windowing offset tables: grouped on the partition
+            // id (the repo's __graft_pid marker) → ≤ numPartitions rows
+            // by construction, broadcastable at any corpus size
+            case a: HashAggregateExec =>
+              a.groupingExpressions.exists(_.toString.contains("__graft_pid"))
+            case _ => false
+          }
+          Seq("customer.parquet", "part.parquet", "supplier.parquet",
+              "documents.parquet", "embeddings.parquet", "events.parquet")
             .foreach { table =>
               leaves.filter(_.contains(table)).foreach { s =>
                 val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
                   .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
                 val selective = pushed.split(",").map(_.trim)
-                  .exists(f => f.nonEmpty && !f.startsWith("IsNotNull"))
+                  .exists(f => f.nonEmpty && !f.startsWith("IsNotNull")) ||
+                  subFilterSelective
                 assert(selective,
                   s"$n broadcasts an UNFILTERED $table scan:\n$s")
               }
