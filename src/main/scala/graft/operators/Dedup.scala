@@ -105,9 +105,13 @@ object Dedup {
     // rank shingles within each doc by the global order (freq asc, hash asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("f").asc, col("shingle").asc)
-    // exploded/freq/prefixes are all corpus-scale: pin every shuffle
-    // (bench-scale statistics elect full broadcasts — OOM at 100×)
-    val ranked = exploded.join(freq.hint("shuffle_hash"), Seq("shingle"))
+    // exploded/freq/prefixes are all corpus-scale: pin every one to the
+    // SPILLABLE sort-merge join. Bench-scale statistics elect full
+    // broadcasts (OOM at 100×), and a shuffled-hash build is no better —
+    // its per-task hash relation must FIT IN MEMORY, which a corpus-scale
+    // build side does not (the ×10 probe failed with "Can't acquire
+    // 134217728 bytes to build hash relation" before this switch)
+    val ranked = exploded.join(freq.hint("merge"), Seq("shingle"))
       .withColumn("pos", row_number().over(w))
     // prefix length p = |s| - ceil(tau*|s|) + 1
     val prefixes = ranked.filter(
@@ -115,7 +119,7 @@ object Dedup {
       .cache() // both sides of the candidate self-join read this index
     val cand = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("shingle"), col("pos").as("pos_a"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(prefixes.select(col("id").as("id_b"), col("n_sh").as("n_b"),
           col("shingle").as("shingle_b"), col("pos").as("pos_b")),
         col("shingle") === col("shingle_b") && col("id_a") < col("id_b") &&
@@ -131,10 +135,11 @@ object Dedup {
         ceil((col("n_a") + col("n_b")) * tau / (1 + tau)))
       .select("id_a", "id_b")
     // exact verification: native two-pointer merge over the sorted
-    // arrays; the pair list is the build side (`sets` is the corpus)
-    cand.hint("shuffle_hash")
+    // arrays; the pair list can carry ×cluster² growth, so it is NOT a
+    // safe hash build side either — sort-merge spills
+    cand.hint("merge")
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayExpressions
@@ -191,34 +196,34 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("f").asc, col("shingle").asc)
     // exploded and freq are BOTH corpus-scale at 100 TB (freq is
-    // distinct-shingle-scale) — pin the shuffle joins; the shingle key
-    // is high-cardinality so they shuffle flat
-    val ranked = exploded.join(freq.hint("shuffle_hash"), Seq("shingle"))
+    // distinct-shingle-scale) — pin the spillable sort-merge joins; the
+    // shingle key is high-cardinality so they shuffle flat
+    val ranked = exploded.join(freq.hint("merge"), Seq("shingle"))
       .withColumn("pos", row_number().over(w))
     // A-side prefix: |A| - ceil(t*|A|) + 1 rarest shingles
     val prefixes = ranked.filter(
       col("pos") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
     // B-side postings, df-capped (see scaladoc)
     val bPostings = exploded.join(
-      freq.filter(col("f") <= maxDocFreq).select("shingle").hint("shuffle_hash"),
+      freq.filter(col("f") <= maxDocFreq).select("shingle").hint("merge"),
       Seq("shingle"))
     // prefix and posting sides are both corpus-scale explodes: pin the
-    // shuffle join (AQE broadcast the prefix side at bench scale — OOM
-    // at 100×); the shingle key is high-cardinality, so it shuffles flat
+    // spillable sort-merge join (AQE broadcast the prefix side at bench
+    // scale — OOM at 100×; a hash build of either side is memory-unsafe)
     val cand = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(bPostings.select(col("id").as("id_b"), col("n_sh").as("n_b"),
           col("shingle").as("shingle_b")),
         col("shingle") === col("shingle_b") &&
         (col("n_a") < col("n_b") ||
           (col("n_a") === col("n_b") && col("id_a") < col("id_b"))))
       .select("id_a", "id_b").distinct()
-    // verify joins: the candidate pair list is the SMALL side — make it
-    // the build side explicitly; `sets` is the whole corpus with shingle
-    // arrays and must never be a build/broadcast side at 100×
-    cand.hint("shuffle_hash")
+    // verify joins: sort-merge — `sets` is the whole corpus with
+    // shingle arrays and must never be a build/broadcast side at 100×,
+    // and the pair list itself can grow ×cluster²
+    cand.hint("merge")
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayExpressions
@@ -445,19 +450,20 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(slice(col("sig"), bnd * lit(r) + 1, lit(r))))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    // both sides corpus-scale — pin the bucket self-join (bench-scale
-    // statistics elect a full broadcast of the banded table, OOM at 100×)
-    val cand = banded.as("x").join(banded.hint("shuffle_hash").as("y"),
+    // both sides corpus-scale — pin the bucket self-join to the
+    // spillable sort-merge (a broadcast OR a hash build of the banded
+    // table both exceed memory at 100×)
+    val cand = banded.as("x").join(banded.hint("merge").as("y"),
         Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // verify candidates with exact Jaccard over the sorted hash sets
-    // (native two-pointer merge, same as the exact pipeline); the pair
-    // list is the build side — `sh` is the corpus with shingle arrays
-    cand.hint("shuffle_hash")
+    // (native two-pointer merge, same as the exact pipeline); both sides
+    // can be large — sort-merge spills
+    cand.hint("merge")
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayExpressions
@@ -572,8 +578,9 @@ object Dedup {
         }: _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("chunk"))
     // both sides are corpus-scale: bench-scale statistics elect a full
-    // broadcast of the banded table (OOM at 100×) — pin the shuffle join
-    banded.as("x").join(banded.hint("shuffle_hash").as("y"), Seq("band", "chunk"))
+    // broadcast of the banded table (OOM at 100×), and a hash build is no
+    // better — pin the spillable sort-merge join
+    banded.as("x").join(banded.hint("merge").as("y"), Seq("band", "chunk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))

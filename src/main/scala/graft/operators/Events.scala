@@ -98,7 +98,10 @@ object Events {
       .select(col(pid), col(userCol), col(tailTs))
     val flagged = ranged
       .withColumn(prevTs, lag(col(tsCol), 1).over(wLocal))
-      .join(tails.hint("shuffle_hash"), Seq(pid, userCol), "left")
+      // tails/offs are user-count-scale: never broadcast, and sort-merge
+      // rather than a hash build (a billion-user tail table split 32 ways
+      // still outgrows a per-task hash relation)
+      .join(tails.hint("merge"), Seq(pid, userCol), "left")
       // a partition's first user row falls back to the previous tail
       .withColumn(flag, when(coalesce(col(prevTs), col(tailTs)).isNull ||
         col(tsCol) - coalesce(col(prevTs), col(tailTs)) > gapUs, 1L).otherwise(0L))
@@ -109,7 +112,7 @@ object Events {
       .select(col(pid), col(userCol), col(fOff))
     flagged
       .withColumn(lsum, sum(col(flag)).over(wLocal))
-      .join(offs.hint("shuffle_hash"), Seq(pid, userCol), "left")
+      .join(offs.hint("merge"), Seq(pid, userCol), "left")
       .withColumn(sessCol, col(lsum) + coalesce(col(fOff), lit(0L)))
       .select(e.columns.map(col) :+ col(sessCol): _*) // input order preserved
   }

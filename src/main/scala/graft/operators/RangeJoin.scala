@@ -25,9 +25,9 @@ object RangeJoin {
         explode(sequence((col(startCol).cast("long") / bucketUs).cast("long"),
           (col(endCol).cast("long") / bucketUs).cast("long"))))
     // the interval side is key-count-scale (per-user sessions at 100 TB
-    // = billions of rows) — never a broadcast; pin the shuffle join with
-    // the exploded intervals as the per-(keys, bucket) build side
-    l.join(r.hint("shuffle_hash"), keys :+ "__bucket")
+    // = billions of rows) — never a broadcast, and not a hash build
+    // either; pin the spillable sort-merge join
+    l.join(r.hint("merge"), keys :+ "__bucket")
       .filter(col(tsCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }

@@ -106,9 +106,9 @@ object Similarity {
       .join(blockPairs, col("blk") === col("ba"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("blk").as("blk_b"))
     // the b side is the WHOLE corpus: bench-scale statistics elect a full
-    // broadcast (OOM at 100×) — pin the shuffle join; per-reducer build =
-    // one block ≈ n/blocks rows, which is the memory bound `blocks` sets
-    a.join(b.hint("shuffle_hash"), col("bb") === col("blk_b") &&
+    // broadcast (OOM at 100×) — pin the spillable sort-merge join (a hash
+    // build of one n/blocks block of vectors also outgrows task memory)
+    a.join(b.hint("merge"), col("bb") === col("blk_b") &&
         (col("ba") < col("bb") || col("id_a") < col("id_b")))
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
@@ -192,13 +192,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
       .distinct() // a pair may collide in several tables — id-only dedup
-    // rescore: candidate ids pull their vectors back in — the candidate
-    // list is the PINNED build side (at toy scale statistics flip to
-    // broadcasting the unfiltered base corpus instead — OOM at 100×);
+    // rescore: candidate ids pull their vectors back in — pinned
+    // sort-merge (at toy scale statistics flip to broadcasting the
+    // unfiltered base corpus instead, an OOM at 100×; the candidate list
+    // scales with query count × bucket density, so no hash build either);
     // query vectors are a genuine broadcast dim table
     val qvecs = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = cand.hint("shuffle_hash").join(base, Seq("vec_id"))
+    val scored = cand.hint("merge").join(base, Seq("vec_id"))
       .join(broadcast(qvecs), Seq("qid"))
       .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)

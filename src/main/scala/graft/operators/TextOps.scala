@@ -302,12 +302,12 @@ object TextOps {
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("fp")
-    // the df-capped fp list is small (broadcastable: one row per rare
-    // fp), but the PRUNED index is still corpus-scale — the self-join
-    // must shuffle; statistics elect a full broadcast at bench scale
-    val pruned = fps.join(rare.hint("shuffle_hash"), Seq("fp"))
+    // the rare-fp list and the pruned index are both corpus-scale (one
+    // row per rare fingerprint / per doc-fp) — pin the spillable
+    // sort-merge joins; statistics elect a full broadcast at bench scale
+    val pruned = fps.join(rare.hint("merge"), Seq("fp"))
     pruned.select(col("id").as("id_a"), col("fp"))
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(pruned.select(col("id").as("id_b"), col("fp").as("fp_b")),
         col("fp") === col("fp_b") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
