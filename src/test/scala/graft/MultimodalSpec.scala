@@ -65,6 +65,29 @@ class MultimodalSpec extends SparkSuite {
     assert(HeaderDecoder.parse(gifBytes(8, 8, 4).dropRight(16)) == Some(("gif", 8, 8, 2)))
   }
 
+  test("GIF global color table and JPEG APP1/EXIF segments are stepped over") {
+    // GIF with a GCT: packed flags 0x80|size=1 → 4-entry table, 12 bytes
+    val g = gifBytes(31, 17, frames = 2)
+    val withGct = {
+      val bb = java.nio.ByteBuffer.allocate(g.length + 12)
+      bb.put(g.take(10)).put(0x81.toByte).put(g.slice(11, 13))
+      bb.put(new Array[Byte](12)) // 4 RGB entries
+      bb.put(g.drop(13))
+      bb.array()
+    }
+    assert(HeaderDecoder.parse(withGct) == Some(("gif", 31, 17, 2)))
+    // JPEG with an APP1 (EXIF) segment between APP0 and SOF
+    val j = jpegBytes(800, 600)
+    val app1 = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(Array(0xff, 0xe1).map(_.toByte)).putShort(10)
+      bb.put("Exif".getBytes).put(Array[Byte](0, 0, 1, 2))
+      bb.array()
+    }
+    val withExif = j.take(20) ++ app1 ++ j.drop(20) // after APP0 (ends at 20)
+    assert(HeaderDecoder.parse(withExif) == Some(("jpeg", 800, 600, 1)))
+  }
+
   test("header parse: truncated and malformed payloads quarantine (None)") {
     assert(HeaderDecoder.parse(pngBytes(640, 480).take(20)) == None) // truncated IHDR
     assert(HeaderDecoder.parse(jpegBytes(640, 480).take(21)) == None) // truncated pre-SOF
