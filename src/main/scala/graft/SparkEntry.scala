@@ -242,6 +242,15 @@ object SparkEntry {
     "q_text_chunks" -> ((s, d) =>
       TextOps.chunks(Canon.documents(s, d), maxTokens = 32, overlap = 8)
         .orderBy("doc_id", "chunk_id")),
+    // sequence packing: chunks → fixed-token-budget packs by contiguous
+    // greedy fill; the running token count is the corpus-global prefix
+    // sum via the two-pass machinery (no single-partition window)
+    "q_text_pack" -> ((s, d) =>
+      TextOps.packChunks(TextOps.chunks(Canon.documents(s, d), 32, 8), 256L,
+          Seq(col("doc_id").asc, col("chunk_id").asc))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+        .orderBy("pack_id")),
     // token-count magnitude histogram (decimal-digit buckets — exact and
     // portable, unlike floor(log2(n)) whose libm rounding can flip a
     // boundary bucket between engines)
@@ -928,6 +937,20 @@ object SparkEntry {
          |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
          |  array_to_string(ck, ' ') AS chunk
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // same chunking CTE as q_text_chunks, then the identical contiguous
+    // greedy pack arithmetic over the same (doc_id, chunk_id) order
+    "q_text_pack" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |nz AS (SELECT * FROM toks WHERE len(t) > 0),
+         |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS start FROM nz),
+         |c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+         |      CAST(len(list_slice(t, start, start + 31)) AS BIGINT) AS n_tokens FROM st),
+         |p AS (SELECT n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY doc_id ASC, chunk_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c)
+         |SELECT CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_len_histogram" ->
       s"""WITH t AS (SELECT len($TOKS) AS n_tokens FROM documents)
          |SELECT CAST(length(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS magnitude,

@@ -85,9 +85,13 @@ object Events {
     val lsum = free("__graft_lsum")
     val fOff = free("__graft_foff")
 
+    // PERSISTED: spark_partition_id() above a shared exchange is not
+    // stable across the three consumer branches (tails/window/offsets)
+    // under AQE — see Windowing.withRankAndRunningSum
     val ranged = e.repartitionByRange(parts,
         col(userCol).asc, col(tsCol).asc, col(idCol).asc)
       .withColumn(pid, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col(pid), col(userCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
     // previous partition's last ts per user (range slices are contiguous,

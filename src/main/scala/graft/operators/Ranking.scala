@@ -44,8 +44,13 @@ object Ranking {
     val cnt = free(df, "__graft_cnt", reserved)
     val off = free(df, "__graft_off", reserved)
     val tot = totalName.getOrElse(free(df, "__graft_tot", reserved))
+    // PERSISTED: spark_partition_id() above a shared exchange is not
+    // stable across consumer branches under AQE (coalescing/local reads
+    // can differ between the counts branch and the rank branch) — see
+    // Windowing.withRankAndRunningSum for the full story
     val ranged = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn(pid, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts: ≤ `parts` rows after a map-side partial agg
     val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
     // cumulative offsets over the tiny count table; its single-partition

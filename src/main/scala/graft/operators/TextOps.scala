@@ -259,6 +259,34 @@ object TextOps {
         concat_ws(" ", col("__c")).as("chunk"))
   }
 
+  /** Sequence packing — the pre-training step right after [[chunks]]:
+    * assign chunks to fixed token-budget packs by CONTIGUOUS greedy fill
+    * under a deterministic global order. pack_id of a chunk is
+    * `(running_tokens_before_it) DIV capacity`: packs fill in order, a
+    * chunk that straddles a boundary belongs to the pack it started in
+    * (so a pack's total is < capacity + max_chunk_tokens), and the
+    * assignment is a pure function of the order — engine-mirrorable and
+    * oracle-exact.
+    *
+    * Scale shape: the running token count is a corpus-GLOBAL prefix sum
+    * — computed with [[Windowing.withRankAndRunningSum]] (empty key
+    * set), NOT an unpartitioned window: the naive formulation funnels
+    * every chunk through one task (the `Exchange SinglePartition` shape
+    * PlanAuditSpec bans); the two-pass path is one range shuffle plus
+    * the broadcast per-partition offsets.
+    */
+  def packChunks(chunks: DataFrame, capacityTokens: Long,
+                 orderCols: Seq[Column], tokenCol: String = "n_tokens"): DataFrame = {
+    require(capacityTokens > 0, s"capacity must be positive, got $capacityTokens")
+    def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
+      .find(n => !chunks.columns.contains(n)).get
+    val rn = free("__graft_rn")
+    val cum = free("__graft_cum")
+    Windowing.withRankAndRunningSum(chunks, Nil, orderCols, col(tokenCol), rn, cum)
+      .withColumn("pack_id", expr(s"($cum - $tokenCol) DIV $capacityTokens"))
+      .drop(rn, cum)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every char k-gram of the normalized text, then
     * keep the minimum hash of each sliding window of `w` consecutive

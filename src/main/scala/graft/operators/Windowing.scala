@@ -66,9 +66,20 @@ object Windowing {
     val sOff = free(df, "__graft_soff", reserved)
 
     val sortAll: Seq[Column] = keyCols.map(col) ++ orderCols
+    // PERSIST the pid-bearing frame: spark_partition_id() above a shared
+    // exchange is NOT stable across consumer branches — AQE may apply
+    // different read strategies (partition coalescing, mapper-local
+    // reads) to the offsets branch vs the window branch, giving the two
+    // branches DIFFERENT partition identities and silently corrupting
+    // the offsets join (caught as a nondeterministic q_text_pack row
+    // count under Verify's AQE session). Materializing pins the pid in
+    // the stored rows; every consumer reads identical values. The cached
+    // frame is the narrow (key, order, value) projection — spillable
+    // MEMORY_AND_DISK, the repo's documented internal-index cache class.
     val ranged = df.withColumn(v, valueCol)
       .repartitionByRange(parts, sortAll: _*)
       .withColumn(pid, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpCols = (pid +: keyCols).map(col)
     // pass 1: rank + prefix sum WITHIN the range partition
     val wLocal = Window.partitionBy(grpCols: _*).orderBy(orderCols: _*)

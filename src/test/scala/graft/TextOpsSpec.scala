@@ -143,4 +143,30 @@ class TextOpsSpec extends SparkSuite {
     assert(s(1L) > s(2L))
     assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("packChunks equals the single-partition window formulation + invariants") {
+    val chunks = (1L to 300L).map(i => (i / 7, i % 7, 1L + i * 13 % 40))
+      .toDF("doc_id", "chunk_id", "n_tokens")
+    val cap = 100L
+    val order = Seq(col("doc_id").asc, col("chunk_id").asc)
+    val got = TextOps.packChunks(chunks, cap, order)
+      .select("doc_id", "chunk_id", "pack_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // reference: unpartitioned running sum (the shape banned at scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = chunks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $cap"))
+      .select("doc_id", "chunk_id", "pack_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === want)
+    // invariants: pack ids contiguous from 0; totals < cap + max chunk
+    val packs = TextOps.packChunks(chunks, cap, order)
+      .groupBy("pack_id").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packs.keys.toSeq.sorted == (0L until packs.size).toSeq)
+    val maxChunk = 40L
+    packs.filter(_._1 < packs.size - 1) // last pack may be underfull
+      .foreach { case (id, tot) => assert(tot < cap + maxChunk, s"pack $id tot=$tot") }
+  }
 }
