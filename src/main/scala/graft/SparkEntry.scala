@@ -246,8 +246,12 @@ object SparkEntry {
     // greedy fill; the running token count is the corpus-global prefix
     // sum via the two-pass machinery (no single-partition window)
     "q_text_pack" -> ((s, d) =>
-      TextOps.packChunks(TextOps.chunks(Canon.documents(s, d), 32, 8), 256L,
-          Seq(col("doc_id").asc, col("chunk_id").asc))
+      TextOps.packChunks(
+          // drop the chunk TEXT before packing: the pack summary only
+          // needs ids + counts, and the packer persists its input
+          TextOps.chunks(Canon.documents(s, d), 32, 8)
+            .select("doc_id", "chunk_id", "n_tokens"),
+          256L, Seq(col("doc_id").asc, col("chunk_id").asc))
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
         .orderBy("pack_id")),
