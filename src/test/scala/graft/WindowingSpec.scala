@@ -81,6 +81,21 @@ class WindowingSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("repeated runs are bit-identical under AQE (pid stability regression)") {
+    // r5 regression: spark_partition_id above a SHARED exchange read by
+    // two branches is not stable under AQE (coalescing / local reads per
+    // consumer) — caught as run-to-run pack-count drift. The persist in
+    // withRankAndRunningSum pins it; this spec guards the guarantee.
+    val df = (1L to 2000L).map(i => (s"k${i % 2}", i * 17 % 401, i, i % 23))
+      .toDF("k", "t", "id", "v")
+    val runs = (1 to 3).map { _ =>
+      Windowing.movingSumCount(df, Seq("k"), Seq(col("t").asc, col("id").asc),
+          col("v"), 7, "fs", "fc")
+        .orderBy("k", "t", "id").collect().map(_.toString).toSeq
+    }
+    assert(runs.distinct.size == 1, "two-pass results varied across runs")
+  }
+
   test("input columns named like the internal stems survive") {
     val df = (1L to 50L).map(i => ("k", i, i, i))
       .toDF("k", "t", "id", "v").withColumn("__graft_rn0", lit(9))
