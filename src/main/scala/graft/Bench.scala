@@ -32,6 +32,9 @@ object Bench {
   // against timed numbers — a warmup run can be cache-assisted by a
   // sibling thread's shared subplan cache and undercut honest compute.
   private val warmupTimings = new ConcurrentHashMap[String, Double]()
+  // every timed-pass sample (warmup excluded — pool contention inflates)
+  private val samples =
+    new ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArrayList[Double]]()
   private val failures = ConcurrentHashMap.newKeySet[String]()
   @volatile private var printed = false
   private val lock = new Object
@@ -39,27 +42,40 @@ object Bench {
   /** The driver-contract JSON line (exposed for the format unit test —
     * a malformed line silently costs a whole round's perf evidence).
     *
-    * Values are rendered at centisecond resolution with trailing zeros
-    * trimmed: the driver's log-tail capture is a 2000-char window and
-    * r3's full-precision line (1983 chars) + sbt's trailing "[success]"
-    * line overran it, truncating the line's head — three rounds of
-    * parsed:null. 2dp keeps a 78-query line ~1.75KB with headroom for
-    * growth; sub-10ms differences are noise on a host with ±40%
-    * run-to-run variance anyway.
+    * Values render with trailing zeros trimmed at `dp` decimals. The
+    * STDOUT line uses 1dp: the driver's log-tail capture is a 2000-char
+    * window and r3's full-precision line (1983 chars) + sbt's trailing
+    * "[success]" line overran it, truncating the line's head — three
+    * rounds of parsed:null — and the r5 roster at 2dp was 46 chars from
+    * the cliff again. ±0.05s per query is far inside this host's ±40%
+    * run variance; the sidecar keeps 2dp. The total stays 2dp everywhere
+    * (it aggregates away per-query noise and is the headline number).
     */
-  private def fmt(v: Double): String = {
-    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def fmt(v: Double, dp: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // "0.20" -> "0.2", "1.00" -> "1" (still legal JSON)
     if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
   }
 
+  /** `medians`: per-query MEDIAN over the timed runs, rendered as a
+    * sidecar-only "queries_median" object — the stdout line stays
+    * min-only for the tail window. min vs median separates "best honest
+    * run" from "typical run" so a round-over-round delta can be told
+    * apart from host noise (VERDICT r5 item 6).
+    */
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
-                                sfDir: String, partial: Boolean): String = {
-    val qs = ts.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+                                sfDir: String, partial: Boolean,
+                                dp: Int = 1,
+                                medians: Option[Map[String, Double]] = None): String = {
+    val qs = ts.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
-    val total = fmt(ts.map(_._2).sum)
+    val med = medians.fold("") { m =>
+      ts.map { case (k, _) => "\"" + k + "\":" + fmt(m.getOrElse(k, 0.0), dp) }
+        .mkString(",\"queries_median\":{", ",", "}")
+    }
+    val total = fmt(ts.map(_._2).sum, 2)
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial,"failed":$fl}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$med,"sf":"$sfDir","partial":$partial,"failed":$fl}"""
   }
 
   /** Print the result line exactly once (normal end or shutdown hook). */
@@ -68,25 +84,48 @@ object Bench {
     val merged = (warmupTimings.asScala ++ timings.asScala).toMap // timed wins
     val snap = merged.toSeq.sortBy(_._1)
     if (snap.isEmpty) return // nothing measured: stay silent, don't lie
-    val line = formatLine(snap, failures.asScala.toSeq.sorted, sfDir, partial)
+    val failed = failures.asScala.toSeq.sorted
+    val line = formatLine(snap, failed, sfDir, partial)
     println(line)
     System.out.flush()
     // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),
     // which has defeated the driver's parse two rounds running — also
-    // write the bare line to a file nothing rewrites.
+    // write the bare line to a file nothing rewrites. The sidecar is not
+    // tail-window-bound, so it carries 2dp values AND the per-query
+    // medians over the timed runs (min alone can't separate a real
+    // regression from one lucky run on a ±40%-noise host).
+    val medians = snap.map { case (n, fallback) =>
+      val s = Option(samples.get(n)).map(_.asScala.toSeq.sorted).getOrElse(Nil)
+      n -> (if (s.isEmpty) fallback // killed run: warmup fallback, like min
+            else if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+    }.toMap
+    val sidecar = formatLine(snap, failed, sfDir, partial, dp = 2, medians = Some(medians))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (sidecar + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     printed = true
   }
 
-  /** Record an observed duration, keeping the best (lowest) per query. */
-  private def record(n: String, sec: Double): Unit =
+  /** Record an observed duration: best (lowest) per query for the
+    * contract line, every timed sample for the sidecar median.
+    */
+  private def record(n: String, sec: Double): Unit = {
     timings.merge(n, sec, (a, b) => math.min(a, b))
+    samples.computeIfAbsent(n, _ => new java.util.concurrent.CopyOnWriteArrayList[Double]())
+      .add(sec)
+  }
+
+  /** The timed roster: every user-facing query. The `*_golden`
+    * correctness companions re-run a base query only to pin its content
+    * hash — timing them would double-count those operators in the total.
+    */
+  private[graft] def benchQueryNames: Seq[String] =
+    SparkEntry.queries.keys.toSeq.filterNot(_.endsWith("_golden")).sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,7 +143,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Graft.register(spark)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = benchQueryNames
 
     // Default timing sink is count(): comparable with the round-1 numbers
     // and with what a limit/aggregate consumer pays. count() lets Catalyst
@@ -115,7 +154,10 @@ object Bench {
     // Failures record nothing (a 50ms crash must not win the min() over
     // real runs) and surface in the JSON's "failed" list instead.
     val noopSink = sys.env.get("SPARK_GRAFT_BENCH_SINK").contains("noop")
-    def runOne(n: String): Option[Double] = {
+    // scoped: the duration is computed INSIDE the block, so the cache
+    // release at scope exit is excluded from the measurement (and the
+    // timed pass's clearCache keeps doing the cross-run isolation)
+    def runOne(n: String): Option[Double] = CacheLedger.scoped {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)

@@ -22,12 +22,16 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
-        def run(): Unit =
+        // scoped: each query's operator-internal caches are unpersisted
+        // once its parquet is written — 81 concurrent queries would
+        // otherwise accumulate every pid-frame/index cache to session end
+        def run(): Unit = CacheLedger.scoped {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+        }
       })
     }
     tasks.foreach(_.get())

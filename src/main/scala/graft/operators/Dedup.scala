@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger.Tracked
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -12,12 +13,14 @@ import org.apache.spark.sql.functions._
   * its shingle self-join explodes quadratically inside hot shingles, which
   * is precisely what LSH banding avoids.
   *
-  * Caching note: the pair-finding operators `.cache()` internal indexes
+  * Caching note: the pair-finding operators persist internal indexes
   * (shingle sets, prefix index, pair list) that feed several sibling
-  * branches of one query; entries are tiny relative to the corpus but are
-  * NOT auto-released — a long-lived session cycling many distinct corpora
-  * through these operators should `spark.catalog.clearCache()` between
-  * jobs (or accept block-manager eviction, which merely recomputes).
+  * branches of one query. Every persist goes through
+  * [[graft.CacheLedger.Tracked.trackedCache]]: wrap each query's
+  * build-and-consume in `CacheLedger.scoped { ... }` and the indexes are
+  * unpersisted at scope exit; a session that skips scoping can reclaim
+  * everything with `CacheLedger.releaseAll()` (lifecycle covered by
+  * CacheLifecycleSpec cycling distinct corpora).
   *
   * Performance note: every pipeline below MATERIALIZES intermediate arrays
   * (tokens, shingles, signatures) as projected columns before fanning out
@@ -96,7 +99,7 @@ object Dedup {
       graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("sh"))
       // feeds the frequency agg, the ranked index, and both verify joins —
       // cached, the per-doc shingle pass runs once instead of five times
-      .cache()
+      .trackedCache
     // global shingle frequency → a consistent total order (freq, hash)
     val freq = sets.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("f"))
@@ -116,7 +119,7 @@ object Dedup {
     // prefix length p = |s| - ceil(tau*|s|) + 1
     val prefixes = ranked.filter(
       col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + 1)
-      .cache() // both sides of the candidate self-join read this index
+      .trackedCache // both sides of the candidate self-join read this index
     val cand = prefixes.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("shingle"), col("pos").as("pos_a"))
       .hint("merge")
@@ -152,7 +155,7 @@ object Dedup {
       // sort's sampling pass otherwise re-executes the expensive verify
       // narrow stage a second time (shuffle stages are reused across the
       // sampling and sort jobs; narrow stages are not)
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 
@@ -188,7 +191,7 @@ object Dedup {
                        maxDocFreq: Int = 1000): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       graft.functions.SketchExpressions.hashed_shingles(col(textCol), 3).as("sh"))
-      .cache()
+      .trackedCache
     val freq = sets.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("f"))
     val exploded = sets.select(col("id"), size(col("sh")).as("n_sh"),
@@ -235,7 +238,7 @@ object Dedup {
       // sort's sampling pass otherwise re-executes the expensive verify
       // narrow stage a second time (shuffle stages are reused across the
       // sampling and sort jobs; narrow stages are not)
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 
@@ -304,7 +307,7 @@ object Dedup {
     val ss = pairsIn.sparkSession
     // materialize the pair list ONCE before fan-out — reusing the raw plan
     // would run the whole candidate/join/verify DAG per consumer
-    val pairs = pairsIn.select("id_a", "id_b").cache()
+    val pairs = pairsIn.select("id_a", "id_b").trackedCache
     // ONE action picks the tier AND fetches the edges: collect through a
     // limit of localEdges+1 — under the threshold (the overwhelmingly
     // common case: keep-lists are verified-pair-sized) the rows are
@@ -346,7 +349,7 @@ object Dedup {
     }
     // ---- distributed tier
     val edges = pairs.union(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).trackedCache
     // Below the broadcast threshold the label table is broadcast into the
     // per-round joins, which removes the per-round shuffles; above it the
     // joins shuffle normally. The algorithm is identical either way.
@@ -358,7 +361,7 @@ object Dedup {
     var labels = edges.groupBy(col("id_a"))
       .agg(min(col("id_b")).as("mn"))
       .select(col("id_a").as("id"), least(col("id_a"), col("mn")).as("lbl"))
-      .cache()
+      .trackedCache
     var changed = 1L
     var rounds = 0
     var prevRound: DataFrame = null
@@ -378,7 +381,7 @@ object Dedup {
           least(labels("lbl"),
             coalesce(col("nlbl"), labels("lbl")),
             coalesce(col("jlbl"), labels("lbl"))).as("lbl2"))
-        .cache()
+        .trackedCache
       // ONE action per round: the aggregate materializes the cache and
       // yields the convergence signal together (coalesce: empty graph → 0)
       changed = updated
@@ -476,7 +479,7 @@ object Dedup {
       // sort's sampling pass otherwise re-executes the expensive verify
       // narrow stage a second time (shuffle stages are reused across the
       // sampling and sort jobs; narrow stages are not)
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 
@@ -590,7 +593,7 @@ object Dedup {
       // sort's sampling pass otherwise re-executes the expensive verify
       // narrow stage a second time (shuffle stages are reused across the
       // sampling and sort jobs; narrow stages are not)
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 }

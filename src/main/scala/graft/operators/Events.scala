@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger.Tracked
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -87,11 +88,13 @@ object Events {
 
     // PERSISTED: spark_partition_id() above a shared exchange is not
     // stable across the three consumer branches (tails/window/offsets)
-    // under AQE — see Windowing.withRankAndRunningSum
+    // under AQE — see Windowing.withRankAndRunningSum. The persist is
+    // output-width by construction (every input column passes through to
+    // the result); ledger-tracked, released at CacheLedger scope exit.
     val ranged = e.repartitionByRange(parts,
         col(userCol).asc, col(tsCol).asc, col(idCol).asc)
       .withColumn(pid, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val wLocal = Window.partitionBy(col(pid), col(userCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
     // previous partition's last ts per user (range slices are contiguous,

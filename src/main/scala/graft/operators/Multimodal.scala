@@ -58,9 +58,13 @@ object Multimodal {
       else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
         parseJpeg(b)
       else if (b.length >= 13 && b.startsWith("GIF8".getBytes) &&
-          (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-        Some(("gif", le16(b, 6), le16(b, 8), gifFrames(b)))
-      else None
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        // zero parseable image descriptors = no image data at all → the
+        // quarantine lane, same as a comparably malformed PNG/JPEG; a
+        // stream truncated AFTER complete frames keeps those frames
+        val f = gifFrames(b)
+        if (f == 0) None else Some(("gif", le16(b, 6), le16(b, 8), f))
+      } else None
     }
 
     /** Count GIF image descriptors with a real data-stream block walk:
@@ -70,7 +74,9 @@ object Multimodal {
       * table + LZW code size + sub-blocks) until the 0x3B trailer —
       * frame count = descriptor count. Trailing bytes after the trailer
       * are ignored (real files carry junk there too); a malformed or
-      * truncated stream yields the frames counted so far, floored at 1.
+      * truncated stream yields the complete frames counted so far — which
+      * is 0 (→ quarantine, via parse) when the header is followed by
+      * garbage before any descriptor.
       */
     private def gifFrames(b: Array[Byte]): Int = {
       var o = 13
@@ -101,7 +107,7 @@ object Multimodal {
           case _ => done = true // malformed: stop counting
         }
       }
-      math.max(frames, 1)
+      frames
     }
 
     /** Walk JFIF marker segments from SOI to the first start-of-frame

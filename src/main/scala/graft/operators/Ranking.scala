@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger.Tracked
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,7 +51,7 @@ object Ranking {
     // Windowing.withRankAndRunningSum for the full story
     val ranged = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn(pid, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     // per-partition counts: ≤ `parts` rows after a map-side partial agg
     val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
     // cumulative offsets over the tiny count table; its single-partition

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger.Tracked
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,7 +120,7 @@ object Similarity {
       // sampling pass otherwise re-executes the whole Θ(n²) tile join a
       // second time (RangePartitioner samples the child, then the sort
       // reads it again — shuffle stages are reused, narrow stages are not)
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 
@@ -379,7 +380,7 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
       // cache before the global sort (range-sort sampling re-executes the
       // narrow verify stage otherwise — same note as nearDupPairs)
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 

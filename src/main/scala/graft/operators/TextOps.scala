@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger.Tracked
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -326,7 +327,7 @@ object TextOps {
     // once" materialization any fingerprint join does)
     val fps = winnowingFingerprints(df, k, w, textCol, idCol)
       .select(col(idCol).as("id"), explode(col("fingerprints")).as("fp"))
-      .cache()
+      .trackedCache
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("fp")
@@ -342,7 +343,7 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
       // cache before the global sort: the range sort's sampling pass
       // otherwise re-executes the pair-count narrow stage a second time
-      .cache()
+      .trackedCache
       .orderBy("id_a", "id_b")
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger.Tracked
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,13 +74,16 @@ object Windowing {
     // branches DIFFERENT partition identities and silently corrupting
     // the offsets join (caught as a nondeterministic q_text_pack row
     // count under Verify's AQE session). Materializing pins the pid in
-    // the stored rows; every consumer reads identical values. The cached
-    // frame is the narrow (key, order, value) projection — spillable
-    // MEMORY_AND_DISK, the repo's documented internal-index cache class.
+    // the stored rows; every consumer reads identical values. The frame
+    // persists ALL input columns (the result rows are read back from it),
+    // so CALLERS MUST PRE-PROJECT to the columns the query needs before
+    // invoking — every SparkEntry caller does. Spillable MEMORY_AND_DISK,
+    // ledger-tracked: released at CacheLedger scope exit (footprint
+    // probed under a capped heap in ScaleProbe).
     val ranged = df.withColumn(v, valueCol)
       .repartitionByRange(parts, sortAll: _*)
       .withColumn(pid, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val grpCols = (pid +: keyCols).map(col)
     // pass 1: rank + prefix sum WITHIN the range partition
     val wLocal = Window.partitionBy(grpCols: _*).orderBy(orderCols: _*)

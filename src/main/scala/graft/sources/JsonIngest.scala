@@ -44,6 +44,12 @@ object JsonIngest {
   /** Shape check: the object's key list must equal one of the four accepted
     * shapes IN ORDER, and `value` (plus `timestamp` if present) must have
     * parsed as a number.
+    *
+    * The tag grammar (array of non-empty objects, `src/shard.re:39-49`) is
+    * enforced HERE, at ingest — a deliberate divergence from the reference,
+    * whose `validate_json` accepts any `tag` value and then throws on the
+    * READ path when `make_native_tag` meets a non-list (a malformed tag
+    * poisons the stored shard). An engine validates before storing.
     */
   def isValidShape(json: Column): Column = {
     val keys = json_object_keys(json)
@@ -53,7 +59,41 @@ object JsonIngest {
     val parsed = from_json(json, wireSchema)
     val valueOk = parsed.getField("value").isNotNull
     val tsOk = !array_contains(keys, "timestamp") || parsed.getField("timestamp").isNotNull
-    shapeOk && valueOk && tsOk
+    val tagField = parsed.getField("tag")
+    // when the `tag` key is present it must have parsed as an array whose
+    // every element is a non-empty object (head-of-assoc-list must exist)
+    val tagOk = !array_contains(keys, "tag") ||
+      (tagField.isNotNull &&
+        !exists(tagField, m => m.isNull || size(map_entries(m)) === lit(0)))
+    shapeOk && valueOk && tsOk && tagOk
+  }
+
+  /** S2: a wire payload may be ONE object or an ARRAY of objects — the
+    * reference's batch POST (`src/main.re:60-67` dispatches `` `O`` vs
+    * `` `A`` and validates each element). Splits array payloads into
+    * per-element rows; the element text is re-serialized by
+    * `get_json_object` (Jackson copies tokens in document order, so the
+    * key-ORDER-sensitive shape check still sees the wire order).
+    * Single-object (and unparseable) payloads pass through verbatim; an
+    * empty array contributes nothing.
+    *
+    * Divergence note: the reference iterates a batch sequentially and
+    * ABORTS at the first invalid element — elements before it are already
+    * written, the rest never processed (an HTTP-transactionality artifact
+    * of `Lwt_list.iter_s` + `failwith`). The engine validates per element:
+    * good elements land, bad ones quarantine — same accepted grammar,
+    * saner batch semantics.
+    */
+  def explodeBatches(wire: DataFrame): DataFrame = {
+    val nArr = json_array_length(col("json"))
+    val singles = wire.filter(nArr.isNull).select("series", "json")
+    val elems = wire.filter(nArr.isNotNull && nArr > 0)
+      .select(col("series"), col("json"),
+        explode(sequence(lit(0), nArr - 1)).as("__i"))
+      // dynamic JSONPath: per-element raw text, wire key order preserved
+      .select(col("series"),
+        expr("get_json_object(json, concat('$[', __i, ']'))").as("json"))
+    singles.unionByName(elems)
   }
 
   final case class Result(good: DataFrame, bad: DataFrame)

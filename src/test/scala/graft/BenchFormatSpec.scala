@@ -18,13 +18,29 @@ class BenchFormatSpec extends AnyFunSuite {
     val n = mapper.readTree(line)
     assert(n.get("metric").asText == "total")
     assert(n.get("unit").asText == "sec")
-    // values render at 2dp (centisecond resolution, see Bench.fmt)
-    assert(math.abs(n.get("value").asDouble - 12.12) < 1e-9) // sum rounds once, at render
+    // the total renders at 2dp, summed at full precision before rounding
+    assert(math.abs(n.get("value").asDouble - 12.12) < 1e-9)
     assert(n.get("queries").size == 3)
+    // stdout per-query values render at 1dp (tail-window budget; see fmt)
+    assert(math.abs(n.get("queries").get("q_a").asDouble - 0.1) < 1e-12)
     assert(math.abs(n.get("queries").get("q_b").asDouble - 12.0) < 1e-12)
     assert(n.get("queries").get("q_c").asDouble == 0.0) // sub-ms floors to "0"
+    assert(n.get("queries_median") == null) // sidecar-only field
     assert(!n.get("partial").asBoolean)
     assert(n.get("failed").get(0).asText == "q_bad")
+  }
+
+  test("sidecar rendering carries 2dp values and per-query medians") {
+    val line = Bench.formatLine(
+      Seq("q_a" -> 0.123456789, "q_b" -> 1.0),
+      Nil, "sf", partial = false, dp = 2,
+      medians = Some(Map("q_a" -> 0.256789, "q_b" -> 1.5)))
+    val n = mapper.readTree(line)
+    assert(math.abs(n.get("queries").get("q_a").asDouble - 0.12) < 1e-12)
+    val med = n.get("queries_median")
+    assert(med.size == 2)
+    assert(math.abs(med.get("q_a").asDouble - 0.26) < 1e-12)
+    assert(math.abs(med.get("q_b").asDouble - 1.5) < 1e-12)
   }
 
   test("empty failure list and partial flag render correctly") {
@@ -37,10 +53,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // The driver keeps only the LAST 2000 chars of the run log; sbt's
     // trailing "[success] Total time ..." line (~80 chars) and "[info] "
     // prefix share that window, so the whole JSON line must stay under
-    // ~1910. Values here are full-width 2dp seconds ("1.23" — no
+    // ~1910. Values here are full-width 1dp seconds ("1.2" — no
     // trailing-zero trimming applies), the realistic worst case: per-query
-    // times above 10s mean the bench is broken anyway.
-    val roster = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234567)
+    // times above 10s mean the bench is broken anyway. The roster is the
+    // BENCH roster (golden companions are correctness-only, never timed).
+    val roster = Bench.benchQueryNames.map(_ -> 1.234567)
     val line = Bench.formatLine(roster, Nil, "/root/testdata/sf0.1", partial = false)
     assert(mapper.readTree(line).get("queries").size == roster.size)
     assert(line.length <= 1850,

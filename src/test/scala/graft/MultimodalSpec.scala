@@ -98,6 +98,13 @@ class MultimodalSpec extends SparkSuite {
     assert(HeaderDecoder.parse(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == None)
     // corrupt marker stream (no FF where a marker must start)
     assert(HeaderDecoder.parse(Array(0xff, 0xd8, 0x00, 0x11).map(_.toByte)) == None)
+    // GIF header + immediate garbage: zero parseable image descriptors
+    // must quarantine like the comparably malformed JPEG/PNG above (r6;
+    // previously floored to a bogus ok=true n_frames=1)
+    assert(HeaderDecoder.parse(gifBytes(320, 200).take(13) ++
+      "garbage, no descriptors".getBytes) == None)
+    // header + trailer but no frames: structurally "empty GIF" → quarantine
+    assert(HeaderDecoder.parse(gifBytes(320, 200).take(13) :+ 0x3b.toByte) == None)
   }
 
   test("media table: opaque binary + typed metadata, kind cycles by id") {

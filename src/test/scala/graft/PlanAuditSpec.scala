@@ -42,7 +42,12 @@ class PlanAuditSpec extends SparkSuite {
 
   test("top-customers join builds a shuffled hash table, never broadcasts customer") {
     // unfiltered customer is fact-scaled — the r2 fact-broadcast trap;
-    // the structural no-fact-broadcast gate below also covers customer
+    // the structural no-fact-broadcast gate below also covers customer.
+    // ShuffledHashJoin (not merge) is safe for THIS shape because the
+    // build rows are slim (pruned key/name columns) and shuffle
+    // partitions scale with SF, bounding the per-task build at
+    // |customer|/parts — see the rationale at the q_join_top_customers
+    // hint; wide-payload builds (dedup shingle joins) pin merge instead
     val p = plan(SparkEntry.queries("q_join_top_customers")(spark, sf))
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("BroadcastHashJoin"), p)
@@ -90,6 +95,28 @@ class PlanAuditSpec extends SparkSuite {
       case r: ReusedExchangeExec    => flatten(r.child)
       case other                    => other.children.flatMap(flatten)
     })
+  }
+
+  // Like flatten, but yields each LEAF together with its ancestor path
+  // (exchange wrappers included) — the unfiltered-broadcast gate needs to
+  // know which filters sit on the way to a SPECIFIC scan, not merely
+  // somewhere in the subtree.
+  private def leafPaths(p: org.apache.spark.sql.execution.SparkPlan,
+                        acc: Seq[org.apache.spark.sql.execution.SparkPlan])
+      : Seq[(org.apache.spark.sql.execution.SparkPlan,
+             Seq[org.apache.spark.sql.execution.SparkPlan])] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val path = acc :+ p
+    p match {
+      case a: AdaptiveSparkPlanExec => leafPaths(a.executedPlan, path)
+      case q: QueryStageExec        => leafPaths(q.plan, path)
+      case c: InMemoryTableScanExec => leafPaths(c.relation.cachedPlan, path)
+      case r: ReusedExchangeExec    => leafPaths(r.child, path)
+      case other if other.children.isEmpty => Seq((other, path))
+      case other => other.children.flatMap(leafPaths(_, path))
+    }
   }
 
   test("executed final plans: no fact-table broadcast, no array-keyed aggregation") {
@@ -145,29 +172,37 @@ class PlanAuditSpec extends SparkSuite {
               conjuncts(l) ++ conjuncts(r)
             case x => Seq(x)
           }
-          val subFilterSelective = flatten(b.child).exists {
-            case f: org.apache.spark.sql.execution.FilterExec =>
-              conjuncts(f.condition).exists(c =>
-                !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
-            // Ranking/Windowing offset tables: grouped on the partition
-            // id (the repo's __graft_pid marker) → ≤ numPartitions rows
-            // by construction, broadcastable at any corpus size
-            case a: HashAggregateExec =>
-              a.groupingExpressions.exists(_.toString.contains("__graft_pid"))
-            case _ => false
-          }
+          // PER-LEAF selectivity (r6 fix): a selective filter anywhere in
+          // the broadcast subtree must not excuse an unrelated unfiltered
+          // scan under the same exchange — the cut has to sit on the path
+          // from the exchange to THAT scan, so it provably bounds the rows
+          // that scan contributes to the broadcast
+          def selectiveOnPath(path: Seq[org.apache.spark.sql.execution.SparkPlan]): Boolean =
+            path.exists {
+              case f: org.apache.spark.sql.execution.FilterExec =>
+                conjuncts(f.condition).exists(c =>
+                  !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+              // Ranking/Windowing offset tables: grouped on the partition
+              // id (the repo's __graft_pid marker) → ≤ numPartitions rows
+              // by construction, broadcastable at any corpus size
+              case a: HashAggregateExec =>
+                a.groupingExpressions.exists(_.toString.contains("__graft_pid"))
+              case _ => false
+            }
           Seq("customer.parquet", "part.parquet", "supplier.parquet",
               "documents.parquet", "embeddings.parquet", "events.parquet")
             .foreach { table =>
-              leaves.filter(_.contains(table)).foreach { s =>
-                val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
-                  .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-                val selective = pushed.split(",").map(_.trim)
-                  .exists(f => f.nonEmpty && !f.startsWith("IsNotNull")) ||
-                  subFilterSelective
-                assert(selective,
-                  s"$n broadcasts an UNFILTERED $table scan:\n$s")
-              }
+              leafPaths(b.child, Nil).filter(_._1.toString.contains(table))
+                .foreach { case (leaf, path) =>
+                  val s = leaf.toString
+                  val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+                    .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+                  val selective = pushed.split(",").map(_.trim)
+                    .exists(f => f.nonEmpty && !f.startsWith("IsNotNull")) ||
+                    selectiveOnPath(path)
+                  assert(selective,
+                    s"$n broadcasts an UNFILTERED $table scan:\n$s")
+                }
             }
         case a: HashAggregateExec =>
           a.groupingExpressions.foreach(k => assert(!k.dataType.isInstanceOf[ArrayType],

@@ -54,4 +54,61 @@ class StoreIntegrationSpec extends SparkSuite {
     val b = TS.readLast(direct, Seq("click", "view"), 20).select("rid").as[Long].collect().toSeq
     assert(a == b)
   }
+
+  test("mutation lifecycle: split append → compact ×2 → delete-rewrite → bucketed, " +
+      "results identical at every step") {
+    // The reference's S4 overlap-merge invariant (timeseries.re:119-156):
+    // storage mutations never change query results. Expressed here as one
+    // store driven through the full mutation lifecycle with an
+    // order-independent content fingerprint checked after every step.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val src = Canon.events(spark, "/root/testdata/sf0.01")
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(hash(col("series"), col("ts_us"), col("tag"), col("value"),
+          col("rid")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    val want = fp(src)
+    // two appends split mid-range: the second is "late" data landing in
+    // day partitions interleaved with the first (append-only, no rewrite)
+    val p1 = tmpDir("store_lc")
+    ShardStore.append(src.filter($"ts_us" < R1), p1)
+    ShardStore.append(src.filter($"ts_us" >= R1), p1)
+    assert(fp(ShardStore.read(spark, p1)) == want, "after split append")
+    // compaction is file hygiene only — results identical, never more files
+    val p2 = tmpDir("store_lc_c1")
+    ShardStore.compact(spark, p1, p2)
+    assert(fp(ShardStore.read(spark, p2)) == want, "after compact")
+    assert(parquetFiles(p2) <= parquetFiles(p1),
+      s"compaction grew the store: ${parquetFiles(p1)} -> ${parquetFiles(p2)}")
+    // idempotence: compacting the compacted store changes nothing
+    val p3 = tmpDir("store_lc_c2")
+    ShardStore.compact(spark, p2, p3)
+    assert(fp(ShardStore.read(spark, p3)) == want, "after re-compact")
+    // D1 delete-rewrite: survivors of a range delete, rewritten physically,
+    // must equal the logical delete over the pristine source
+    val survivors = TS.deleteRange(ShardStore.read(spark, p3), Seq("click"), R1, R2)
+    val p4 = tmpDir("store_lc_d")
+    ShardStore.rewrite(survivors, p4)
+    val wantDel = fp(TS.deleteRange(src, Seq("click"), R1, R2))
+    assert(wantDel._1 < want._1, "the delete must remove rows")
+    assert(fp(ShardStore.read(spark, p4)) == wantDel, "after delete-rewrite")
+    // bucketed production rewrite of the mutated store: same content again
+    try {
+      ShardStore.writeBucketed(ShardStore.read(spark, p4),
+        "store_lc_bucketed", "series", 4)
+      assert(fp(ShardStore.readBucketed(spark, "store_lc_bucketed")
+        .select("series", "ts_us", "tag", "value", "rid")) == wantDel,
+        "after bucketed rewrite")
+    } finally spark.sql("DROP TABLE IF EXISTS store_lc_bucketed")
+  }
 }
