@@ -74,8 +74,13 @@ object Bench {
         .mkString(",\"queries_median\":{", ",", "}")
     }
     val total = fmt(ts.map(_._2).sum, 2)
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$med,"sf":"$sfDir","partial":$partial,"failed":$fl}"""
+    // "partial" and "failed" appear only when they carry information —
+    // the happy-path line spends its tail-window budget on query keys
+    val pf = (if (partial) ""","partial":true""" else "") +
+      (if (failed.nonEmpty)
+        failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else "")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$med,"sf":"$sfDir"$pf}"""
   }
 
   /** Print the result line exactly once (normal end or shutdown hook). */
@@ -85,7 +90,10 @@ object Bench {
     val snap = merged.toSeq.sortBy(_._1)
     if (snap.isEmpty) return // nothing measured: stay silent, don't lie
     val failed = failures.asScala.toSeq.sorted
-    val line = formatLine(snap, failed, sfDir, partial)
+    // stdout: sf as basename (the full testdata path is constant and the
+    // tail window is precious); the sidecar keeps the full path
+    val line = formatLine(snap, failed,
+      new java.io.File(sfDir).getName, partial)
     println(line)
     System.out.flush()
     // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),

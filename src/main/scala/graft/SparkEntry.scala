@@ -223,6 +223,15 @@ object SparkEntry {
       TextOps.repetitionRatio(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_vocab" -> ((s, d) => // corpus vocabulary head (top-20 tokens)
       TextOps.vocabHead(Canon.documents(s, d), 20)),
+    "q_text_commonness" -> ((s, d) => // mean global token frequency per doc
+      TextOps.commonness(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_novelty" -> ((s, d) => // fraction of doc's 3-grams unique to it
+      TextOps.ngramNovelty(Canon.documents(s, d), n = 3).orderBy("doc_id")),
+    // referential QA before the doc⋈embedding join: counts, dup ids,
+    // orphans each way — one integer summary row
+    "q_integrity" -> ((s, d) =>
+      operators.Integrity.report(
+        Canon.documents(s, d), Canon.embeddings(s, d), "doc_id", "vec_id")),
     // PII redaction with an EXACT oracle: the corpus is digit-free word
     // salad, so id-derived planted PII is the only match surface — the
     // masked text and per-class counts mirror in DuckDB regexp_replace
@@ -850,6 +859,39 @@ object SparkEntry {
   private val QIDS_SQL = QIDS.mkString(", ")
 
   private def beyondParityOracles: Map[String, String] = Map(
+    // exact rational arithmetic both sides: long counts, one rounded
+    // division; docs with zero tokens/shingles produce no row (unnest of
+    // an empty list) in both engines
+    "q_text_commonness" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(tf) AS DOUBLE) / count(*), 6) AS mean_token_freq
+         |FROM tk JOIN c USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |s AS (SELECT doc_id, unnest($SHINGLES) AS shingle FROM toks),
+         |f AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM s JOIN f USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_integrity" ->
+      """WITH l AS (SELECT doc_id AS id, count(*) AS ln FROM documents GROUP BY 1),
+        |r AS (SELECT vec_id AS id, count(*) AS rn FROM embeddings GROUP BY 1),
+        |j AS (SELECT l.ln, r.rn FROM l FULL OUTER JOIN r USING (id))
+        |SELECT CAST(coalesce(sum(ln), 0) AS BIGINT) AS n_left,
+        |  count(CASE WHEN ln IS NOT NULL THEN 1 END) AS n_left_ids,
+        |  count(CASE WHEN ln > 1 THEN 1 END) AS n_left_dup_ids,
+        |  count(CASE WHEN ln IS NOT NULL AND rn IS NULL THEN 1 END) AS n_left_orphans,
+        |  CAST(coalesce(sum(rn), 0) AS BIGINT) AS n_right,
+        |  count(CASE WHEN rn IS NOT NULL THEN 1 END) AS n_right_ids,
+        |  count(CASE WHEN rn > 1 THEN 1 END) AS n_right_dup_ids,
+        |  count(CASE WHEN rn IS NOT NULL AND ln IS NULL THEN 1 END) AS n_right_orphans
+        |FROM j""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
          |CAST(list_sum(list_transform($TOKS, w -> greatest(1, CAST(ceil(length(w)/4.0) AS INT)))) AS BIGINT) AS n_bpeish

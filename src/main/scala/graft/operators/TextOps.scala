@@ -346,4 +346,63 @@ object TextOps {
       .trackedCache
       .orderBy("id_a", "id_b")
   }
+
+  /** Corpus "commonness" score: the mean GLOBAL frequency of a document's
+    * token occurrences. Rare-token documents are OCR noise / gibberish;
+    * ultra-common-token documents are boilerplate — the unigram cousin of
+    * a perplexity filter, in exact rational arithmetic (per-occurrence
+    * counts are longs, the per-doc sum is order-independent, ONE double
+    * division rounds once) so the DuckDB oracle matches bit-for-bit —
+    * a log-prob formulation would hinge on cross-libm `log` ulps.
+    * Documents with zero tokens produce no row (explode of empty).
+    *
+    * Scale: the count table is |vocab| rows — hapax-heavy corpora make
+    * that corpus-scale, so the frequency join pins `shuffle_hash` (slim
+    * (token, count) build rows; the TPC-H slim-build arithmetic) rather
+    * than risking an AQE broadcast of an unbounded derived table. The
+    * token-sets frame is cached (ledger-tracked) because the explode
+    * feeds both the count agg and the probe side.
+    */
+  def commonness(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val sets = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .trackedCache
+    val ex = sets.select(col(idCol), explode(col("__toks")).as("tok"))
+    val counts = ex.groupBy("tok").agg(count(lit(1)).as("tf"))
+    ex.join(counts.hint("shuffle_hash"), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("tf").as("__sum_tf"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sum_tf").cast("double") / col("n_tokens"), 6)
+          .as("mean_token_freq"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that appear in NO other document (corpus df = 1) —
+    * the dedup-adjacent diagnostic (novelty ≈ 0 flags templated /
+    * near-duplicate content BEFORE pair finding; novelty ≈ 1 certifies
+    * unique text). Shares the dedup family's hashed-shingle machinery
+    * (`SketchExpressions.hashed_shingles`, distinct per doc); integer
+    * counts + one rounded division keep the oracle exact. Documents
+    * with < n tokens have no shingles and produce no row.
+    *
+    * Scale: same shape as [[commonness]] — df table is shingle-count
+    * scale, join pinned `shuffle_hash`, shingle-sets frame
+    * ledger-cached for the agg + probe fan-out.
+    */
+  def ngramNovelty(df: DataFrame, n: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val sets = df.select(col(idCol),
+        graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("__sh"))
+      .trackedCache
+    val ex = sets.select(col(idCol), explode(col("__sh")).as("shingle"))
+    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    ex.join(freq.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
 }

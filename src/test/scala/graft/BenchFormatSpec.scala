@@ -26,7 +26,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(n.get("queries").get("q_b").asDouble - 12.0) < 1e-12)
     assert(n.get("queries").get("q_c").asDouble == 0.0) // sub-ms floors to "0"
     assert(n.get("queries_median") == null) // sidecar-only field
-    assert(!n.get("partial").asBoolean)
+    assert(n.get("partial") == null) // only rendered when true
     assert(n.get("failed").get(0).asText == "q_bad")
   }
 
@@ -43,10 +43,14 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(med.get("q_b").asDouble - 1.5) < 1e-12)
   }
 
-  test("empty failure list and partial flag render correctly") {
+  test("partial flag and failure list render only when informative") {
     val line = Bench.formatLine(Seq("q" -> 1.5), Nil, "sf", partial = true)
     val n = mapper.readTree(line)
-    assert(n.get("partial").asBoolean && n.get("failed").size == 0)
+    assert(n.get("partial").asBoolean)
+    assert(n.get("failed") == null) // empty list omitted
+    val happy = mapper.readTree(
+      Bench.formatLine(Seq("q" -> 1.5), Nil, "sf", partial = false))
+    assert(happy.get("partial") == null && happy.get("failed") == null)
   }
 
   test("a full-size query roster fits the driver's 2000-char tail window") {
@@ -57,8 +61,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // trailing-zero trimming applies), the realistic worst case: per-query
     // times above 10s mean the bench is broken anyway. The roster is the
     // BENCH roster (golden companions are correctness-only, never timed).
+    // the stdout emit passes the sf BASENAME (emit() strips the dir)
     val roster = Bench.benchQueryNames.map(_ -> 1.234567)
-    val line = Bench.formatLine(roster, Nil, "/root/testdata/sf0.1", partial = false)
+    val line = Bench.formatLine(roster, Nil, "sf0.1", partial = false)
     assert(mapper.readTree(line).get("queries").size == roster.size)
     assert(line.length <= 1850,
       s"bench line ${line.length} chars — headroom to the ~1910 window: ${1910 - line.length}; time to shorten keys")
