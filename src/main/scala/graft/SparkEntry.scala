@@ -563,6 +563,12 @@ object SparkEntry {
         .start()
       q.awaitTermination(300000L)
       q.stop()
+      // the staged input copy is dead once the stream terminates (the
+      // RESULT parquet in outDir must outlive this call — the returned
+      // frame reads it lazily); repeated bench/verify invocations would
+      // otherwise accumulate corpus copies in tmp
+      java.nio.file.Files.deleteIfExists(inDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(inDir)
       s.read.parquet(outDir)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))

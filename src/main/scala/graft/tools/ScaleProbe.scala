@@ -178,6 +178,19 @@ object ScaleProbe {
     def sess(e: DataFrame): Long =
       graft.operators.Events.sessionizeScalable(e, 1800000000L).count()
     probe("sessionize_skew", sess(evr1), sess(evrUserSkew))
+
+    // --- round 6: corpus-frequency signals + referential QA. The ×10
+    // self-multiplied corpus multiplies every token/shingle df by 10 but
+    // NOT the vocab (same words repeated) — the frequency table stays
+    // constant-size while the probe side grows linearly, which is
+    // exactly the shape the pinned shuffle_hash build exploits.
+    probe("text_commonness",
+      TextOps.commonness(doc1).count(), TextOps.commonness(doc10).count())
+    probe("text_novelty",
+      TextOps.ngramNovelty(doc1, 3).count(), TextOps.ngramNovelty(doc10, 3).count())
+    probe("integrity_report",
+      graft.operators.Integrity.report(doc1, emb1, "doc_id", "vec_id").count(),
+      graft.operators.Integrity.report(doc10, emb10, "doc_id", "vec_id").count())
     spark.stop()
   }
 }

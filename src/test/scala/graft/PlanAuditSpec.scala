@@ -260,6 +260,29 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("frequency joins build a shuffled hash table, never broadcast the count side") {
+    // commonness/novelty join exploded occurrences against a DERIVED
+    // frequency table (token/shingle counts over the whole corpus) —
+    // |vocab| is unbounded on hapax-heavy corpora, so AQE's bench-scale
+    // broadcast election is the r5 trap in derived-table form; the
+    // shuffle_hash pin (slim (key,count) build rows) must hold
+    import graft.operators.TextOps
+    for (df <- Seq(TextOps.commonness(Canon.documents(spark, sf)),
+                   TextOps.ngramNovelty(Canon.documents(spark, sf), 3))) {
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    }
+    // integrity: full-outer of pre-aggregated id multiplicities — full
+    // outer cannot broadcast in Spark, and both sides must pre-aggregate
+    // BEFORE the join (the shuffle moves one slim row per distinct id)
+    val qe = SparkEntry.queries("q_integrity")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val pi = qe.executedPlan.toString
+    assert(pi.contains("FullOuter"), pi)
+    assert(!pi.contains("BroadcastHashJoin") && !pi.contains("BroadcastNestedLoopJoin"), pi)
+  }
+
   test("native cosine expression appears in the generated plan (codegen'd)") {
     val df = Similarity.nearDupPairs(Canon.embeddings(spark, sf), tau = 0.99)
     assert(plan(df).contains("cosine_sim"), plan(df))
