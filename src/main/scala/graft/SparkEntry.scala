@@ -561,8 +561,11 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000L)
+      // a timed-out stream would leave outDir with partial (or zero)
+      // batches and SILENTLY verify wrong — fail loudly instead
+      val finished = q.awaitTermination(300000L)
       q.stop()
+      require(finished, "q_stream_sessions: stream did not terminate in 300s")
       // the staged input copy is dead once the stream terminates (the
       // RESULT parquet in outDir must outlive this call — the returned
       // frame reads it lazily); repeated bench/verify invocations would
@@ -682,6 +685,25 @@ object SparkEntry {
     baseQueries ++ goldenBases.map { b =>
       s"${b}_golden" -> ((s: SparkSession, d: String) => contentHash(baseQueries(b)(s, d)))
     }
+
+  // one sessionization truth, three execution strategies: the per-user
+  // window (q_sessionize), the hot-key two-pass (q_sessionize_hotkey),
+  // and the streaming session_window rollup (q_stream_sessions) all
+  // hash-compare against THIS text
+  private val sessionizeSql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+      |f AS (SELECT user_id, ts_us, event_id,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL
+      |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |g AS (SELECT user_id,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM f)
+      |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(max(sess_id) AS BIGINT), 6) AS events_per_session
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val idsIn3 = "series IN ('click','error','purchase')"
@@ -1269,52 +1291,13 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
-        |f AS (SELECT user_id, ts_us, event_id,
-        |  CASE WHEN lag(ts_us) OVER w IS NULL
-        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-        |g AS (SELECT user_id,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM f)
-        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events,
-        |  round(CAST(count(*) AS DOUBLE) / CAST(max(sess_id) AS BIGINT), 6) AS events_per_session
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
     // identical semantics to q_sessionize — the hotkey variant must
     // reproduce the window formulation bit-for-bit
-    "q_sessionize_hotkey" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
-        |f AS (SELECT user_id, ts_us, event_id,
-        |  CASE WHEN lag(ts_us) OVER w IS NULL
-        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-        |g AS (SELECT user_id,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM f)
-        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events,
-        |  round(CAST(count(*) AS DOUBLE) / CAST(max(sess_id) AS BIGINT), 6) AS events_per_session
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sessionize_hotkey" -> sessionizeSql,
     // the streaming path rolls session windows up to this exact shape —
     // one oracle, three execution strategies (window, two-pass, stream)
-    "q_stream_sessions" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
-        |f AS (SELECT user_id, ts_us, event_id,
-        |  CASE WHEN lag(ts_us) OVER w IS NULL
-        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-        |g AS (SELECT user_id,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM f)
-        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events,
-        |  round(CAST(count(*) AS DOUBLE) / CAST(max(sess_id) AS BIGINT), 6) AS events_per_session
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_sessions" -> sessionizeSql,
     "q_distinct_users" ->
       """SELECT event_type AS series, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY series""".stripMargin,

@@ -365,15 +365,22 @@ object TextOps {
     */
   def commonness(df: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    val sets = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // internal names dodge the caller's id column (the one input column
+    // that survives the first projection) — same collision class the
+    // free-name sweep fixed in Curation/Sampling
+    def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
+      .find(n => n != idCol).get
+    val (toks, tok, tf, sumTf) = (free("__graft_toks"), free("__graft_tok"),
+      free("__graft_tf"), free("__graft_sumtf"))
+    val sets = df.select(col(idCol), tokens(col(textCol)).as(toks))
       .trackedCache
-    val ex = sets.select(col(idCol), explode(col("__toks")).as("tok"))
-    val counts = ex.groupBy("tok").agg(count(lit(1)).as("tf"))
-    ex.join(counts.hint("shuffle_hash"), Seq("tok"))
+    val ex = sets.select(col(idCol), explode(col(toks)).as(tok))
+    val counts = ex.groupBy(tok).agg(count(lit(1)).as(tf))
+    ex.join(counts.hint("shuffle_hash"), Seq(tok))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), sum("tf").as("__sum_tf"))
+      .agg(count(lit(1)).as("n_tokens"), sum(tf).as(sumTf))
       .select(col(idCol), col("n_tokens"),
-        round(col("__sum_tf").cast("double") / col("n_tokens"), 6)
+        round(col(sumTf).cast("double") / col("n_tokens"), 6)
           .as("mean_token_freq"))
   }
 
@@ -392,15 +399,19 @@ object TextOps {
     */
   def ngramNovelty(df: DataFrame, n: Int = 3, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
+      .find(nm => nm != idCol).get
+    val (sh, shingle, dfreq) =
+      (free("__graft_sh"), free("__graft_shingle"), free("__graft_df"))
     val sets = df.select(col(idCol),
-        graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("__sh"))
+        graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as(sh))
       .trackedCache
-    val ex = sets.select(col(idCol), explode(col("__sh")).as("shingle"))
-    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    ex.join(freq.hint("shuffle_hash"), Seq("shingle"))
+    val ex = sets.select(col(idCol), explode(col(sh)).as(shingle))
+    val freq = ex.groupBy(shingle).agg(count(lit(1)).as(dfreq))
+    ex.join(freq.hint("shuffle_hash"), Seq(shingle))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        sum(when(col(dfreq) === 1, 1L).otherwise(0L)).as("n_novel"))
       .select(col(idCol), col("n_shingles"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_shingles"), 6)
           .as("novelty"))
