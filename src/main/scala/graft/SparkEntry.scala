@@ -86,6 +86,11 @@ object SparkEntry {
     "q_earliest" -> ((s, d) => raw(TS.earliest(ev(s, d), Nil), asc = true)),
     "q_since" -> ((s, d) => raw(TS.readSince(ev(s, d), IDS2, SINCE))),
     "q_range" -> ((s, d) => raw(TS.readRange(ev(s, d), IDS3, R1, R2))),
+    // beyond parity: counter rate / successive differences and
+    // missing-data gaps per series — the hot-key-safe lag (series is a
+    // 5-value key; a per-series window would serialize it)
+    "q_ts_delta" -> ((s, d) => TS.deltas(ev(s, d), Nil)),
+    "q_ts_gaps" -> ((s, d) => TS.gaps(ev(s, d), Nil, thresholdUs = 7200000000L)),
     // ----- S1/S2/S7: wire-JSON ingest over the checked-in shape fixture —
     // all four accepted object shapes, batch arrays (exploded in order),
     // and the full must-reject corpus (FIXTURES.md §1.3); good lane =
@@ -734,6 +739,27 @@ object SparkEntry {
         s"$CANON_SQL SELECT $ROW FROM c WHERE $idsIn2 AND ts_us >= $SINCE ORDER BY ts_us DESC, rid DESC",
       "q_range" ->
         s"$CANON_SQL SELECT $ROW FROM c WHERE $idsIn3 AND $range ORDER BY ts_us DESC, rid DESC",
+      // hot-key-safe lag vs the plain SQL window: bit-identical by
+      // construction (double subtraction + one rounded division); equal
+      // timestamps yield a NULL rate, not a division by zero
+      "q_ts_delta" ->
+        s"""$CANON_SQL SELECT series, ts_us, rid,
+           |  round(value - pv, 6) AS delta_v,
+           |  ts_us - pts AS delta_us,
+           |  CASE WHEN ts_us > pts
+           |    THEN round((value - pv) / ((ts_us - pts) / 1000000.0), 6) END AS rate_per_s
+           |FROM (SELECT series, ts_us, rid, value,
+           |        lag(value) OVER w AS pv, lag(ts_us) OVER w AS pts
+           |      FROM c WINDOW w AS (PARTITION BY series ORDER BY ts_us ASC, rid ASC)) t
+           |WHERE pts IS NOT NULL
+           |ORDER BY series, ts_us, rid""".stripMargin,
+      "q_ts_gaps" ->
+        s"""$CANON_SQL SELECT series, pts AS gap_start_us, ts_us AS gap_end_us,
+           |  ts_us - pts AS gap_us
+           |FROM (SELECT series, ts_us, lag(ts_us) OVER w AS pts
+           |      FROM c WINDOW w AS (PARTITION BY series ORDER BY ts_us ASC, rid ASC)) t
+           |WHERE pts IS NOT NULL AND ts_us - pts > 7200000000
+           |ORDER BY series, gap_start_us, gap_end_us""".stripMargin,
       // mirrors JsonIngest.isValidShape + explodeBatches: order-sensitive
       // key-list equality, numeric value/timestamp, tag = array of
       // non-empty objects; timestamps truncate toward zero

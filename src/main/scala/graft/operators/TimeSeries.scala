@@ -198,4 +198,48 @@ object TimeSeries {
     df.groupBy(col(SERIES), (floor(col(TS_US) / widthUs) * widthUs).cast("long").as("bucket_us"))
       .agg(aggColumn(kind).as(kind.name))
       .orderBy(col(SERIES), col("bucket_us"))
+
+  /** Beyond-parity: successive differences + rate per series — the
+    * counter-rate shape (PromQL `rate`, InfluxQL `derivative`) every TS
+    * stack grows. series is a LOW-CARDINALITY key, so the lag comes from
+    * the hot-key-safe two-pass path ([[Windowing.withPrevious]]), not a
+    * per-series window that would serialize a series through one task.
+    * First point per series has no predecessor and is dropped; equal
+    * timestamps (rid tiebreak) yield `rate_per_s` NULL rather than a
+    * division by zero. Double subtraction / one rounded division —
+    * IEEE-identical in any engine, so the oracle is exact.
+    */
+  def deltas(df: DataFrame, ids: Seq[String]): DataFrame = {
+    val withPrev = Windowing.withPrevious(
+      selectSeries(df, ids).select(SERIES, TS_US, RID, VALUE),
+      keyCols = Seq(SERIES), orderCols = Seq(TS_US, RID), carryCols = Seq(VALUE))
+    withPrev.filter(col(s"prev_$TS_US").isNotNull)
+      .select(col(SERIES), col(TS_US), col(RID),
+        round(col(VALUE) - col(s"prev_$VALUE"), 6).as("delta_v"),
+        (col(TS_US) - col(s"prev_$TS_US")).as("delta_us"),
+        when(col(TS_US) > col(s"prev_$TS_US"),
+          round((col(VALUE) - col(s"prev_$VALUE")) /
+            ((col(TS_US) - col(s"prev_$TS_US")) / lit(1000000.0)), 6))
+          .as("rate_per_s"))
+      .orderBy(col(SERIES), col(TS_US), col(RID))
+  }
+
+  /** Beyond-parity: missing-data detection — intervals per series where
+    * consecutive points are further apart than `thresholdUs` (the
+    * monitoring "did the feed stop" query). Same hot-key-safe lag as
+    * [[deltas]]; pure integer arithmetic, exact on any engine.
+    */
+  def gaps(df: DataFrame, ids: Seq[String], thresholdUs: Long): DataFrame = {
+    val withPrev = Windowing.withPrevious(
+      selectSeries(df, ids).select(SERIES, TS_US, RID),
+      keyCols = Seq(SERIES), orderCols = Seq(TS_US, RID), carryCols = Nil)
+    withPrev
+      .filter(col(s"prev_$TS_US").isNotNull &&
+        col(TS_US) - col(s"prev_$TS_US") > thresholdUs)
+      .select(col(SERIES),
+        col(s"prev_$TS_US").as("gap_start_us"),
+        col(TS_US).as("gap_end_us"),
+        (col(TS_US) - col(s"prev_$TS_US")).as("gap_us"))
+      .orderBy(col(SERIES), col("gap_start_us"), col("gap_end_us"))
+  }
 }

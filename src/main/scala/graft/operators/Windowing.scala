@@ -145,4 +145,60 @@ object Windowing {
       .withColumn(cntName, least(col(rn), lit(frame.toLong)))
       .drop(rn, ps, psPrev)
   }
+
+  /** Hot-key-safe `lag(1)`: appends each row's PREDECESSOR's
+    * `carryCols` (per key, under `orderCols`, which must totally order
+    * rows within a key) as `prefix`-renamed columns — null for the first
+    * row of a key. The per-key-window formulation
+    * (`Window.partitionBy(key)`) serializes a low-cardinality key
+    * through one task; this uses the sessionizeScalable shape instead:
+    * range-repartition the timeline, lag LOCALLY within each range
+    * partition, and stitch partition boundaries with the previous
+    * partition's per-key LAST row (a partition-count-scale aggregate,
+    * sort-merge-joined back — never broadcast, the key may be
+    * high-cardinality too).
+    *
+    * The boundary tail is `max(struct(orderCols ++ carryCols))`, so
+    * every carried column must be PART OF the struct ordering's prefix:
+    * orderCols lexicographically dominate, and since they totally order
+    * rows per key the max IS the partition's last row. One corpus range
+    * shuffle + one (pid, key) merge join — same cost model as
+    * sessionizeScalable, equivalence-tested against the plain window.
+    */
+  def withPrevious(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                   carryCols: Seq[String], prefix: String = "prev_",
+                   numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require((orderCols intersect carryCols).isEmpty,
+      s"carryCols must not repeat orderCols (both are carried): " +
+        s"${orderCols intersect carryCols}")
+    val outNames = (orderCols ++ carryCols).map(prefix + _)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pid = free(df, "__graft_pid", outNames)
+    val prevS = free(df, "__graft_prev", outNames)
+    val tailS = free(df, "__graft_tail", outNames)
+    // orderCols FIRST: struct comparison is lexicographic, so max() picks
+    // the partition's last row per key
+    val packed = struct((orderCols ++ carryCols).map(col): _*)
+    // PERSISTED: pid above a shared exchange is not stable across AQE
+    // consumer branches — see withRankAndRunningSum. Ledger-tracked.
+    val ranged = df.repartitionByRange(parts,
+        (keyCols ++ orderCols).map(c => col(c).asc): _*)
+      .withColumn(pid, spark_partition_id())
+      .trackedCache
+    val wLocal = Window.partitionBy((pid +: keyCols).map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    val tails = ranged.groupBy((pid +: keyCols).map(col): _*).agg(max(packed).as(tailS))
+      .withColumn(tailS, lag(col(tailS), 1).over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(pid).asc)))
+      .select(col(pid) +: keyCols.map(col) :+ col(tailS): _*)
+    ranged
+      .withColumn(prevS, lag(packed, 1).over(wLocal))
+      .join(tails.hint("merge"), pid +: keyCols, "left")
+      .withColumn(prevS, coalesce(col(prevS), col(tailS)))
+      .select(df.columns.map(col) ++
+        (orderCols ++ carryCols).map(c => col(prevS).getField(c).as(prefix + c)): _*)
+  }
 }

@@ -54,18 +54,23 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("a full-size query roster fits the driver's 2000-char tail window") {
-    // The driver keeps only the LAST 2000 chars of the run log; sbt's
-    // trailing "[success] Total time ..." line (~80 chars) and "[info] "
-    // prefix share that window, so the whole JSON line must stay under
-    // ~1910. Values here are full-width 1dp seconds ("1.2" — no
-    // trailing-zero trimming applies), the realistic worst case: per-query
-    // times above 10s mean the bench is broken anyway. The roster is the
-    // BENCH roster (golden companions are correctness-only, never timed).
-    // the stdout emit passes the sf BASENAME (emit() strips the dir)
+    // The driver keeps only the LAST 2000 chars of the run log. The JSON
+    // line itself is UNPREFIXED (run/outputStrategy := StdoutOutput); the
+    // only other tail occupant is sbt's "[success] Total time ..." line,
+    // measured at 72 chars (±15 with duration formatting) — so the usable
+    // budget is ~1925 and the guard sits at 1880. (r6 recalibration: the
+    // earlier ~1910 guess double-counted an "[info] " prefix the bare
+    // line doesn't carry.) Values here are full-width 1dp seconds
+    // ("1.2" — no trailing-zero trimming applies), the worst case:
+    // per-query times above 10s mean the bench is broken anyway. The
+    // roster is the BENCH roster (golden companions are never timed);
+    // the stdout emit passes the sf BASENAME (emit() strips the dir).
+    // If this fires again, TRIM THE FORMAT — do not raise the limit past
+    // the measured budget.
     val roster = Bench.benchQueryNames.map(_ -> 1.234567)
     val line = Bench.formatLine(roster, Nil, "sf0.1", partial = false)
     assert(mapper.readTree(line).get("queries").size == roster.size)
-    assert(line.length <= 1850,
-      s"bench line ${line.length} chars — headroom to the ~1910 window: ${1910 - line.length}; time to shorten keys")
+    assert(line.length <= 1880,
+      s"bench line ${line.length} chars — headroom to the measured ~1925 budget: ${1925 - line.length}; time to trim the format")
   }
 }

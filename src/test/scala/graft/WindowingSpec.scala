@@ -104,4 +104,52 @@ class WindowingSpec extends SparkSuite {
     assert(out.columns.contains("__graft_rn0"))
     assert(out.select("__graft_rn0").distinct().collect().map(_.getInt(0)).toSeq == Seq(9))
   }
+
+  test("withPrevious matches the per-key lag window, boundaries + skew + ts ties") {
+    def reference(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("k").orderBy(col("t").asc, col("id").asc)
+      df.withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("prev_id", lag(col("id"), 1).over(w))
+        .withColumn("prev_v", lag(col("v"), 1).over(w))
+        .select("id", "prev_t", "prev_id", "prev_v")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    }
+    def distributed(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Windowing.withPrevious(df, Seq("k"), Seq("t", "id"), Seq("v"),
+          numPartitions = parts)
+        .select("id", "prev_t", "prev_id", "prev_v")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // heavy ts collisions + one hot key carrying 90% of rows, with tiny
+    // partition counts so most predecessors sit across a range boundary
+    val data = (1L to 400L).map { i =>
+      (if (i % 10 == 0) s"cold${i % 30}" else "hot", i * 3 % 40, i, i % 17)
+    }
+    val df = data.toDF("k", "t", "id", "v")
+    for (parts <- Seq(2, 7, 32))
+      assert(distributed(df, parts) === reference(df), s"parts=$parts")
+  }
+
+  test("ts deltas/gaps over the hot-key-safe lag match hand-computed values") {
+    import graft.operators.{TimeSeries => TS}
+    // series s: values 1.0@t0, 4.0@t2s, 2.5@t2s (rid tie), 2.5@t4h
+    val rows = Seq(
+      ("s", 0L, 1L, 1.0),
+      ("s", 2000000L, 2L, 4.0),
+      ("s", 2000000L, 3L, 2.5),
+      ("s", 14402000000L, 4L, 2.5),
+      ("q", 5L, 5L, 9.0))
+    val df = rows.toDF("series", "ts_us", "rid", "value")
+    val d = TS.deltas(df, Nil).collect()
+      .map(r => r.getLong(2) -> (r.getDouble(3), r.getLong(4),
+        Option(r.get(5)))).toMap
+    assert(d(2L) == ((3.0, 2000000L, Some(1.5))))      // (4-1)/2s
+    assert(d(3L) == ((-1.5, 0L, None)))                // ts tie: rate NULL
+    assert(d(4L) == ((0.0, 14400000000L, Some(0.0))))  // flat over 4h
+    assert(!d.contains(1L) && !d.contains(5L))         // first points drop
+    val g = TS.gaps(df, Nil, thresholdUs = 7200000000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g.toSeq == Seq(("s", 2000000L, 14402000000L, 14400000000L)))
+  }
 }
