@@ -370,6 +370,13 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
         .orderBy("media_id")),
+    "q_multimodal_resize" -> ((s, d) =>
+      // the batched kernel path end-to-end: byte-volume partitioning →
+      // per-partition stub resample emitting exact fit geometry from
+      // REAL parsed bytes; oracle checks the id arithmetic
+      Multimodal.resizePlanBatched(
+          Multimodal.syntheticMediaFromDocuments(Canon.documents(s, d)), 224, 224)
+        .orderBy("media_id")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
       Canon.table(s, d, "lineitem")
@@ -1303,6 +1310,25 @@ object SparkEntry {
         |  CAST(16 + (doc_id // 1000) % 1000 AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 8 + 1 ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    // aspect-preserving fit into 224x224, never upscaled, floors at 1px;
+    // scale/out dims re-derived from the synthetic-media id arithmetic.
+    // round(scale,6) agrees with the kernel's rint(x*1e6)/1e6: a binary
+    // double times 1e6 never lands exactly on n+0.5
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  (['png','jpeg','gif'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 1000) % 1000 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 8 + 1 ELSE 1 END AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS sc FROM m)
+        |SELECT media_id, format, width, height,
+        |  greatest(CAST(floor(width * sc) AS BIGINT), 1) AS out_w,
+        |  greatest(CAST(floor(height * sc) AS BIGINT), 1) AS out_h,
+        |  round(sc, 6) AS scale,
+        |  greatest(CAST(floor(width * sc) AS BIGINT), 1) *
+        |    greatest(CAST(floor(height * sc) AS BIGINT), 1) * 3 * n_frames AS out_bytes
+        |FROM s ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -264,4 +264,51 @@ object Multimodal {
     features.filter(col("n_frames") > 1)
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indices"))
+
+  /** One resize decision: aspect-preserving fit into maxW×maxH, never
+    * upscaled, output floored at 1 px; `out_bytes` is the RGB24 payload
+    * estimate (w·h·3 per frame) a capacity planner sizes the output
+    * shuffle with.
+    */
+  case class ResizePlanRow(media_id: Long, format: String,
+                           width: Long, height: Long,
+                           out_w: Long, out_h: Long,
+                           scale: Double, out_bytes: Long)
+
+  /** The kernel boundary for a real pixel resample, batch-shaped like
+    * [[HeaderDecoder]] so codec setup amortizes per partition and the
+    * shuffle stays byte-volume-sized via [[decodeBatched]]. The pixel
+    * work itself is STUBBED deterministically — no image codecs ship in
+    * this container — so the kernel emits the exact resize GEOMETRY
+    * (dims parsed from real bytes, fit arithmetic, output size) and no
+    * pixels; a production kernel swaps the body without touching the
+    * plumbing. Unparseable payloads drop here (the metadata pass already
+    * routed them to the quarantine lane).
+    *
+    * scale rounds via rint(x·1e6)/1e6, which agrees with SQL
+    * round-half-up at 6dp: a binary double times 10⁶ can never land
+    * EXACTLY on n+0.5 (that would need a 5⁷ denominator factor no
+    * base-2 float has), so the half-breaking rules never see a half.
+    */
+  final class StubResizeKernel(maxW: Int, maxH: Int) extends Decoder[ResizePlanRow] {
+    def decode(rows: Iterator[MediaRow]): Iterator[ResizePlanRow] =
+      rows.flatMap { r =>
+        HeaderDecoder.parse(r.media).map { case (fmt, w, h, f) =>
+          val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+          val ow = math.max(math.floor(w * scale).toLong, 1L)
+          val oh = math.max(math.floor(h * scale).toLong, 1L)
+          ResizePlanRow(r.media_id, fmt, w.toLong, h.toLong, ow, oh,
+            math.rint(scale * 1e6) / 1e6, ow * oh * 3L * f)
+        }
+      }
+  }
+
+  /** Resize plans for every parseable payload — the full batched path
+    * (byte-volume partitioning → per-partition kernel), exercised with
+    * an exact oracle over the synthetic-media id arithmetic.
+    */
+  def resizePlanBatched(media: DataFrame, maxW: Int, maxH: Int,
+                        targetBytesPerPartition: Long = 128L << 20): DataFrame =
+    decodeBatched(media, new StubResizeKernel(maxW, maxH), targetBytesPerPartition)(
+      Encoders.product[ResizePlanRow]).toDF()
 }

@@ -107,6 +107,28 @@ class MultimodalSpec extends SparkSuite {
     assert(HeaderDecoder.parse(gifBytes(320, 200).take(13) :+ 0x3b.toByte) == None)
   }
 
+  test("resize kernel: aspect fit, no upscale, 1px floor, frames multiply bytes") {
+    def rows(items: (Long, Array[Byte])*) = items.iterator.map { case (id, b) =>
+      Multimodal.MediaRow(id, "image", b, b.length.toLong)
+    }
+    val k = new Multimodal.StubResizeKernel(224, 224)
+    val out = k.decode(rows(
+      1L -> pngBytes(448, 224),   // downscale ×0.5 on the wide axis
+      2L -> jpegBytes(100, 50),   // already fits: scale 1, no upscale
+      3L -> gifBytes(2240, 10, frames = 3), // extreme aspect: height floors at 1
+      4L -> "not an image".getBytes)        // unparseable: dropped
+    ).toList
+    assert(out.map(_.media_id) == List(1L, 2L, 3L))
+    val r1 = out(0)
+    assert((r1.out_w, r1.out_h, r1.scale) == ((224L, 112L, 0.5)))
+    assert(r1.out_bytes == 224L * 112L * 3)
+    val r2 = out(1)
+    assert((r2.out_w, r2.out_h, r2.scale) == ((100L, 50L, 1.0)))
+    val r3 = out(2)
+    assert(r3.out_w == 224L && r3.out_h == 1L) // floor(10 * 0.1) = 1
+    assert(r3.out_bytes == 224L * 1L * 3 * 3)  // 3 GIF frames
+  }
+
   test("media table: opaque binary + typed metadata, kind cycles by id") {
     val m = Multimodal.mediaFromDocuments(docs)
     assert(m.columns.toSeq == Seq("media_id", "kind", "media", "n_bytes"))
