@@ -43,8 +43,15 @@ object CacheLedger {
       val fs = frames.synchronized { val v = frames.toList; frames.clear(); v }
       // unpersist of an already-released/cleared frame is a no-op, so the
       // manual mid-operator unpersists (Dedup.clustersFromPairs) and a
-      // concurrent clearCache() stay safe
-      fs.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      // concurrent clearCache() stay safe; fatal VM errors propagate and
+      // a thread interrupt mid-release keeps its flag
+      fs.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => ()
+        }
+      }
     }
   }
 

@@ -45,6 +45,38 @@ object SparkEntry {
     else "/root/repo/src/main/resources/graft/ingest_wire.jsonl"
   }
 
+  /** Per-process scratch directories for the streaming queries' sink
+    * parquet (the returned frame reads the sink LAZILY, so the directory
+    * must outlive the call — an in-call delete is impossible). One
+    * deterministic directory per query name per JVM: repeated
+    * bench/verify invocations overwrite instead of leaking a fresh
+    * tempdir each, and a shutdown hook removes the whole set at exit.
+    */
+  private object StreamScratch {
+    private val dirs = scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+    private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
+      new Thread(() => dirs.values.foreach(deleteTree), "graft-stream-scratch-cleanup"))
+    private def deleteTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+            case scala.util.control.NonFatal(_) => ()
+          })
+      }
+    /** The (created) scratch directory for `name`, stable for this JVM. */
+    def dir(name: String): String = {
+      hook
+      dirs.getOrElseUpdate(name, {
+        val p = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft_stream_${name}_pid${ProcessHandle.current().pid()}")
+        java.nio.file.Files.createDirectories(p)
+        p
+      }).toString
+    }
+  }
+
   /** DuckDB mirror of Canon.canonicalizeEvents. */
   private val CANON_SQL =
     """WITH c AS (
@@ -560,7 +592,7 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(src),
         inDir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val outDir = java.nio.file.Files.createTempDirectory("q_stream_out_").toString
+      val outDir = StreamScratch.dir("q_stream_sessions")
       val schema = s.read.parquet(src).schema
       val raw = s.readStream.schema(schema).parquet(inDir.toString)
         .select(col("user_id"), expr("CAST(ts DIV 1000 AS LONG)").as("ts_us"),

@@ -365,6 +365,11 @@ object TextOps {
     */
   def commonness(df: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
+    // the fixed OUTPUT names need the same collision discipline as the
+    // internal ones: an idCol named like an output would yield duplicate
+    // (ambiguous) columns in the result
+    require(!Set("n_tokens", "mean_token_freq").contains(idCol),
+      s"idCol '$idCol' collides with a commonness output column")
     // internal names dodge the caller's id column (the one input column
     // that survives the first projection) — same collision class the
     // free-name sweep fixed in Curation/Sampling
@@ -399,6 +404,8 @@ object TextOps {
     */
   def ngramNovelty(df: DataFrame, n: Int = 3, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    require(!Set("n_shingles", "n_novel", "novelty").contains(idCol),
+      s"idCol '$idCol' collides with an ngramNovelty output column")
     def free(stem: String): String = Iterator.from(0).map(i => s"$stem$i")
       .find(nm => nm != idCol).get
     val (sh, shingle, dfreq) =

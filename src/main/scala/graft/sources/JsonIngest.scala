@@ -41,9 +41,28 @@ object JsonIngest {
     Seq("timestamp", "value"),
     Seq("timestamp", "tag", "value"))
 
+  /** DuckDB-`json_type`-equivalent numeric-TOKEN check via the variant
+    * reader: true iff the JSON value at `path` is a number token.
+    * `from_json`'s DoubleType COERCES numeric-looking strings — it parses
+    * `"42"`, `"NaN"`, `"Infinity"` to doubles — while the reference's
+    * wire grammar (and the DuckDB oracle's
+    * `json_type IN ('DOUBLE','BIGINT','UBIGINT')`) admits only number
+    * tokens. `schema_of_variant` surfaces the token's own type: numbers
+    * land in the integral/floating family (big integers as DECIMAL —
+    * DuckDB's UBIGINT case), strings stay STRING.
+    */
+  private def isNumberToken(json: Column, path: String): Column = {
+    val tok = try_variant_get(try_parse_json(json), path, "variant")
+    val t = schema_of_variant(tok)
+    tok.isNotNull &&
+      (t.isin("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE") ||
+        t.startsWith("DECIMAL"))
+  }
+
   /** Shape check: the object's key list must equal one of the four accepted
-    * shapes IN ORDER, and `value` (plus `timestamp` if present) must have
-    * parsed as a number.
+    * shapes IN ORDER, and `value` (plus `timestamp` if present) must be a
+    * JSON NUMBER token (not a numeric-looking string — see
+    * [[isNumberToken]]).
     *
     * The tag grammar (array of non-empty objects, `src/shard.re:39-49`) is
     * enforced HERE, at ingest — a deliberate divergence from the reference,
@@ -57,8 +76,9 @@ object JsonIngest {
       .map(s => keys === array(s.map(lit): _*))
       .reduce(_ || _)
     val parsed = from_json(json, wireSchema)
-    val valueOk = parsed.getField("value").isNotNull
-    val tsOk = !array_contains(keys, "timestamp") || parsed.getField("timestamp").isNotNull
+    val valueOk = parsed.getField("value").isNotNull && isNumberToken(json, "$.value")
+    val tsOk = !array_contains(keys, "timestamp") ||
+      (parsed.getField("timestamp").isNotNull && isNumberToken(json, "$.timestamp"))
     val tagField = parsed.getField("tag")
     // when the `tag` key is present it must have parsed as an array whose
     // every element is a non-empty object (head-of-assoc-list must exist)

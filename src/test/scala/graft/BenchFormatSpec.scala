@@ -26,8 +26,22 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(n.get("queries").get("q_b").asDouble - 12.0) < 1e-12)
     assert(n.get("queries").get("q_c").asDouble == 0.0) // sub-ms floors to "0"
     assert(n.get("queries_median") == null) // sidecar-only field
-    assert(n.get("partial") == null) // only rendered when true
+    assert(!n.get("partial").asBoolean) // always present (r6 ADVICE)
     assert(n.get("failed").get(0).asText == "q_bad")
+  }
+
+  test("stdout shortKeys strips the uniform q_ prefix, full names elsewhere") {
+    val line = Bench.formatLine(
+      Seq("q_agg_sum" -> 0.3, "q_b" -> 1.0), Seq("q_bad"),
+      "sf0.1", partial = false, shortKeys = true)
+    val n = mapper.readTree(line)
+    assert(n.get("queries").get("agg_sum") != null)
+    assert(n.get("queries").get("q_agg_sum") == null)
+    assert(n.get("failed").get(0).asText == "bad")
+    // the sidecar rendering (shortKeys default false) keeps full names
+    val side = mapper.readTree(Bench.formatLine(
+      Seq("q_agg_sum" -> 0.3), Nil, "sf", partial = false))
+    assert(side.get("queries").get("q_agg_sum") != null)
   }
 
   test("sidecar rendering carries 2dp values and per-query medians") {
@@ -43,14 +57,14 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(med.get("q_b").asDouble - 1.5) < 1e-12)
   }
 
-  test("partial flag and failure list render only when informative") {
+  test("partial flag and failure list are always present (parser-safe)") {
     val line = Bench.formatLine(Seq("q" -> 1.5), Nil, "sf", partial = true)
     val n = mapper.readTree(line)
     assert(n.get("partial").asBoolean)
-    assert(n.get("failed") == null) // empty list omitted
+    assert(n.get("failed").size == 0) // empty list rendered, not omitted
     val happy = mapper.readTree(
       Bench.formatLine(Seq("q" -> 1.5), Nil, "sf", partial = false))
-    assert(happy.get("partial") == null && happy.get("failed") == null)
+    assert(!happy.get("partial").asBoolean && happy.get("failed").size == 0)
   }
 
   test("a full-size query roster fits the driver's 2000-char tail window") {
@@ -65,12 +79,14 @@ class BenchFormatSpec extends AnyFunSuite {
     // 1dp seconds ("1.2" — no trailing-zero trimming applies), the
     // worst case: per-query times above 10s mean the bench is broken
     // anyway. The roster is the BENCH roster (golden companions are
-    // never timed); the stdout emit passes the sf BASENAME. If this
-    // fires, the roster has outgrown the format — trim the FORMAT
-    // (shorter keys need a documented rename) — never raise the guard
-    // past the measured budget.
+    // never timed); the stdout emit passes the sf BASENAME and
+    // shortKeys=true (the r7 documented rename — measure the REAL
+    // stdout form). If this fires again, the roster has outgrown the
+    // format — find the next trim — never raise the guard past the
+    // measured budget.
     val roster = Bench.benchQueryNames.map(_ -> 1.234567)
-    val line = Bench.formatLine(roster, Nil, "sf0.1", partial = false)
+    val line = Bench.formatLine(roster, Nil, "sf0.1", partial = false,
+      shortKeys = true)
     assert(mapper.readTree(line).get("queries").size == roster.size)
     assert(line.length <= 1895,
       s"bench line ${line.length} chars — headroom to the measured ~1925 budget: ${1925 - line.length}; time to trim the format")

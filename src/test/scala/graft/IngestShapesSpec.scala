@@ -57,9 +57,12 @@ class IngestShapesSpec extends SparkSuite {
       (false, "m", None, None, None, Some("""{"tag": "notalist", "value": 1}""")),
       (false, "m", None, None, None, Some("""{"tag": [{"a":"b"}]}""")),
       (false, "m", None, None, None, Some("""{"tag": null, "value": 1}""")),
+      (false, "m", None, None, None, Some("""{"timestamp": "7", "value": 1}""")),
       (false, "m", None, None, None, Some("""{"timestamp": "t", "value": 8}""")),
       (false, "m", None, None, None, Some("""{"timestamp": 1, "value": 2, "tag": []}""")),
       (false, "m", None, None, None, Some("""{"value":""")),
+      (false, "m", None, None, None, Some("""{"value": "42"}""")),
+      (false, "m", None, None, None, Some("""{"value": "NaN"}""")),
       (false, "m", None, None, None, Some("""{"value": "x"}""")),
       (false, "m", None, None, None, Some("""{"value": 1, "extra": 2}""")),
       (false, "m", None, None, None, Some("""{"value": 5, "timestamp": 12}""")),

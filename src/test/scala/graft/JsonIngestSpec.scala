@@ -26,13 +26,15 @@ class JsonIngestSpec extends SparkSuite {
       "s" -> """{"value": 5, "timestamp": 12}""",          // wrong order
       "s" -> """{"timestamp": 13, "value": 6, "tag": []}""", // wrong order
       "s" -> """{"value": "x"}""",                          // non-numeric
+      "s" -> """{"value": "NaN"}""",                        // string token, not number
+      "s" -> """{"value": "42"}""",                         // numeric-LOOKING string
       "s" -> """{"tag": [{"a":"b"}]}""",                    // no value
       "s" -> """{}""",                                      // empty
       "s" -> """{"Value": 7}""",                            // case-sensitive
       "s" -> """{"timestamp": "t", "value": 8}"""           // non-numeric ts
     ), T0)
     assert(r.good.count() == 4)
-    assert(r.bad.count() == 7)
+    assert(r.bad.count() == 9)
     assert(r.good.select("value").as[Double].collect().toSet == Set(1.0, 2.0, 3.0, 4.0))
   }
 
