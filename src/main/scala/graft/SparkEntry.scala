@@ -264,6 +264,10 @@ object SparkEntry {
       TextOps.commonness(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_novelty" -> ((s, d) => // fraction of doc's 3-grams unique to it
       TextOps.ngramNovelty(Canon.documents(s, d), n = 3).orderBy("doc_id")),
+    "q_text_tfidf" -> ((s, d) => // top-3 salient terms per doc (tf/df rank)
+      TextOps.salientTerms(Canon.documents(s, d), k = 3).orderBy("doc_id", "rk")),
+    "q_dedup_spans" -> ((s, d) => // Lee-et-al-style duplicated-substring coverage
+      Dedup.duplicatedSpans(Canon.documents(s, d), n = 3).orderBy("doc_id")),
     // referential QA before the doc⋈embedding join: counts, dup ids,
     // orphans each way — one integer summary row
     "q_integrity" -> ((s, d) =>
@@ -623,6 +627,56 @@ object SparkEntry {
           round(col("n_events").cast("double") / col("n_sessions"), 6))
         .orderBy("user_id")
     }),
+    // custom streaming STATE e2e (flatMapGroupsWithState): the per-series
+    // running stats from streaming.StatefulOps accumulate as managed
+    // group state across micro-batches; every batch's updates are
+    // appended, the FINAL cumulative state per series (the update with
+    // the max count — counts are strictly increasing per emit) is rolled
+    // up and checked against the same plain batch aggregate in DuckDB.
+    // Third streaming roster entry, third state-management strategy:
+    // session_window (q_stream_sessions), and now arbitrary user state.
+    "q_stream_state" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = s"$d/events.parquet"
+      val inDir = java.nio.file.Files.createTempDirectory("q_streamstate_in_")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        inDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val outDir = StreamScratch.dir("q_stream_state")
+      val schema = s.read.parquet(src).schema
+      import s.implicits._
+      val raw = s.readStream.schema(schema).parquet(inDir.toString)
+        .select(col("event_type").as("series"),
+          expr("CAST(ts DIV 1000 AS LONG)").as("ts_us"),
+          lit(null).cast(Canon.tagType).as("tag"),
+          col("value"), col("event_id").as("rid"))
+        .as[Canon.Datapoint]
+      val updates = streaming.StatefulOps.runningSeriesStats(raw)(s)
+      val q = updates.toDF.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // overwrite on the FIRST batch clears a previous invocation's
+          // content from the reused per-process scratch dir
+          batch.write.mode(if (batchId == 0) "overwrite" else "append")
+            .parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000L)
+      q.stop()
+      require(finished, "q_stream_state: stream did not terminate in 300s")
+      java.nio.file.Files.deleteIfExists(inDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(inDir)
+      s.read.parquet(outDir)
+        .groupBy("series")
+        .agg(max_by(struct(col("count"), col("sum"), col("maxTs")),
+          col("count")).as("f"))
+        .select(col("series"), col("f.count").as("n"),
+          round(col("f.sum"), 4).as("sum_v"),
+          round(col("f.sum") / col("f.count"), 6).as("mean_v"),
+          col("f.maxTs").as("max_ts"))
+        .orderBy("series")
+    }),
     // ordered conversion funnel + weekly cohort retention — see
     // operators.Events for the per-user join shapes
     "q_funnel" -> ((s, d) =>
@@ -972,6 +1026,50 @@ object SparkEntry {
          |    / count(*), 6) AS novelty
          |FROM s JOIN f USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // salience = tf/df: integer counts, ONE double division — ranked
+    // UNROUNDED in both engines (same operands → same IEEE double, so the
+    // row_number tie structure matches), rounded only in the output
+    "q_text_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($LTOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |f AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |r AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS sal,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) / df DESC, term ASC) AS rk
+         |  FROM tf JOIN f USING (term))
+         |SELECT doc_id, term, tf, df, round(sal, 6) AS salience,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // positional word 3-grams on the STRING form (the engine hashes them
+    // to longs — grouping by hash equals grouping by string absent a
+    // 64-bit collision, the novelty/commonness equivalence); covered
+    // positions dedup through DISTINCT before the per-doc count
+    "q_dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+         |  FROM toks WHERE len(t) >= 3),
+         |s AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+         |    i -> {'pos': i - 1, 'sh': t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS u
+         |  FROM b)),
+         |f AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, cp FROM (
+         |  SELECT s.doc_id, unnest([s.pos, s.pos + 1, s.pos + 2]) AS cp
+         |  FROM s JOIN f USING (sh))),
+         |a AS (SELECT doc_id, count(*) AS n_dup_pos FROM cov GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(a.n_dup_pos, 0) AS n_dup_pos,
+         |  round(CAST(coalesce(a.n_dup_pos, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
+         |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the streaming-state query's FINAL cumulative per-series stats must
+    // equal the plain batch aggregate (mean spelled sum/count — the same
+    // one division the state rollup computes)
+    "q_stream_state" ->
+      s"""$CANON_SQL SELECT series, count(*) AS n,
+         |  round(sum(value), 4) AS sum_v,
+         |  round(sum(value) / count(*), 6) AS mean_v,
+         |  max(ts_us) AS max_ts
+         |FROM c GROUP BY series ORDER BY series""".stripMargin,
     "q_integrity" ->
       """WITH l AS (SELECT doc_id AS id, count(*) AS ln FROM documents GROUP BY 1),
         |r AS (SELECT vec_id AS id, count(*) AS rn FROM embeddings GROUP BY 1),

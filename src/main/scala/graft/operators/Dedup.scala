@@ -596,4 +596,62 @@ object Dedup {
       .trackedCache
       .orderBy("id_a", "id_b")
   }
+
+  /** Per-document duplicated-SUBSTRING coverage, at word-n-gram
+    * granularity — the span-level diagnostic of the "deduplicate training
+    * data at the substring level" family (Lee et al., ACL'22, which dedups
+    * 50-token substrings via a suffix array): for each document, the
+    * fraction of its token positions covered by at least one word n-gram
+    * that also occurs in ANOTHER document. Whole-document and even
+    * near-dup pair finding miss this mass — boilerplate headers, quoted
+    * paragraphs, license blocks — which is exactly the text a model
+    * memorizes first.
+    *
+    * Positions, not n-grams: a position covered by three overlapping
+    * duplicated n-grams counts once, so `dup_frac` is a true fraction of
+    * the document's tokens (the suffix-array method's "fraction of chars
+    * in a duplicated span", discretized to tokens).
+    *
+    * Scale shape: positional shingles hash to 64-bit longs (the string
+    * n-gram never shuffles); the duplicated-shingle list is shingle-scale
+    * and DERIVED, so the probe join pins `shuffle_hash` with the slim
+    * one-column build (the frequency-join discipline — AQE elects a
+    * corpus-scale broadcast at toy SF otherwise); the covered-position
+    * fan-out is a bounded ×n explode collapsed by a count-distinct
+    * aggregate. Docs with fewer than n tokens have no n-grams and emit no
+    * row (mirroring [[graft.operators.TextOps.ngramNovelty]]).
+    */
+  def duplicatedSpans(df: DataFrame, n: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n-gram order must be positive, got $n")
+    require(!Set("n_tokens", "n_dup_pos", "dup_frac").contains(idCol),
+      s"idCol '$idCol' collides with a duplicatedSpans output column")
+    val t = col("__span_toks")
+    // base feeds the positional fan-out AND the final left join
+    val base = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__span_toks"))
+      .filter(size(t) >= n)
+      .select(col(idCol), size(t).cast("long").as("n_tokens"), t)
+      .trackedCache
+    // (doc, pos, hash-of-ngram-at-pos): pos = 0-based start token index
+    val pos = base.select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("n_tokens").cast("int") - n),
+          i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+          .as(Seq("pos", "sh")))
+      .trackedCache // feeds the df aggregate AND the probe side
+    val dup = pos.groupBy("sh")
+      .agg(countDistinct(col(idCol)).as("__span_df"))
+      .filter(col("__span_df") >= 2)
+      .select("sh")
+    val covered = pos.join(dup.hint("shuffle_hash"), Seq("sh"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("__span_cp"))
+      .groupBy(idCol).agg(countDistinct(col("__span_cp")).as("n_dup_pos"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        round(coalesce(col("n_dup_pos"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
 }

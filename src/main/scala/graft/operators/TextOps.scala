@@ -389,6 +389,45 @@ object TextOps {
           .as("mean_token_freq"))
   }
 
+  /** Top-k SALIENT terms per document — the tf-idf shape in exact
+    * rational arithmetic: salience = tf / df (the document's term count
+    * over the term's corpus document frequency), which ranks identically
+    * to tf·(N/df) and, unlike the log-idf form, is ONE double division
+    * both engines compute bit-identically (a `log` would hinge on
+    * cross-libm ulps). Ties break on the term string, so the per-doc
+    * ordering is total and oracle-exact. The canonical "what is this
+    * document about" / keyword-extraction primitive of a corpus pipeline.
+    *
+    * Scale shape: tf is one doc-term aggregate; df REUSES tf (tf rows
+    * are already (doc, term)-distinct, so df = per-term row count of tf —
+    * no second pass over the corpus, and tf is ledger-cached for the agg
+    * + probe fan-out). The frequency join pins `shuffle_hash` (slim
+    * (term, df) build rows, the commonness discipline); the top-k is a
+    * per-doc window — doc_id is maximal-cardinality, so the rank
+    * parallelizes perfectly and the rk filter compiles to a map-side
+    * WindowGroupLimit.
+    */
+  def salientTerms(df: DataFrame, k: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"top-k must be positive, got $k")
+    require(!Set("term", "tf", "df", "salience", "rk").contains(idCol),
+      s"idCol '$idCol' collides with a salientTerms output column")
+    val tf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .trackedCache // feeds the df aggregate AND the join probe side
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(dfreq.hint("shuffle_hash"), Seq("term"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df"), 6).as("salience"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in NO other document (corpus df = 1) —
     * the dedup-adjacent diagnostic (novelty ≈ 0 flags templated /

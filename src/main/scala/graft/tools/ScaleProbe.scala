@@ -191,6 +191,19 @@ object ScaleProbe {
     probe("integrity_report",
       graft.operators.Integrity.report(doc1, emb1, "doc_id", "vec_id").count(),
       graft.operators.Integrity.report(doc10, emb10, "doc_id", "vec_id").count())
+
+    // --- round 7: span coverage + salient terms. Same frequency-join
+    // shape as commonness/novelty (constant vocab, linear probe side);
+    // duplicatedSpans adds the bounded ×n covered-position explode, and
+    // the ×10 self-multiplication flips EVERY position to duplicated
+    // (each doc's copies share all n-grams), so the probe also stresses
+    // the worst-case join selectivity where nothing is filtered.
+    probe("dedup_spans",
+      Dedup.duplicatedSpans(doc1, 3).count(),
+      Dedup.duplicatedSpans(doc10, 3).count())
+    probe("text_tfidf",
+      TextOps.salientTerms(doc1, 3).count(),
+      TextOps.salientTerms(doc10, 3).count())
     spark.stop()
   }
 }

@@ -155,6 +155,34 @@ class DedupSpec extends SparkSuite {
     assert(dist == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
   }
 
+  test("duplicated spans: overlapping cross-doc 3-grams cover positions once") {
+    val corpus = Seq(
+      (10L, "x y z p q"),     // shares "x y z" with 11 → positions 0-2 of 5
+      (11L, "m n x y z"),     // → positions 2-4 of 5
+      (12L, "a b"),           // < 3 tokens: no row
+      (13L, "u v w"),         // unique 3-gram: zero coverage
+      (14L, "1 2 3 4"),       // shares "1 2 3" AND "2 3 4" with 15: the
+      (15L, "1 2 3 4 9")      // overlapping spans union to 0..3, not 6
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (10L, 5L, 3L, 0.6),
+      (11L, 5L, 3L, 0.6),
+      (13L, 3L, 0L, 0.0),
+      (14L, 4L, 4L, 1.0),
+      (15L, 5L, 4L, 0.8)))
+  }
+
+  test("duplicated spans: intra-doc repetition alone is NOT cross-doc duplication") {
+    // "r s t" occurs twice in ONE doc — distinct-doc df is 1, so nothing
+    // is flagged (in-doc repetition is q_text_repetition's signal)
+    val corpus = Seq((20L, "r s t r s t"), (21L, "h i j k")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((20L, 6L, 0L, 0.0), (21L, 4L, 0L, 0.0)))
+  }
+
   test("native simhash64 == HOF majority-vote formulation") {
     val hashed = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", transform(graft.operators.TextOps.tokens($"text"),

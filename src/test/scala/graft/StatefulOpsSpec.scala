@@ -38,4 +38,19 @@ class StatefulOpsSpec extends SparkSuite {
     assert(last("a").count == 3 && last("a").outOfOrder == 1 && last("a").sum == 7.0)
     assert(last("b").count == 2 && last("b").outOfOrder == 0 && last("b").maxTs == 300L)
   }
+
+  test("q_stream_state final cumulative state == plain batch aggregate (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q_stream_state")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val batch = graft.model.Canon.events(spark, sf)
+      .groupBy("series")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"),
+        round(sum("value") / count(lit(1)), 6).as("mean_v"),
+        max("ts_us").as("max_ts"))
+      .orderBy("series")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(streamed == batch, s"stream:\n$streamed\nbatch:\n$batch")
+  }
 }

@@ -131,6 +131,28 @@ class TextOpsSpec extends SparkSuite {
     assert(v == Seq(("alpha", 3L), ("beta", 3L), ("gamma", 2L))) // alpha<beta on tie
   }
 
+  test("salient terms: tf/df ranking with term-string tiebreak, k bound") {
+    val df = Seq(
+      (1L, "Apple apple banana zebra"), // lowercased: apple tf=2
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry")).toDF("doc_id", "text")
+    // df: apple 2 docs, banana 2, cherry 2, zebra 1
+    val got = TextOps.salientTerms(df, k = 3).orderBy("doc_id", "rk")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      // doc 1: apple 2/2=1.0 ties zebra 1/1=1.0 → term asc breaks it
+      (1L, "apple", 2L, 2L, 1.0, 1L),
+      (1L, "zebra", 1L, 1L, 1.0, 2L),
+      (1L, "banana", 1L, 2L, 0.5, 3L),
+      // doc 2: equal salience, banana < cherry
+      (2L, "banana", 1L, 2L, 0.5, 1L),
+      (2L, "cherry", 1L, 2L, 0.5, 2L),
+      (3L, "cherry", 2L, 2L, 1.0, 1L),
+      (3L, "apple", 1L, 2L, 0.5, 2L)))
+    val k1 = TextOps.salientTerms(df, k = 1).collect()
+    assert(k1.length == 3 && k1.forall(_.getLong(5) == 1L))
+  }
+
   test("quality signals are in range and respond to structure") {
     val df = Seq(
       (1L, "the of and to in is a clean readable sentence with words"),
