@@ -377,6 +377,9 @@ object SparkEntry {
         .withColumn("rn", col("rn").cast("long"))),
     "q_vec_quantize" -> ((s, d) => // int8 quantization summary (exact arithmetic)
       Similarity.quantizeInt8(Canon.embeddings(s, d))),
+    "q_embed_outliers" -> ((s, d) => // bottom-5 cosine-to-label-centroid per label
+      Similarity.labelCentroidOutliers(Canon.embeddings(s, d), k = 5)
+        .orderBy("label", "rk")),
     // filtered vector search: metadata predicate on the aligned documents
     // table restricts the corpus via a PINNED shuffle semi-join on the id
     // (at 100 TB the filtered doc-id set is itself fact-scale — billions
@@ -676,6 +679,44 @@ object SparkEntry {
           round(col("f.sum") / col("f.count"), 6).as("mean_v"),
           col("f.maxTs").as("max_ts"))
         .orderBy("series")
+    }),
+    // streaming exact dedup e2e (dropDuplicatesWithinWatermark): the
+    // corpus is staged TWICE into the stream source (the sf corpora have
+    // no exact duplicates), so the bounded-state dedup must collapse
+    // 2× rows to exactly the corpus's distinct content hashes (single
+    // AvailableNow batch → every duplicate is within-watermark). Event
+    // time is synthesized deterministically from doc_id; only the slim
+    // hash column hits the sink. Fourth streaming entry, third state
+    // strategy (session windows, arbitrary user state, and now
+    // watermark-EXPIRED dedup state — the shape whose state stays
+    // bounded at 100 TB key cardinality).
+    "q_stream_dedup" -> ((s, d) => {
+      val src = s"$d/documents.parquet"
+      val inDir = java.nio.file.Files.createTempDirectory("q_streamdedup_in_")
+      for (copy <- Seq("documents_a.parquet", "documents_b.parquet"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+          inDir.resolve(copy),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val outDir = StreamScratch.dir("q_stream_dedup")
+      val schema = s.read.parquet(src).schema
+      val raw = s.readStream.schema(schema).parquet(inDir.toString)
+        .withColumn("__etime", timestamp_micros(lit(INGEST_T0) + col("doc_id")))
+      val deduped = streaming.StreamDedup.dedupByContent(raw, "__etime")
+      val q = deduped.select("content_hash").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode(if (batchId == 0) "overwrite" else "append")
+            .parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000L)
+      q.stop()
+      require(finished, "q_stream_dedup: stream did not terminate in 300s")
+      for (copy <- Seq("documents_a.parquet", "documents_b.parquet"))
+        java.nio.file.Files.deleteIfExists(inDir.resolve(copy))
+      java.nio.file.Files.deleteIfExists(inDir)
+      s.read.parquet(outDir).select("content_hash").orderBy("content_hash")
     }),
     // ordered conversion funnel + weekly cohort retention — see
     // operators.Events for the per-user join shapes
@@ -1061,6 +1102,35 @@ object SparkEntry {
          |  coalesce(a.n_dup_pos, 0) AS n_dup_pos,
          |  round(CAST(coalesce(a.n_dup_pos, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_frac
          |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // centroid = per-dim SUM of round(x*1e6) longs (exact integer adds in
+    // any order; cosine is scale-invariant so the un-divided sum ranks
+    // like the mean); cosine operands and order then match the engine's
+    // native expression exactly — ranked unrounded, rounded in output
+    "q_embed_outliers" ->
+      s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |e AS (SELECT label, u.i AS dim, u.v AS v FROM (
+         |  SELECT label, unnest(list_transform(generate_series(1, len(qv)),
+         |    i -> {'i': i, 'v': qv[i]})) AS u FROM q)),
+         |s AS (SELECT label, dim, sum(v) AS sv FROM e GROUP BY label, dim),
+         |c AS (SELECT label, list(CAST(sv AS DOUBLE) ORDER BY dim) AS cent
+         |  FROM s GROUP BY label),
+         |r AS (SELECT q.label, q.vec_id,
+         |    list_dot_product(ev, cent) /
+         |      (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cent, cent))) AS cos
+         |  FROM q JOIN c USING (label)),
+         |w AS (SELECT label, vec_id, cos, row_number() OVER (
+         |    PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rk FROM r)
+         |SELECT label, vec_id, round(cos, 6) AS cos_centroid, CAST(rk AS BIGINT) AS rk
+         |FROM w WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+    // the bounded-state stream dedup must emit exactly the distinct
+    // content hashes (all duplicates are within-watermark in one batch)
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin,
     // the streaming-state query's FINAL cumulative per-series stats must
     // equal the plain batch aggregate (mean spelled sum/count — the same
     // one division the state rollup computes)

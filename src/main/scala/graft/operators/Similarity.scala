@@ -146,6 +146,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-label embedding-quality OUTLIERS: each vector's cosine to its
+    * label's centroid, bottom-k per label (most dissimilar first, vec_id
+    * tiebreak) — the mislabeled/garbage-embedding screen run before
+    * training on labeled embeddings, and the per-cluster cousin of the
+    * SemDeDup within-cluster pass (there: drop the most similar; here:
+    * surface the least).
+    *
+    * EXACT cross-engine centroid: a per-dimension float MEAN depends on
+    * summation order, so the centroid is the per-dim SUM of µ-quantized
+    * coordinates (`round(x·1e6)` as long — order-independent integer
+    * addition). Cosine is scale-invariant, so the un-divided sum vector
+    * ranks identically to the mean vector, and both engines compute the
+    * cosine from identical operands in identical order — the oracle is
+    * hash-exact with no tolerance band.
+    *
+    * Scale shape: the quantized fan-out is one scan-stage posexplode of
+    * three slim columns; the (label, dim) sums are a two-phase hash agg;
+    * the resulting n_labels × dim table is MODEL-PARAMETER scale, so it
+    * collects to the driver and re-enters as a literal-backed broadcast
+    * (the [[trainCellsCached]] precedent) — the corpus-side join then
+    * broadcasts a scan-free local relation instead of shuffling 100 TB
+    * on an n_labels-value key (the label-keyed shuffle would funnel the
+    * corpus into n_labels partitions). The bottom-k compiles to the
+    * partial+final WindowGroupLimit, so the low-cardinality label window
+    * moves ≤ k·partitions rows, never the corpus.
+    */
+  def labelCentroidOutliers(df: DataFrame, k: Int = 5,
+                            vecCol: String = "embedding", idCol: String = "vec_id",
+                            labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"bottom-k must be positive, got $k")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val qv = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+    val centRows: Seq[(Long, Seq[Double])] = df
+      .select(col(labelCol).cast("long").as("__lco_lbl"),
+        posexplode(qv).as(Seq("__lco_dim", "__lco_q")))
+      .groupBy("__lco_lbl", "__lco_dim").agg(sum("__lco_q").as("__lco_s"))
+      .groupBy("__lco_lbl")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__lco_dim"), col("__lco_s")))),
+        s => s.getField("__lco_s").cast("double")).as("__lco_cent"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val centDf = centRows.toDF("__lco_lbl", "__lco_cent")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("__lco_cos").asc, col(idCol).asc)
+    df.select(col(idCol), col(labelCol).cast("long").as("label"), col(vecCol))
+      .join(broadcast(centDf), col("label") === col("__lco_lbl"))
+      .withColumn("__lco_cos", cosine(asDouble(col(vecCol)), col("__lco_cent")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col(idCol),
+        round(col("__lco_cos"), 6).as("cos_centroid"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
   private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

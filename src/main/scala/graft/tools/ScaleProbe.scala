@@ -204,6 +204,12 @@ object ScaleProbe {
     probe("text_tfidf",
       TextOps.salientTerms(doc1, 3).count(),
       TextOps.salientTerms(doc10, 3).count())
+    // centroid sums collect (n_labels × dim — constant) and re-enter as a
+    // scan-free broadcast: the corpus side never shuffles on the 10-value
+    // label key, so the probe should be scan-dominated linear
+    probe("embed_outliers",
+      Similarity.labelCentroidOutliers(emb1, 5).count(),
+      Similarity.labelCentroidOutliers(emb10, 5).count())
     spark.stop()
   }
 }

@@ -42,6 +42,31 @@ class SimilaritySpec extends SparkSuite {
     assert(got == Seq(4L, 1L, 2L)) // 0.999 > 0.994 > 0
   }
 
+  test("label-centroid outliers: most dissimilar first, id tiebreak, centroid scale-free") {
+    // label 0: three vectors near +x, one near -x — the -x vector is the
+    // unambiguous outlier. label 1: two identical vectors (cos to centroid
+    // both 1.0) → vec_id ascending breaks the tie.
+    val df = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(1.0f, 0.1f)),
+      (3L, 0, Array(-1.0f, 0.0f)),
+      (10L, 1, Array(0.0f, 2.0f)),
+      (11L, 1, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroidOutliers(df, k = 2)
+      .orderBy("label", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // label-0 ascending: v3 (-x, ~-0.99) < v0 (off-centroid, ~0.9945)
+    // < v1/v2 (~0.99998) — the bare +x vector is the SECOND outlier
+    // because the centroid leans toward the +y-tilted majority
+    assert(got.map(r => (r._1, r._2, r._4)) ==
+      Seq((0L, 3L, 1L), (0L, 0L, 2L), (1L, 10L, 1L), (1L, 11L, 2L)))
+    // the -x vector scores strongly negative; the identical pair exactly 1
+    assert(got.head._3 < -0.8)
+    assert(got(2)._3 == 1.0 && got(3)._3 == 1.0)
+  }
+
   test("topKOver searches only the filtered corpus; queries come from the full set") {
     // corpus restricted to ids {1,2}: query 0 is NOT in the corpus but must
     // still be answerable; its neighbours must exclude 3 and 4 entirely

@@ -34,4 +34,26 @@ class StreamingDedupSpec extends SparkSuite {
     assert(streamed.toSet == batch.toSet)
     assert(streamed.nonEmpty)
   }
+
+  test("within-watermark duplicates COLLAPSE: 2x-staged corpus emits each hash once") {
+    // the corpus itself has no exact duplicates — stage it twice so the
+    // stream really carries one duplicate per document
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val dir = tmpDir("stream_docs_2x")
+    for (c <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        java.nio.file.Paths.get(s"$dir/$c"))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(lit(1704844800000000L) + col("doc_id")))
+    val q = StreamDedup.dedupByContent(stream, "event_time").writeStream
+      .format("memory").queryName("dedup_stream_2x").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("dedup_stream_2x")
+      .select("content_hash").as[String].collect()
+    val n = spark.read.parquet(src).count()
+    assert(streamed.length == n, s"expected $n survivors, got ${streamed.length}")
+    assert(streamed.distinct.length == streamed.length)
+  }
 }
