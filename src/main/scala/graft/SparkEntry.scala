@@ -260,6 +260,8 @@ object SparkEntry {
       TextOps.repetitionRatio(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_vocab" -> ((s, d) => // corpus vocabulary head (top-20 tokens)
       TextOps.vocabHead(Canon.documents(s, d), 20)),
+    "q_text_bigrams" -> ((s, d) => // top-20 adjacent pairs (BPE merge step 1)
+      TextOps.bigramHead(Canon.documents(s, d), 20)),
     "q_text_commonness" -> ((s, d) => // mean global token frequency per doc
       TextOps.commonness(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_novelty" -> ((s, d) => // fraction of doc's 3-grams unique to it
@@ -1067,6 +1069,13 @@ object SparkEntry {
          |    / count(*), 6) AS novelty
          |FROM s JOIN f USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_bigrams" ->
+      s"""WITH toks AS (SELECT $LTOKS AS t FROM documents),
+         |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2)
+         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     // salience = tf/df: integer counts, ONE double division — ranked
     // UNROUNDED in both engines (same operands → same IEEE double, so the
     // row_number tie structure matches), rounded only in the output

@@ -202,6 +202,24 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Corpus bigram head — the k most frequent ADJACENT token pairs
+    * (count desc, pair asc): the first iteration of BPE-style merge
+    * ranking, whose inner loop is exactly a count-and-rank over adjacent
+    * pair frequencies. Same scale shape as [[vocabHead]] — a windowed
+    * pair fan-out at the scan stage, two-phase agg, TakeOrdered k — so
+    * the only global work is the k-row final heap.
+    */
+  def bigramHead(df: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame = {
+    val t = col("__bg_toks")
+    df.select(tokens(lower(col(textCol))).as("__bg_toks"))
+      .filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", get(t, i), get(t, i + 1)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Regex masks for the PII classes every public cleanup recipe strips
     * (C4/Dolma-style): emails, then IPv4 (before phone — digit runs with
     * separators overlap), then SSN-shaped ids, then NANP-ish phone

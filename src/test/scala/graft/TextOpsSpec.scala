@@ -131,6 +131,16 @@ class TextOpsSpec extends SparkSuite {
     assert(v == Seq(("alpha", 3L), ("beta", 3L), ("gamma", 2L))) // alpha<beta on tie
   }
 
+  test("bigram head: adjacent pairs cross word boundaries, not docs; tiebreak") {
+    val df = Seq(
+      (1L, "a b a b c"),   // "a b"×2, "b a", "b c"
+      (2L, "b c"),         // "b c"
+      (3L, "solo")         // <2 tokens: no pairs
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramHead(df, 3).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
+  }
+
   test("salient terms: tf/df ranking with term-string tiebreak, k bound") {
     val df = Seq(
       (1L, "Apple apple banana zebra"), // lowercased: apple tf=2
