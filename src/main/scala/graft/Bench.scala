@@ -16,9 +16,10 @@ import scala.jdk.CollectionConverters._
   *   - a JVM shutdown hook prints the JSON line from whatever has been
   *     measured so far, so even a SIGTERM'd run yields a parseable
   *     artifact (run/fork := true → sbt forwards the TERM to this JVM);
-  *   - the timed pass is serial (accurate latencies) and refines each
-  *     entry via min(); a second timed run happens only for queries whose
-  *     first run exceeded 1s — sub-second queries don't need one.
+  *   - the timed pass is serial (accurate latencies) and runs each query
+  *     three times: the contract line reports min(), the sidecar's median
+  *     is a true 3-sample median, and the min-median spread doubles as a
+  *     per-query noise estimate for cross-round diffing.
   *
   * Warmup-first because the first execution of each plan shape pays
   * JIT + whole-stage-codegen (janino) compilation, a per-process constant
@@ -221,12 +222,19 @@ object Bench {
         n -> t
       }
     }
-    // Second run only where it matters: one-off GC pauses / recompiles
-    // land on whichever query follows a heavy one, but sub-second queries
-    // are already dominated by fixed overhead — skip their re-run.
-    firstRun.filter(_._2 > 1.0).foreach { case (n, _) =>
-      spark.catalog.clearCache()
-      runOne(n).foreach(record(n, _))
+    // Two more runs per query (3 timed samples): with a single sample the
+    // sidecar median degenerates to a copy of min, which is exactly why
+    // the r6 text-family inflation couldn't be classified as noise from
+    // the artifact alone (r6 VERDICT item 1). Three samples make the
+    // median a real central tendency and the min-median spread a
+    // per-query noise estimate that tools/bench_diff.py feeds on. The
+    // extra wall is ~one roster-sum (~40s at sf0.1) — cheap against a
+    // round of unattributable drift.
+    firstRun.foreach { case (n, _) =>
+      (1 to 2).foreach { _ =>
+        spark.catalog.clearCache()
+        runOne(n).foreach(record(n, _))
+      }
     }
 
     emit(sfDir, partial = false)

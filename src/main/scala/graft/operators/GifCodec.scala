@@ -1,0 +1,204 @@
+package graft.operators
+
+/** Pure-JVM GIF pixel decoding (r6 VERDICT item 3: the one image format
+  * whose compression — LZW — is implementable without any native codec
+  * dependency). Decodes every frame of a GIF87a/89a stream to RGB24:
+  * logical screen descriptor, global/local color tables, extension-block
+  * walk, per-frame LZW decompression with variable code width (3..12
+  * bits, clear/EOI handling), and interlace row reordering.
+  *
+  * Reference semantics: the GIF89a specification's LZW variant (LSB-first
+  * bit packing, code width grows when the dictionary reaches 2^width,
+  * capped at 12 bits until the next clear). Malformed streams return None
+  * — callers route those payloads to the same quarantine lane as a bad
+  * header ([[Multimodal.HeaderDecoder]]). Out of scope, by documented
+  * capability boundary rather than stubbing: transparency and disposal
+  * compositing (each frame decodes independently; training pipelines
+  * sample frames, they don't replay animations).
+  */
+object GifCodec {
+
+  /** One decoded frame: RGB24 bytes, row-major, length w*h*3. */
+  final case class Frame(w: Int, h: Int, rgb: Array[Byte])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Decode every frame, or None if the stream is malformed anywhere —
+    * partial results are not returned because a pixel checksum over a
+    * silently truncated decode would LOOK valid downstream.
+    */
+  def decode(b: Array[Byte]): Option[Vector[Frame]] = {
+    if (b.length < 13 || !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    try {
+      val packed = b(10) & 0xff
+      val gct: Array[Byte] =
+        if ((packed & 0x80) != 0) {
+          val n = 3 * (1 << ((packed & 0x07) + 1))
+          java.util.Arrays.copyOfRange(b, 13, 13 + n)
+        } else null
+      var o = 13 + (if (gct != null) gct.length else 0)
+      val frames = Vector.newBuilder[Frame]
+
+      // advance past length-prefixed sub-blocks, returning their payload
+      def subBlocks(collect: Boolean): Array[Byte] = {
+        val buf = if (collect) new java.io.ByteArrayOutputStream() else null
+        while (b(o) != 0) {
+          val len = b(o) & 0xff
+          if (collect) buf.write(b, o + 1, len)
+          o += 1 + len
+        }
+        o += 1 // terminator
+        if (collect) buf.toByteArray else null
+      }
+
+      var done = false
+      while (!done) {
+        (b(o) & 0xff) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            o += 2
+            subBlocks(collect = false)
+          case 0x2c =>
+            val fw = le16(b, o + 5); val fh = le16(b, o + 7)
+            val fpacked = b(o + 9) & 0xff
+            o += 10
+            val lct: Array[Byte] =
+              if ((fpacked & 0x80) != 0) {
+                val n = 3 * (1 << ((fpacked & 0x07) + 1))
+                val t = java.util.Arrays.copyOfRange(b, o, o + n)
+                o += n
+                t
+              } else null
+            val palette = if (lct != null) lct else gct
+            if (palette == null || fw <= 0 || fh <= 0) return None
+            val minCode = b(o) & 0xff
+            o += 1
+            val data = subBlocks(collect = true)
+            val idx = lzwDecode(data, minCode, fw * fh).getOrElse(return None)
+            val interlaced = (fpacked & 0x40) != 0
+            val ordered = if (interlaced) deinterlace(idx, fw, fh) else idx
+            val rgb = new Array[Byte](fw * fh * 3)
+            var i = 0
+            while (i < ordered.length) {
+              val p = (ordered(i) & 0xff) * 3
+              if (p + 2 >= palette.length) return None // index outside table
+              rgb(i * 3) = palette(p)
+              rgb(i * 3 + 1) = palette(p + 1)
+              rgb(i * 3 + 2) = palette(p + 2)
+              i += 1
+            }
+            frames += Frame(fw, fh, rgb)
+          case _ => return None
+        }
+      }
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(fs)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None // truncated stream
+    }
+  }
+
+  /** GIF-variant LZW: LSB-first codes, width minCode+1 .. 12, clear
+    * resets the dictionary, EOI or `nPixels` decoded ends the stream
+    * (encoders may legally omit EOI). The dictionary is parent-pointer
+    * arrays (prefix code + suffix byte), so emitting a string is a walk,
+    * not a per-entry byte-array copy — 4096 entries cost two small arrays
+    * per partition, reused across frames only via allocation (cheap
+    * against the pixel work).
+    */
+  private[operators] def lzwDecode(data: Array[Byte], minCode: Int,
+                                   nPixels: Int): Option[Array[Byte]] = {
+    if (minCode < 1 || minCode > 11) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = eoi + 1
+    var width = minCode + 1
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var oldCode = -1
+    var firstOfOld: Byte = 0
+
+    var acc = 0L; var accBits = 0; var pos = 0
+    def readCode(): Int = {
+      while (accBits < width) {
+        if (pos >= data.length) return -1 // ran dry: treat as end
+        acc |= (data(pos) & 0xffL) << accBits
+        accBits += 8
+        pos += 1
+      }
+      val c = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width
+      accBits -= width
+      c
+    }
+    // emit dictionary string for `code` whose expansion starts with a walk
+    def emit(code: Int, extra: Int): Option[Byte] = { // returns first byte
+      var depth = 0
+      var c = code
+      while (c >= clear + 2) { // composite entry: walk parents
+        stack(depth) = suffix(c); depth += 1
+        c = prefix(c)
+        if (depth > 4096) return None // cycle: malformed
+      }
+      val first = c.toByte // root literal
+      if (outPos + depth + 1 + (if (extra >= 0) 1 else 0) > out.length) return None
+      out(outPos) = first; outPos += 1
+      while (depth > 0) { depth -= 1; out(outPos) = stack(depth); outPos += 1 }
+      Some(first)
+    }
+
+    var code = readCode()
+    while (code != -1 && outPos < nPixels) {
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; oldCode = -1
+      } else if (code == eoi) {
+        return if (outPos == nPixels) Some(out) else None
+      } else if (oldCode == -1) {
+        if (code >= clear) return None // first code must be a literal
+        firstOfOld = emit(code, -1).getOrElse(return None)
+        oldCode = code
+      } else {
+        val first: Byte =
+          if (code < next) emit(code, -1).getOrElse(return None)
+          else if (code == next) { // KwKwK: string(old) + first(old)
+            val f = emit(oldCode, 0).getOrElse(return None)
+            if (outPos >= out.length) return None
+            out(outPos) = f; outPos += 1
+            f
+          } else return None // code beyond dictionary: malformed
+        if (next < 4096) {
+          prefix(next) = oldCode; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        oldCode = code
+        firstOfOld = first
+      }
+      if (outPos < nPixels) code = readCode() else code = -1
+    }
+    if (outPos == nPixels) Some(out) else None
+  }
+
+  /** GIF interlace: rows arrive in four passes (every 8th from 0, every
+    * 8th from 4, every 4th from 2, every 2nd from 1); reorder to
+    * top-to-bottom.
+    */
+  private[operators] def deinterlace(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var row = start
+      while (row < h) {
+        System.arraycopy(idx, src * w, out, row * w, w)
+        src += 1
+        row += step
+      }
+    }
+    out
+  }
+}
