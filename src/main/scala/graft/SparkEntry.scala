@@ -412,11 +412,20 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"))
         .orderBy("media_id")),
     "q_multimodal_resize" -> ((s, d) =>
-      // the batched kernel path end-to-end: byte-volume partitioning →
-      // per-partition stub resample emitting exact fit geometry from
-      // REAL parsed bytes; oracle checks the id arithmetic
+      // the PLANNING tier end-to-end: byte-volume partitioning →
+      // per-partition fit geometry from REAL parsed bytes (all three
+      // container formats); oracle checks the id arithmetic
       Multimodal.resizePlanBatched(
           Multimodal.syntheticMediaFromDocuments(Canon.documents(s, d)), 224, 224)
+        .orderBy("media_id")),
+    "q_multimodal_pixels" -> ((s, d) =>
+      // the REAL pixel tier (r6 item 3): Spark assembles genuinely
+      // LZW-compressed GIF animations + raw-RGB tensors from id
+      // arithmetic, the kernel fully decodes (GifCodec) and NN-resamples
+      // them, and the oracle recomputes the resampled pixel checksum —
+      // an exact gate over actual pixel decode, zero stubs
+      Multimodal.resizePixels(
+          Multimodal.syntheticPixelMedia(Canon.documents(s, d)), 4, 4)
         .orderBy("media_id")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
@@ -1538,6 +1547,68 @@ object SparkEntry {
         |  greatest(CAST(floor(width * sc) AS BIGINT), 1) *
         |    greatest(CAST(floor(height * sc) AS BIGINT), 1) * 3 * n_frames AS out_bytes
         |FROM s ORDER BY media_id""".stripMargin,
+    // the pixel tier: recompute the decoded-and-resampled checksum from
+    // the same id arithmetic syntheticPixelMedia bakes into the payload
+    // bytes. gif lane: k=(id%8)+1 frames, frame j carries palette entry
+    // j%4 (R=(id+17i)%256, G=(2id+29i)%256, B=(3id+43i)%256), 1x1 frames
+    // resample to 1x1. raw lane: w=2+id%7, h=2+(id//7)%5 image fit into
+    // 4x4 (same least/floor double arithmetic as the kernel), pixel
+    // (x,y,c) = (7id+13x+29y+31c)%256, NN source index = out*src//out
+    // integer math — identical on both engines. checksum = sum of
+    // byte*(1 + pos%97), pos frame-major, same order both sides.
+    "q_multimodal_pixels" ->
+      """WITH gif AS (
+        |  SELECT doc_id AS media_id, doc_id % 8 + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |gifj AS (
+        |  SELECT media_id, n_frames,
+        |    unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS j
+        |  FROM gif),
+        |gifpx AS (
+        |  SELECT g.media_id,
+        |    SUM((CASE ch.c
+        |      WHEN 0 THEN (g.media_id + 17 * (g.j % 4)) % 256
+        |      WHEN 1 THEN (2 * g.media_id + 29 * (g.j % 4)) % 256
+        |      ELSE (3 * g.media_id + 43 * (g.j % 4)) % 256 END)
+        |      * (1 + (3 * g.j + ch.c) % 97)) AS pix_sum
+        |  FROM gifj g, (VALUES (0), (1), (2)) ch(c)
+        |  GROUP BY g.media_id),
+        |gifrows AS (
+        |  SELECT g.media_id, 'gif' AS format,
+        |    CAST(1 AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+        |    CAST(1 AS BIGINT) AS out_w, CAST(1 AS BIGINT) AS out_h,
+        |    CAST(g.n_frames AS BIGINT) AS n_frames,
+        |    CAST(3 * g.n_frames AS BIGINT) AS out_bytes,
+        |    CAST(p.pix_sum AS BIGINT) AS pix_sum
+        |  FROM gif g JOIN gifpx p USING (media_id)),
+        |raw AS (
+        |  SELECT doc_id AS media_id,
+        |    2 + doc_id % 7 AS w, 2 + (doc_id // 7) % 5 AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |rawfit AS (
+        |  SELECT media_id, w, h,
+        |    greatest(CAST(floor(w * least(4.0 / w, 4.0 / h, 1.0)) AS BIGINT), 1) AS ow,
+        |    greatest(CAST(floor(h * least(4.0 / w, 4.0 / h, 1.0)) AS BIGINT), 1) AS oh
+        |  FROM raw),
+        |rawyx AS (
+        |  SELECT media_id, w, h, ow, oh,
+        |    unnest(generate_series(0, CAST(oh * ow - 1 AS BIGINT))) AS p
+        |  FROM rawfit),
+        |rawpx AS (
+        |  SELECT r.media_id,
+        |    SUM(((7 * r.media_id + 13 * (((r.p % r.ow) * r.w) // r.ow)
+        |        + 29 * (((r.p // r.ow) * r.h) // r.oh) + 31 * ch.c) % 256)
+        |      * (1 + (r.p * 3 + ch.c) % 97)) AS pix_sum
+        |  FROM rawyx r, (VALUES (0), (1), (2)) ch(c)
+        |  GROUP BY r.media_id),
+        |rawrows AS (
+        |  SELECT r.media_id, 'raw' AS format,
+        |    CAST(r.w AS BIGINT) AS width, CAST(r.h AS BIGINT) AS height,
+        |    r.ow AS out_w, r.oh AS out_h, CAST(1 AS BIGINT) AS n_frames,
+        |    r.ow * r.oh * 3 AS out_bytes, CAST(p.pix_sum AS BIGINT) AS pix_sum
+        |  FROM rawfit r JOIN rawpx p USING (media_id))
+        |SELECT * FROM gifrows UNION ALL SELECT * FROM rawrows
+        |ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

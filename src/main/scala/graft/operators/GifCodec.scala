@@ -96,7 +96,7 @@ object GifCodec {
       val fs = frames.result()
       if (fs.isEmpty) None else Some(fs)
     } catch {
-      case _: ArrayIndexOutOfBoundsException => None // truncated stream
+      case _: IndexOutOfBoundsException => None // truncated stream
     }
   }
 
@@ -121,7 +121,6 @@ object GifCodec {
     val out = new Array[Byte](nPixels)
     var outPos = 0
     var oldCode = -1
-    var firstOfOld: Byte = 0
 
     var acc = 0L; var accBits = 0; var pos = 0
     def readCode(): Int = {
@@ -136,8 +135,8 @@ object GifCodec {
       accBits -= width
       c
     }
-    // emit dictionary string for `code` whose expansion starts with a walk
-    def emit(code: Int, extra: Int): Option[Byte] = { // returns first byte
+    // emit dictionary string for `code` (parent walk), return its first byte
+    def emit(code: Int): Option[Byte] = {
       var depth = 0
       var c = code
       while (c >= clear + 2) { // composite entry: walk parents
@@ -146,7 +145,7 @@ object GifCodec {
         if (depth > 4096) return None // cycle: malformed
       }
       val first = c.toByte // root literal
-      if (outPos + depth + 1 + (if (extra >= 0) 1 else 0) > out.length) return None
+      if (outPos + depth + 1 > out.length) return None
       out(outPos) = first; outPos += 1
       while (depth > 0) { depth -= 1; out(outPos) = stack(depth); outPos += 1 }
       Some(first)
@@ -160,13 +159,13 @@ object GifCodec {
         return if (outPos == nPixels) Some(out) else None
       } else if (oldCode == -1) {
         if (code >= clear) return None // first code must be a literal
-        firstOfOld = emit(code, -1).getOrElse(return None)
+        emit(code).getOrElse(return None)
         oldCode = code
       } else {
         val first: Byte =
-          if (code < next) emit(code, -1).getOrElse(return None)
+          if (code < next) emit(code).getOrElse(return None)
           else if (code == next) { // KwKwK: string(old) + first(old)
-            val f = emit(oldCode, 0).getOrElse(return None)
+            val f = emit(oldCode).getOrElse(return None)
             if (outPos >= out.length) return None
             out(outPos) = f; outPos += 1
             f
@@ -177,7 +176,6 @@ object GifCodec {
           if (next == (1 << width) && width < 12) width += 1
         }
         oldCode = code
-        firstOfOld = first
       }
       if (outPos < nPixels) code = readCode() else code = -1
     }

@@ -111,7 +111,7 @@ class MultimodalSpec extends SparkSuite {
     def rows(items: (Long, Array[Byte])*) = items.iterator.map { case (id, b) =>
       Multimodal.MediaRow(id, "image", b, b.length.toLong)
     }
-    val k = new Multimodal.StubResizeKernel(224, 224)
+    val k = new Multimodal.ResizePlanKernel(224, 224)
     val out = k.decode(rows(
       1L -> pngBytes(448, 224),   // downscale ×0.5 on the wide axis
       2L -> jpegBytes(100, 50),   // already fits: scale 1, no upscale
@@ -191,6 +191,95 @@ class MultimodalSpec extends SparkSuite {
       s"worst partition ${sums.max} bytes of target $target")
     // hash spread leaves at most a few partitions empty
     assert(sums.length >= expectParts - 3 && sums.length <= expectParts)
+  }
+
+  private def rawPayload(id: Long, w: Int, h: Int)(v: (Int, Int, Int) => Int): Array[Byte] = {
+    val b = new Array[Byte](8 + w * h * 3)
+    b(0) = 'R'; b(1) = 'A'; b(2) = 'W'; b(3) = '0'
+    b(4) = (w >> 8).toByte; b(5) = w.toByte; b(6) = (h >> 8).toByte; b(7) = h.toByte
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      b(8 + (y * w + x) * 3 + c) = v(x, y, c).toByte
+    b
+  }
+
+  test("pixel kernel: raw lane NN-resample matches a naive reference") {
+    // 8x6 image, every pixel distinct -> fit into 4x4 = 4x3, scale 0.5
+    val src = rawPayload(1L, 8, 6)((x, y, c) => x * 13 + y * 29 + c * 31)
+    val k = new Multimodal.PixelResizeKernel(4, 4)
+    val out = k.decode(Iterator(Multimodal.MediaRow(1L, "raw", src, src.length.toLong))).toList
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.format, r.width, r.height, r.out_w, r.out_h) == (("raw", 8L, 6L, 4L, 3L)))
+    assert(r.out_bytes == 4L * 3L * 3L)
+    // naive reference: sx = x*w/ow, sy = y*h/oh, checksum over bytes
+    var expect = 0L; var pos = 0L
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) {
+      val sx = x * 8 / 4; val sy = y * 6 / 3
+      val v = (sx * 13 + sy * 29 + c * 31) & 0xff
+      expect += v.toLong * (1L + pos % 97L); pos += 1
+    }
+    assert(r.pix_sum == expect)
+  }
+
+  test("pixel kernel: no upscale, 1px floor, malformed raw payloads drop") {
+    val small = rawPayload(2L, 2, 2)((x, y, c) => x + y + c) // fits: untouched
+    val k = new Multimodal.PixelResizeKernel(224, 224)
+    val r = k.decode(Iterator(Multimodal.MediaRow(2L, "raw", small, small.length.toLong))).toList.head
+    assert((r.out_w, r.out_h, r.out_bytes) == ((2L, 2L, 12L)))
+    // truncated body, zero dims, bad magic: all drop
+    val bad = Seq(
+      rawPayload(3L, 4, 4)((_, _, _) => 0).dropRight(1),
+      Array[Byte]('R', 'A', 'W', '0', 0, 0, 0, 0),
+      "RAWX plus whatever".getBytes)
+    assert(k.decode(bad.zipWithIndex.iterator.map { case (b, i) =>
+      Multimodal.MediaRow(10L + i, "raw", b, b.length.toLong)
+    }).isEmpty)
+  }
+
+  test("pixel kernel: GIF animation decodes via LZW, per-frame checksums accumulate") {
+    // two 1x1 frames with distinct palette colors, hand-assembled like the
+    // synthetic corpus (clear, idx, EOI at width 3)
+    val pal = Array[Byte](11, 22, 33, 44, 55, 66, 77, 88, 99, 110, 121, -124)
+    def frame(idx: Int) =
+      Seq[Int](0x2c, 0, 0, 0, 0, 1, 0, 1, 0, 0, 0x02, 0x02, 0x44 | (idx << 3), 0x01, 0x00).map(_.toByte)
+    val g = ("GIF89a".getBytes.toSeq ++ Seq[Int](1, 0, 1, 0, 0x81, 0, 0).map(_.toByte) ++
+      pal.toSeq ++ frame(1) ++ frame(3) ++ Seq(0x3b.toByte)).toArray
+    val k = new Multimodal.PixelResizeKernel(4, 4)
+    val r = k.decode(Iterator(Multimodal.MediaRow(5L, "gif", g, g.length.toLong))).toList.head
+    assert((r.format, r.n_frames, r.out_bytes) == (("gif", 2L, 6L)))
+    val bytes = Seq(44, 55, 66, 110, 121, 132) // frame idx1 RGB then idx3 RGB
+    val expect = bytes.zipWithIndex.map { case (v, p) => v.toLong * (1L + p % 97L) }.sum
+    assert(r.pix_sum == expect)
+  }
+
+  test("syntheticPixelMedia: both lanes decode end-to-end; partitioning-invariant") {
+    val ids = ((0L to 17L) :+ 999L :+ 123456L).map(i => (i, s"junk body $i"))
+    val media = Multimodal.syntheticPixelMedia(ids.toDF("doc_id", "text"))
+    val out = Multimodal.resizePixels(media, 4, 4).orderBy("media_id")
+    val rows = out.collect()
+    assert(rows.length == ids.length) // nothing quarantined
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "gif")
+        assert(r.getLong(6) == id % 8 + 1, s"id=$id frames")
+        assert(r.getLong(7) == (id % 8 + 1) * 3, s"id=$id bytes") // 1x1 RGB per frame
+      } else {
+        assert(r.getString(1) == "raw")
+        assert(r.getLong(2) == 2 + id % 7 && r.getLong(3) == 2 + (id / 7) % 5, s"id=$id dims")
+      }
+    }
+    // checksum spot-check for one gif id against the palette formula
+    val id4 = rows.find(_.getLong(0) == 4L).get
+    val px = (0L until 4L % 8L + 1L).flatMap { j =>
+      val i = j % 4
+      Seq((4 + 17 * i) % 256, (2 * 4 + 29 * i) % 256, (3 * 4 + 43 * i) % 256)
+    }
+    assert(id4.getLong(8) == px.zipWithIndex.map { case (v, p) => v * (1L + p % 97L) }.sum)
+    // partitioning must not change results
+    val tiny = Multimodal.resizePixels(media, 4, 4, targetBytesPerPartition = 64L)
+      .orderBy("media_id").collect()
+    assert(rows.sameElements(tiny))
   }
 
   test("frame sample plan strides over the parsed frame counts") {
