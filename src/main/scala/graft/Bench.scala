@@ -64,24 +64,38 @@ object Bench {
     * run" from "typical run" so a round-over-round delta can be told
     * apart from host noise (VERDICT r5 item 6).
     *
-    * `shortKeys` — THE DOCUMENTED KEY RENAME (r7): the stdout line
-    * renders every query key with the uniform `q_` prefix STRIPPED
-    * (`q_agg_sum` → `agg_sum`, in "queries" and "failed" alike). The r6
-    * roster had the line AT its tail-window budget; the prefix is 2
-    * chars × ~90 keys of zero information. Mapping back is mechanical:
-    * every SparkEntry query name is `"q_" + stdoutKey`. The SIDECAR
-    * (bench_out.json) keeps FULL names — any per-query tooling should
-    * read the sidecar, the stdout line exists for the driver's log-tail
-    * capture. The freed budget also restores the always-present
-    * "partial" and "failed" keys (r6 ADVICE: omitted-when-uninformative
-    * keys NPE a parser that asserts presence).
+    * `shortKeys` — THE DOCUMENTED KEY RENAMES (r7, extended late-r7 when
+    * the 97-query roster left <15 chars of headroom): on the stdout line
+    * ONLY, (1) the per-query object renders under `"q"` instead of
+    * `"queries"`, (2) every query key drops the uniform `q_` prefix, and
+    * (3) the nine high-population family prefixes abbreviate through
+    * [[famAbbrev]] (`agg_sum` → `a_sum`, `multimodal_pixels` →
+    * `m_pixels`). Mapping back is mechanical and collision-free: restore
+    * the family via the inverse map (no original first-underscore
+    * component is a single letter), then prepend `"q_"`. The SIDECAR
+    * (bench_out.json) keeps FULL names and the `"queries"` key — any
+    * per-query tooling (tools/bench_diff.py included) reads the sidecar;
+    * the stdout line exists for the driver's log-tail capture. "partial"
+    * and "failed" stay always-present (r6 ADVICE: omitted keys NPE a
+    * presence-asserting parser).
     */
+  private[graft] val famAbbrev = Map(
+    "agg" -> "a", "dedup" -> "d", "filter" -> "f", "multimodal" -> "m",
+    "sample" -> "p", "sim" -> "s", "stream" -> "w", "text" -> "t",
+    "tpch" -> "h")
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
                                 sfDir: String, partial: Boolean,
                                 dp: Int = 1,
                                 medians: Option[Map[String, Double]] = None,
                                 shortKeys: Boolean = false): String = {
-    def key(n: String): String = if (shortKeys) n.stripPrefix("q_") else n
+    def key(n: String): String = if (!shortKeys) n else {
+      val bare = n.stripPrefix("q_")
+      val cut = bare.indexOf('_')
+      if (cut < 0) bare
+      else famAbbrev.get(bare.substring(0, cut))
+        .fold(bare)(_ + bare.substring(cut))
+    }
+    val qKey = if (shortKeys) "q" else "queries"
     val qs = ts.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
     val med = medians.fold("") { m =>
@@ -91,7 +105,7 @@ object Bench {
     val total = fmt(ts.map(_._2).sum, 2)
     val pf = s""","partial":$partial""" +
       failed.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$med,"sf":"$sfDir"$pf}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$med,"sf":"$sfDir"$pf}"""
   }
 
   /** Print the result line exactly once (normal end or shutdown hook). */

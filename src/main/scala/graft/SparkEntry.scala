@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{AsofJoin, Bpe, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
 import graft.sources.JsonIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -262,6 +262,8 @@ object SparkEntry {
       TextOps.vocabHead(Canon.documents(s, d), 20)),
     "q_text_bigrams" -> ((s, d) => // top-20 adjacent pairs (BPE merge step 1)
       TextOps.bigramHead(Canon.documents(s, d), 20)),
+    "q_text_bpe" -> ((s, d) => // 10 rounds of distributed BPE merge training
+      Bpe.mergesDf(s, Canon.documents(s, d), 10)),
     "q_text_commonness" -> ((s, d) => // mean global token frequency per doc
       TextOps.commonness(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_novelty" -> ((s, d) => // fraction of doc's 3-grams unique to it
@@ -819,7 +821,7 @@ object SparkEntry {
   private[graft] val goldenBases = Seq(
     "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_minhash",
     "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
-    "q_sim_ivf_trained", "q_text_winnowing")
+    "q_sim_ivf_trained", "q_text_bpe", "q_text_winnowing")
 
   private[graft] def contentHash(df: DataFrame): DataFrame = {
     // \u0001 separator + \u0000 null sentinel: unambiguous for any cell
@@ -1030,6 +1032,7 @@ object SparkEntry {
     "q_sim_ann" -> "62831741413356666920",
     "q_sim_clusters_ivf" -> "-9728532660618393492",
     "q_sim_ivf_trained" -> "100154140864456300131",
+    "q_text_bpe" -> "20492531778356716084",
     "q_text_winnowing" -> "436813087055418648453")
 
   private def goldenOracles: Map[String, String] =

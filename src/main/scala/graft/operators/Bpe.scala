@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.CacheLedger.Tracked
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (r6 VERDICT item 6 — the last visible
+  * LLM-pipeline gap): bounded-round byte-pair-encoding merge learning in
+  * the Sennrich et al. 2016 formulation — train on the DISTINCT-WORD
+  * frequency table, not the raw corpus. That is the whole 100 TB story:
+  * the corpus is scanned and shuffled exactly ONCE (word counts); every
+  * merge round then runs against the word table, which is
+  * vocabulary-sized (Heaps' law: ~millions of rows for a 100 TB corpus,
+  * KBs per executor core), so k training rounds cost k small shuffles
+  * over a bounded table plus one corpus aggregation — not k corpus
+  * passes.
+  *
+  * Each round: adjacent-symbol pair counts weighted by word frequency
+  * (one shuffle over the word table) → the single best pair collects to
+  * the driver (one row — model-parameter scale, the trainCells
+  * precedent) → a map-only merge application rewrites the symbol arrays
+  * (no shuffle). The per-round word table is ledger-cached and the
+  * previous round released, so k rounds hold one table's footprint.
+  *
+  * Deterministic: best pair = max count, ties broken (left, right)
+  * lexicographically ascending. Not SQL-expressible (iterative
+  * state-dependent rewriting), so the roster entry is golden-pinned and
+  * the semantic argument is an equivalence unit against
+  * [[referenceMerges]], a plain-loop driver-side implementation.
+  */
+object Bpe {
+
+  /** One learned merge rule: `left`+`right` fuse into one symbol. */
+  case class MergeRule(rank: Int, left: String, right: String, pair_count: Long)
+
+  /** End-of-word marker (the standard Sennrich convention): lets a merge
+    * distinguish word-final fragments ("st&lt;/w&gt;") from interior ones.
+    */
+  val EOW = "</w>"
+
+  /** Greedy left-to-right non-overlapping merge application — after a
+    * fusion at i the scan resumes at i+2, so "aaa" under merge (a,a)
+    * becomes ["aa","a"], matching the reference BPE implementations.
+    */
+  def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        buf += l + r; i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toArray
+  }
+
+  private def toSymbols(w: String): Array[String] =
+    w.map(_.toString).toArray :+ EOW
+
+  /** Driver-side reference implementation (plain loops, no Spark) — the
+    * equivalence oracle for the distributed path on small fixtures.
+    */
+  def referenceMerges(wordCounts: Seq[(String, Long)], k: Int): Seq[MergeRule] = {
+    var words = wordCounts.map { case (w, c) => (toSymbols(w), c) }
+    val out = Seq.newBuilder[MergeRule]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        out += MergeRule(rank, l, r, n)
+        words = words.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The distributed trainer. Returns at most `k` rules (fewer when the
+    * corpus runs out of adjacent pairs first).
+    */
+  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text"): Seq[MergeRule] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 0 && k <= 10000, s"merge rounds $k out of sane range")
+    // the ONE corpus-scale pass: whitespace words -> (word, count).
+    // Everything after runs on this vocabulary-sized table.
+    val wordCounts = docs
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    var cur: Dataset[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (toSymbols(w), c) }
+    var curDf = cur.toDF.trackedCache
+    cur = curDf.as[(Array[String], Long)]
+    val out = Seq.newBuilder[MergeRule]
+    var rank = 0
+    var done = false
+    try {
+      while (rank < k && !done) {
+        // one small shuffle: weighted adjacent-pair counts over the vocab
+        val top = cur.flatMap { case (syms, c) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+        }.toDF("l", "r", "c")
+          .groupBy("l", "r").agg(sum("c").as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val l = top(0).getString(0); val r = top(0).getString(1)
+          out += MergeRule(rank, l, r, top(0).getLong(2))
+          // map-only rewrite; cache the round, release the previous one —
+          // AFTER materializing the new cache, or the unpersist would send
+          // round r+1 back through r chained recomputes of the lineage
+          val nextDf = cur.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+            .toDF.trackedCache
+          nextDf.count()
+          curDf.unpersist()
+          curDf = nextDf
+          cur = curDf.as[(Array[String], Long)]
+          rank += 1
+        }
+      }
+    } finally curDf.unpersist()
+    out.result()
+  }
+
+  /** Roster shape: the learned merge table as a DataFrame (driver-built
+    * LocalTableScan — k rows of model parameters, the scan-free re-entry
+    * precedent). `merged` spells the fused symbol so the table doubles as
+    * a usable tokenizer artifact.
+    */
+  def mergesDf(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(docs, k).toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.model.Canon
+import graft.operators.{Dedup, Events, Windowing}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ×100 evidence for the two spill-heaviest families (r6 VERDICT item
+  * 8): the ×10 probe is green, but the 100 TB claim extrapolates two
+  * orders of magnitude — this probe buys one more decade on exactly the
+  * paths whose failure mode is memory, under a deliberately CONSTRAINED
+  * pool, asserting the outcome is spill-not-OOM.
+  *
+  *  - **pair dedup** (`ngramJaccardPairs`): the ×100 corpus is built
+  *    with a per-replica substitution cipher (`translate` through a
+  *    rotated alphabet), so replicas carry DISTINCT shingles — content
+  *    grows ×100 without the self-duplication artifact that makes every
+  *    pair family's OUTPUT quadratic (at ×10 the self-dup corpus flips
+  *    every position duplicated; a cipher corpus measures the JOIN at
+  *    scale, which is what breaks at 100 TB, not the report size).
+  *    Replicas sharing a rotation (100/26 ≈ 4 of each) stay exact
+  *    copies: a bounded band of true pairs proves the path still FINDS
+  *    duplicates.
+  *  - **two-pass windowing** (`sessionizeScalable` under total skew —
+  *    all extra events on ONE user — and `withPrevious` on a 5-key
+  *    timeline): the range-partition + boundary-stitch machinery whose
+  *    pid-pinned frame persists corpus-scale by design; at ×100 it MUST
+  *    spill, and results must stay row-countable.
+  *
+  * Spill vs OOM is observed directly: a TaskEnd listener accumulates
+  * memory/disk spill bytes; the probe prints them per family and exits
+  * nonzero on any failure. Run:
+  *   SPARK_DRIVER_MEM=4g SPARK_GRAFT_MEM_FRACTION=0.2 \
+  *     sbt "runMain graft.tools.Scale100Probe 100"
+  */
+object Scale100Probe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(100)
+    // fewer concurrent tasks than the bench default: the pool constraint
+    // divides across RUNNING tasks, and a 32-way local run under a
+    // fraction-capped 4 GB heap leaves tasks under Spark's per-task page
+    // minimums — that manifests as executor OOM (a crash), which is
+    // exactly what this probe exists to rule out at FEASIBLE settings
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val builder = GraftSession.builder(s"local[$cpus]", cpus)
+    sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+      .foreach(f => builder.config("spark.memory.fraction", f))
+    val spark = builder.getOrCreate()
+    graft.Graft.register(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    println(s"[x100] mult=$mult heap=${Runtime.getRuntime.maxMemory() >> 20}MB " +
+      s"fraction=${sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "default")} sf=$dir")
+
+    @volatile var memSpilled = 0L
+    @volatile var diskSpilled = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          memSpilled += m.memoryBytesSpilled; diskSpilled += m.diskBytesSpilled
+        }
+    })
+
+    // substitution cipher per replica: distinct content, identical shape.
+    // 26 rotations; replicas i and i+26 collide into exact copies — the
+    // deliberate bounded true-duplicate band.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int): String = alpha.drop(i % 26) + alpha.take(i % 26)
+    val docsBig: DataFrame = (0 until mult).map { i =>
+      Canon.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", translate(col("text"), alpha, rot(i)))
+    }.reduce(_ unionByName _)
+
+    val evr = Canon.eventsRaw(spark, dir)
+    val evrSkew: DataFrame = (evr +: (1 until mult).map { i =>
+      evr.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", lit(7L)) // ALL extra volume on one user
+        .withColumn("ts_us", col("ts_us") + lit(i.toLong * 7L))
+    }).reduce(_ unionByName _)
+
+    var failed = false
+    def probe(name: String)(f: => Long): Unit = {
+      val m0 = memSpilled; val d0 = diskSpilled
+      val t0 = System.nanoTime()
+      try {
+        val rows = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[x100] $name%-18s rows=$rows%12d wall=$secs%8.1fs " +
+          s"spill_mem=${(memSpilled - m0) >> 20}MB spill_disk=${(diskSpilled - d0) >> 20}MB")
+        if (rows <= 0) { println(s"[x100] FAIL $name: no rows"); failed = true }
+      } catch { case e: Throwable =>
+        println(s"[x100] FAIL $name: ${e.getClass.getSimpleName} ${e.getMessage}")
+        failed = true
+      }
+    }
+
+    probe("dedup_pairs_x100") {
+      Dedup.ngramJaccardPairs(docsBig, 3, 0.6).count()
+    }
+    probe("sessionize_skew") {
+      Events.sessionizeScalable(evrSkew, gapUs = 1800000000L).count()
+    }
+    probe("two_pass_lag") {
+      Windowing.withPrevious(
+        evrSkew.select(col("user_id") % 5 as "series", col("ts_us"),
+          col("event_id"), col("user_id")),
+        Seq("series"), Seq("ts_us", "event_id"), Seq("user_id")).count()
+    }
+
+    println(if (failed) "[x100] RESULT: FAIL" else "[x100] RESULT: OK — spill-not-OOM at x" + mult)
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{Dedup, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextOps, TimeSeries => TS}
 import graft.GraftSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -210,6 +210,17 @@ object ScaleProbe {
     probe("embed_outliers",
       Similarity.labelCentroidOutliers(emb1, 5).count(),
       Similarity.labelCentroidOutliers(emb10, 5).count())
+    // --- late round 7: the pixel tier (byte-volume-partitioned kernel,
+    // map-shaped: decode+resample cost tracks payload bytes) and BPE
+    // merge training (ONE corpus pass to word counts; the k rounds run
+    // on the vocab table, which a self-multiplied corpus does NOT grow —
+    // ratio ≈ the corpus-scan share of the total, the whole point)
+    probe("multimodal_pixels",
+      Multimodal.resizePixels(Multimodal.syntheticPixelMedia(doc1), 4, 4).count(),
+      Multimodal.resizePixels(Multimodal.syntheticPixelMedia(doc10), 4, 4).count())
+    probe("text_bpe",
+      Bpe.trainMerges(doc1, 5).length.toLong,
+      Bpe.trainMerges(doc10, 5).length.toLong)
     spark.stop()
   }
 }

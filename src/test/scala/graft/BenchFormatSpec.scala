@@ -30,14 +30,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(n.get("failed").get(0).asText == "q_bad")
   }
 
-  test("stdout shortKeys strips the uniform q_ prefix, full names elsewhere") {
+  test("stdout shortKeys: q_ stripped, families abbreviated, object renamed to q") {
     val line = Bench.formatLine(
-      Seq("q_agg_sum" -> 0.3, "q_b" -> 1.0), Seq("q_bad"),
+      Seq("q_agg_sum" -> 0.3, "q_b" -> 1.0, "q_ts_delta" -> 0.1,
+        "q_multimodal_pixels" -> 0.2), Seq("q_text_bad"),
       "sf0.1", partial = false, shortKeys = true)
     val n = mapper.readTree(line)
-    assert(n.get("queries").get("agg_sum") != null)
-    assert(n.get("queries").get("q_agg_sum") == null)
-    assert(n.get("failed").get(0).asText == "bad")
+    assert(n.get("q").get("a_sum") != null) // agg -> a
+    assert(n.get("q").get("m_pixels") != null) // multimodal -> m
+    assert(n.get("q").get("ts_delta") != null) // unmapped family unchanged
+    assert(n.get("q").get("b") != null) // no underscore: bare
+    assert(n.get("queries") == null && n.get("q").get("q_agg_sum") == null)
+    assert(n.get("failed").get(0).asText == "t_bad")
+    // the reverse mapping is collision-free: no SparkEntry query's bare
+    // first component is already a single abbrev letter
+    val inverse = Bench.famAbbrev.map(_.swap)
+    assert(inverse.size == Bench.famAbbrev.size)
+    Bench.benchQueryNames.foreach { q =>
+      val fam = q.stripPrefix("q_").takeWhile(_ != '_')
+      assert(!inverse.contains(fam), s"$q family '$fam' shadows an abbrev")
+    }
     // the sidecar rendering (shortKeys default false) keeps full names
     val side = mapper.readTree(Bench.formatLine(
       Seq("q_agg_sum" -> 0.3), Nil, "sf", partial = false))
@@ -87,7 +99,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val roster = Bench.benchQueryNames.map(_ -> 1.234567)
     val line = Bench.formatLine(roster, Nil, "sf0.1", partial = false,
       shortKeys = true)
-    assert(mapper.readTree(line).get("queries").size == roster.size)
+    assert(mapper.readTree(line).get("q").size == roster.size)
     assert(line.length <= 1895,
       s"bench line ${line.length} chars — headroom to the measured ~1925 budget: ${1925 - line.length}; time to trim the format")
   }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("applyMerge: greedy left-to-right, non-overlapping, resumes past fusions") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
+    assert(Bpe.applyMerge(Array.empty[String], "a", "b").toSeq == Seq())
+    // a fused symbol can participate in LATER merges, not the current scan
+    assert(Bpe.applyMerge(Array("ab", "ab"), "ab", "ab").toSeq == Seq("abab"))
+  }
+
+  test("reference merges: the textbook low/lower/newest/widest example") {
+    // Sennrich et al. 2016 fig. 1 shape: es, est, est</w> dominate
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m = Bpe.referenceMerges(words, 4)
+    assert(m.map(r => (r.left, r.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    assert(m.head.pair_count == 9L) // es: 6 newest + 3 widest
+    // counts stay consistent as symbols fuse
+    assert(m(1).pair_count == 9L && m(2).pair_count == 9L && m(3).pair_count == 7L)
+  }
+
+  test("reference merges: deterministic tiebreak, stops when pairs run dry") {
+    // all four pairs count 2: ties broken (left,right) asc — and "</w>"
+    // sorts BEFORE letters ('<' is 0x3C), so (a,</w>) beats (a,b)
+    val m = Bpe.referenceMerges(Seq(("ba", 2L), ("ab", 2L)), 10)
+    assert(m.head.left == "a" && m.head.right == "</w>")
+    // a single one-char word exhausts after one merge: ["a","</w>"] fuses,
+    // the lone fused symbol has no adjacent pairs left
+    val dry = Bpe.referenceMerges(Seq(("a", 1L)), 10)
+    assert(dry.map(r => (r.left, r.right, r.pair_count)) == Seq(("a", "</w>", 1L)))
+  }
+
+  test("distributed trainer == reference implementation on a mixed fixture") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest"),
+      (4L, "the newest widget is the widest low-cost widget")
+    ).toDF("doc_id", "text")
+    // reference input: the same word counts the corpus aggregation yields
+    val wc = docs.selectExpr("explode(filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')) AS w")
+      .groupBy("w").count().as[(String, Long)].collect().toSeq
+    val expect = Bpe.referenceMerges(wc, 8)
+    val got = Bpe.trainMerges(docs, 8)
+    assert(got == expect)
+    assert(got.length == 8)
+    // ranks are sequential and counts non-increasing is NOT guaranteed by
+    // BPE in general, but determinism is: a second run is identical
+    assert(Bpe.trainMerges(docs, 8) == got)
+  }
+
+  test("mergesDf: roster shape, rank-ordered, merged column spells the fusion") {
+    val docs = Seq((1L, "aa aa aa ab")).toDF("doc_id", "text")
+    val df = Bpe.mergesDf(spark, docs, 3)
+    assert(df.columns.toSeq == Seq("rank", "left", "right", "merged", "pair_count"))
+    val rows = df.as[(Long, String, String, String, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L))
+    rows.foreach { case (_, l, r, m, _) => assert(m == l + r) }
+    // top merge of "aa aa aa ab": (a,a) and (a,</w>) tie at 3; the EOW
+    // marker's '<' sorts before 'a', so (a,</w>) takes rank 0
+    assert((rows.head._2, rows.head._3) == (("a", "</w>")))
+  }
+
+  test("k=0 and empty corpus degenerate cleanly") {
+    val docs = Seq((1L, "anything at all")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(docs, 0).isEmpty)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.trainMerges(empty, 5).isEmpty)
+  }
+}

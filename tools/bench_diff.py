@@ -32,19 +32,34 @@ import json
 import sys
 
 
+# inverse of Bench.famAbbrev (the late-r7 stdout key rename)
+FAM_EXPAND = {"a": "agg", "d": "dedup", "f": "filter", "m": "multimodal",
+              "p": "sample", "s": "sim", "w": "stream", "t": "text",
+              "h": "tpch"}
+
+
 def load(path):
-    """Return (minima, medians, total) with full q_* key names."""
+    """Return (minima, medians, total) with full q_* key names, from any
+    artifact vintage: sidecar ("queries", full names), r7 driver capture
+    ("queries", q_-stripped keys), or late-r7 driver capture ("q",
+    family-abbreviated keys)."""
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
-    if not isinstance(d.get("queries"), dict):
-        sys.exit(f"{path}: no usable 'queries' object")
+    queries = d.get("queries") if isinstance(d.get("queries"), dict) else d.get("q")
+    if not isinstance(queries, dict):
+        sys.exit(f"{path}: no usable 'queries'/'q' object")
 
     def full(k):
-        return k if k.startswith("q_") else "q_" + k
+        if k.startswith("q_"):
+            return k
+        head, sep, rest = k.partition("_")
+        if sep and head in FAM_EXPAND:
+            k = FAM_EXPAND[head] + "_" + rest
+        return "q_" + k
 
-    mins = {full(k): float(v) for k, v in d["queries"].items()}
+    mins = {full(k): float(v) for k, v in queries.items()}
     meds = {full(k): float(v) for k, v in d.get("queries_median", {}).items()}
     return mins, meds, float(d.get("value", sum(mins.values())))
 
