@@ -264,6 +264,12 @@ object SparkEntry {
       TextOps.bigramHead(Canon.documents(s, d), 20)),
     "q_text_bpe" -> ((s, d) => // 10 rounds of distributed BPE merge training
       Bpe.mergesDf(s, Canon.documents(s, d), 10)),
+    "q_text_bpe_encode" -> ((s, d) => { // the full tokenizer pipeline:
+      // train 10 merges (one corpus pass + vocab-table rounds), then
+      // subword-encode the corpus with them (map-only, zero shuffles)
+      val docs = Canon.documents(s, d)
+      Bpe.encodeDf(docs, Bpe.trainMerges(docs, 10))
+    }),
     "q_text_commonness" -> ((s, d) => // mean global token frequency per doc
       TextOps.commonness(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_novelty" -> ((s, d) => // fraction of doc's 3-grams unique to it
@@ -396,7 +402,7 @@ object SparkEntry {
       Similarity.topKOverIds(emb, enIds, emb.filter(col("vec_id").isin(QIDS: _*)), k = 10)
         .withColumn("rn", col("rn").cast("long"))
     }),
-    // ----- beyond parity: multimodal plumbing (stubbed decode)
+    // ----- beyond parity: multimodal (real header decode + pixel tier)
     "q_multimodal_bytes" -> ((s, d) =>
       Multimodal.mediaFromDocuments(Canon.documents(s, d))
         .select("media_id", "kind", "n_bytes").orderBy("media_id")),
@@ -821,7 +827,8 @@ object SparkEntry {
   private[graft] val goldenBases = Seq(
     "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_minhash",
     "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
-    "q_sim_ivf_trained", "q_text_bpe", "q_text_winnowing")
+    "q_sim_ivf_trained", "q_text_bpe", "q_text_bpe_encode",
+    "q_text_winnowing")
 
   private[graft] def contentHash(df: DataFrame): DataFrame = {
     // \u0001 separator + \u0000 null sentinel: unambiguous for any cell
@@ -1033,6 +1040,7 @@ object SparkEntry {
     "q_sim_clusters_ivf" -> "-9728532660618393492",
     "q_sim_ivf_trained" -> "100154140864456300131",
     "q_text_bpe" -> "20492531778356716084",
+    "q_text_bpe_encode" -> "-78832791577822915854",
     "q_text_winnowing" -> "436813087055418648453")
 
   private def goldenOracles: Map[String, String] =

@@ -146,4 +146,49 @@ object Bpe {
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
       .orderBy("rank")
   }
+
+  /** Encode one word with a learned merge list, applying merges in RANK
+    * ORDER — which reproduces the training-time rewriting exactly, so
+    * encode∘train is self-consistent by construction (unit-pinned). A
+    * rank-ordered sweep is O(k·|word|); past ~10k merges the
+    * pair-priority-queue formulation wins — out of scope at the bounded
+    * k this module enforces, and swapping it changes no results.
+    */
+  def encode(word: String, merges: Seq[MergeRule]): Array[String] =
+    merges.foldLeft(toSymbols(word)) { (syms, m) =>
+      // a word shorter than the pair can't contain it; skip the scan
+      if (syms.length < 2) syms else applyMerge(syms, m.left, m.right)
+    }
+
+  /** Subword-tokenize the corpus with a merge list: the full
+    * train-then-encode pipeline when fed [[trainMerges]]' output. The
+    * encode pass is MAP-ONLY — zero shuffles: the merge list is model
+    * parameters riding the task closure (k ≤ 10000 bounded), and each
+    * document's words encode independently. Per doc: whitespace word
+    * count, subword count after merging, and the count of multi-char
+    * subwords the merges created — the tokenizer-compression diagnostic
+    * (subwords/word is what a vocab buys you).
+    */
+  def encodeDf(docs: DataFrame, merges: Seq[MergeRule],
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges // stable local for the closure
+    docs.select(col(idCol).cast("long"), lower(col(textCol)).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        var subwords = 0L
+        var fused = 0L
+        words.foreach { w =>
+          val enc = encode(w, ms)
+          subwords += enc.length
+          // a fused symbol is multi-char and not the bare EOW marker
+          fused += enc.count(s => s.length > 1 && s != EOW)
+        }
+        (id, words.length.toLong, subwords, fused)
+      }
+      .toDF(idCol, "n_words", "n_subwords", "n_fused")
+      .orderBy(idCol)
+  }
 }

@@ -221,6 +221,12 @@ object ScaleProbe {
     probe("text_bpe",
       Bpe.trainMerges(doc1, 5).length.toLong,
       Bpe.trainMerges(doc10, 5).length.toLong)
+    // encode with a FIXED merge list (model parameters in the closure):
+    // map-only, zero shuffles — the purest linear-scan probe in the set
+    val encMerges = Bpe.trainMerges(doc1, 5)
+    probe("text_bpe_encode",
+      Bpe.encodeDf(doc1, encMerges).count(),
+      Bpe.encodeDf(doc10, encMerges).count())
     spark.stop()
   }
 }

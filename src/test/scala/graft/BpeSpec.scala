@@ -67,6 +67,43 @@ class BpeSpec extends SparkSuite {
     assert((rows.head._2, rows.head._3) == (("a", "</w>")))
   }
 
+  test("encode reproduces training-time word states exactly (train->encode consistency)") {
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.referenceMerges(wc, 6)
+    // replay the reference trainer's rewriting and compare word by word
+    var words = wc.map { case (w, c) => (w, w.map(_.toString).toArray :+ Bpe.EOW) }
+    merges.foreach { m =>
+      words = words.map { case (w, syms) => (w, Bpe.applyMerge(syms, m.left, m.right)) }
+    }
+    words.foreach { case (w, expect) =>
+      assert(Bpe.encode(w, merges).toSeq == expect.toSeq, s"word=$w")
+    }
+    // an UNSEEN word encodes with whichever merges apply, in rank order:
+    // k=6 learns es, est, est</w>, lo, low, ew — so "lowest" (never in
+    // the corpus) factors into the two learned stems
+    assert(Bpe.encode("lowest", merges).toSeq == Seq("low", "est</w>"))
+    assert(Bpe.encode("", merges).toSeq == Seq(Bpe.EOW))
+    assert(Bpe.encode("x", Nil).toSeq == Seq("x", Bpe.EOW))
+  }
+
+  test("encodeDf: per-doc word/subword/fused counts, map-only, EOW not counted as fused") {
+    val docs = Seq(
+      (1L, "newest newest"),
+      (2L, "zz")
+    ).toDF("doc_id", "text")
+    val merges = Seq(Bpe.MergeRule(0, "e", "s", 1L),
+      Bpe.MergeRule(1, "es", "t", 1L), Bpe.MergeRule(2, "est", Bpe.EOW, 1L))
+    val rows = Bpe.encodeDf(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // newest -> n,e,w,est</w> (4 subwords, 1 fused); doc 1 has 2 words
+    // zz -> z,z,</w> (3 subwords, 0 fused — bare EOW is not a fusion)
+    assert(rows == Seq((1L, 2L, 8L, 2L), (2L, 1L, 3L, 0L)))
+    // zero shuffles: map-only plan (plus the output sort) — no Exchange
+    // other than the orderBy's range partitioning
+    val plan = Bpe.encodeDf(docs, merges).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   test("k=0 and empty corpus degenerate cleanly") {
     val docs = Seq((1L, "anything at all")).toDF("doc_id", "text")
     assert(Bpe.trainMerges(docs, 0).isEmpty)

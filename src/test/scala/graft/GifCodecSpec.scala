@@ -191,6 +191,40 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode(idxTooBig).isEmpty)
   }
 
+  test("fuzz: 200 random (dims, palette, pixels, interlace) images round-trip exactly") {
+    // deterministic scalacheck generation (fixed seed: reproducible failures)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      w <- Gen.chooseNum(1, 37)
+      h <- Gen.chooseNum(1, 29)
+      colorBits <- Gen.chooseNum(2, 8) // minCode 2..8 (the spec's range)
+      interlaced <- Gen.oneOf(true, false)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (w, h, colorBits, interlaced, seed)
+    val params = Gen.Parameters.default
+    (0 until 200).foreach { i =>
+      val (w, h, colorBits, interlaced, s) =
+        genCase.pureApply(params, Seed(42L + i))
+      val colors = 1 << colorBits
+      val pal = Array.tabulate(colors * 3)(j => ((j * 131 + s) % 256).toByte)
+      val natural = pseudo(w * h, colors, s)
+      val input = if (!interlaced) natural else {
+        val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        passes.flatMap { case (st, sp) =>
+          (st until h by sp).flatMap(r => natural.slice(r * w, r * w + w))
+        }.toArray
+      }
+      val g = gif(w, h, pal, input, colorBits, interlaced)
+      val f = GifCodec.decode(g).getOrElse(
+        fail(s"case $i (w=$w h=$h colors=$colors interlaced=$interlaced) failed to decode"))
+        .head
+      assert((f.w, f.h) == ((w, h)), s"case $i dims")
+      assert(f.rgb.toSeq == natural.flatMap(ix => rgbOf(pal, ix & 0xff)).toSeq,
+        s"case $i (w=$w h=$h colors=$colors interlaced=$interlaced seed=$s) pixel mismatch")
+    }
+  }
+
   test("decoder tolerates the extension blocks real files carry") {
     val base = gif(2, 2, pal4, Array[Byte](1, 1, 2, 2), 2)
     val gce = Array(0x21, 0xf9, 0x04, 0, 0, 0, 0, 0).map(_.toByte)
