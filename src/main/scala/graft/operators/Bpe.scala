@@ -147,6 +147,33 @@ object Bpe {
       .orderBy("rank")
   }
 
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[MergeRule]]()
+  private[graft] val trainFits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** In-process model cache for the train→encode pipeline — the
+    * [[graft.operators.Similarity.trainCellsCached]] precedent, memory
+    * tier: the merge list is model parameters (k ≤ 10000 rows); a
+    * serving-path caller (encode the corpus with a trained tokenizer)
+    * fits once and reuses, exactly like IVF centroids. Keyed by input
+    * files + canonicalized plan + params, so a filtered/projected subset
+    * of the same files trains separately; frames with no file lineage
+    * (in-memory test relations) bypass the cache — their canonical plans
+    * embed expression ids, not data, so keying on them would be unsound.
+    */
+  def trainMergesCached(docs: DataFrame, k: Int, textCol: String = "text"): Seq[MergeRule] = {
+    val files = docs.inputFiles.toSeq.sorted.mkString(",")
+    if (files.isEmpty) trainMerges(docs, k, textCol)
+    else {
+      val key =
+        s"$files|${docs.queryExecution.analyzed.canonicalized.toString}|$k|$textCol"
+      mergeCache.computeIfAbsent(key, _ => {
+        trainFits.incrementAndGet()
+        trainMerges(docs, k, textCol)
+      })
+    }
+  }
+
   /** Encode one word with a learned merge list, applying merges in RANK
     * ORDER — which reproduces the training-time rewriting exactly, so
     * encode∘train is self-consistent by construction (unit-pinned). A

@@ -104,6 +104,37 @@ class BpeSpec extends SparkSuite {
     assert(!plan.contains("Aggregate"), plan)
   }
 
+  test("trainMergesCached: identical rules, one fit per file-backed plan, bypass for local frames") {
+    val docs = Seq((1L, "low low lower newest newest newest widest")).toDF("doc_id", "text")
+    // no file lineage -> bypass: repeated calls retrain (fit counter moves)
+    val f0 = Bpe.trainFits.get()
+    val a = Bpe.trainMergesCached(docs, 4)
+    assert(a == Bpe.trainMerges(docs, 4))
+    assert(Bpe.trainFits.get() == f0, "local frames must not enter the cache")
+    // file-backed: first call fits, second is a cache hit with equal rules
+    val dir = java.nio.file.Files.createTempDirectory("bpe_cache_spec").toFile
+    try {
+      val p = new java.io.File(dir, "docs.parquet").getAbsolutePath
+      docs.write.mode("overwrite").parquet(p)
+      val onDisk = spark.read.parquet(p)
+      val b = Bpe.trainMergesCached(onDisk, 4)
+      val fits = Bpe.trainFits.get()
+      assert(fits == f0 + 1)
+      assert(Bpe.trainMergesCached(spark.read.parquet(p), 4) == b)
+      assert(Bpe.trainFits.get() == fits, "second call must be a cache hit")
+      assert(b == Bpe.trainMerges(onDisk, 4), "cached rules equal a live fit")
+      // different k is a different model -> separate fit
+      Bpe.trainMergesCached(spark.read.parquet(p), 2)
+      assert(Bpe.trainFits.get() == fits + 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("k=0 and empty corpus degenerate cleanly") {
     val docs = Seq((1L, "anything at all")).toDF("doc_id", "text")
     assert(Bpe.trainMerges(docs, 0).isEmpty)

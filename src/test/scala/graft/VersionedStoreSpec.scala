@@ -1,0 +1,84 @@
+package graft
+
+import graft.model.Canon
+import graft.sources.VersionedStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-travel semantics of the manifest-chain store: every mutation is a
+  * version, every historical version re-reads bit-identically (the
+  * reference's one-Git-commit-per-write history, shard.re:26-34).
+  */
+class VersionedStoreSpec extends SparkSuite {
+
+  private def fp(df: DataFrame): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)),
+      sum(hash(col("series"), col("ts_us"), col("tag"), col("value"),
+        col("rid")).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  test("append x2 -> delete -> compact: four versions, each time-travel read exact") {
+    val root = tmpDir("vstore")
+    val src = Canon.events(spark, "/root/testdata/sf0.001")
+    assert(VersionedStore.versions(spark, root).isEmpty)
+
+    val v1 = VersionedStore.append(src.filter(col("rid") % 2 === 0), root)
+    val v2 = VersionedStore.append(src.filter(col("rid") % 2 =!= 0), root)
+    val v3 = VersionedStore.deleteRewrite(
+      VersionedStore.read(spark, root).filter(col("series") =!= "click"), root)
+    val v4 = VersionedStore.compact(spark, root)
+    assert(Seq(v1, v2, v3, v4) == Seq(1, 2, 3, 4))
+
+    val vs = VersionedStore.versions(spark, root)
+    assert(vs.map(c => (c.version, c.op)) ==
+      Seq((1, "append"), (2, "append"), (3, "delete"), (4, "compact")))
+    // history: every version still reads exactly what it committed
+    assert(fp(VersionedStore.readAt(spark, root, 1)) ==
+      fp(src.filter(col("rid") % 2 === 0)))
+    assert(fp(VersionedStore.readAt(spark, root, 2)) == fp(src))
+    assert(fp(VersionedStore.readAt(spark, root, 3)) ==
+      fp(src.filter(col("series") =!= "click")))
+    assert(fp(VersionedStore.readAt(spark, root, 4)) ==
+      fp(VersionedStore.readAt(spark, root, 3)))
+    assert(fp(VersionedStore.read(spark, root)) ==
+      fp(VersionedStore.readAt(spark, root, 4)))
+    // append manifests accumulate dirs; delete/compact collapse to one
+    assert(vs.map(_.dirs.length) == Seq(1, 2, 1, 1))
+    // data dirs are immutable: v3's delete did not shrink v2's read
+    assert(fp(VersionedStore.readAt(spark, root, 2))._1 >
+      fp(VersionedStore.readAt(spark, root, 3))._1)
+  }
+
+  test("empty mutation commits a version; an all-deleted store reads empty with schema") {
+    val root = tmpDir("vstore_empty")
+    val src = Canon.events(spark, "/root/testdata/sf0.001").limit(10)
+    VersionedStore.append(src, root)
+    val v2 = VersionedStore.deleteRewrite(
+      VersionedStore.read(spark, root).filter(lit(false)), root)
+    assert(v2 == 2)
+    val empty = VersionedStore.readAt(spark, root, 2)
+    assert(empty.count() == 0)
+    assert(empty.schema == Canon.schema)
+    // and the pre-delete history is intact
+    assert(VersionedStore.readAt(spark, root, 1).count() == 10)
+  }
+
+  test("readAt an uncommitted version fails loudly; stray temp manifests are invisible") {
+    val root = tmpDir("vstore_guard")
+    val src = Canon.events(spark, "/root/testdata/sf0.001").limit(5)
+    VersionedStore.append(src, root)
+    // a crashed writer's leftover temp file must not surface as a version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifests", ".v00000002.tmp"),
+      "op append\ndir bogus".getBytes("UTF-8"))
+    assert(VersionedStore.versions(spark, root).map(_.version) == Seq(1))
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAt(spark, root, 2)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAt(spark, root, 0)
+    }
+  }
+}
