@@ -288,6 +288,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_text_score" -> ((s, d) =>
       TextOps.qualityScore(Canon.documents(s, d)).orderBy("doc_id")),
+    "q_text_gopher" -> ((s, d) => // Gopher rules (Rae et al. 2021): each
+      // published pre-filter heuristic as a flag + the keep conjunction
+      TextOps.gopherRules(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_langid" -> ((s, d) =>
       TextOps.langId(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, d) =>
@@ -1305,6 +1308,47 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
         |  CAST(len(regexp_extract_all(t, '(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b')) AS BIGINT) AS n_phone
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_text_gopher" -> // rule flags compare UNROUNDED quotients of exact
+      // integer counts (identical doubles in any engine); outputs rounded
+      s"""WITH q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt,
+         |              string_split(text, chr(10)) AS ln FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS nw,
+         |  greatest(CAST(len(t) AS DOUBLE), 1) AS den,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nchars,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS nhash,
+         |  CAST((length(text) - length(replace(text, '...', ''))) / 3
+         |       + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) AS nell,
+         |  CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS nalpha,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                       s -> list_contains(lt, s))) AS BIGINT) AS stop_hits,
+         |  greatest(CAST(len(ln) AS DOUBLE), 1) AS nl,
+         |  CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-')
+         |       OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) AS nbull,
+         |  CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...')
+         |       OR ends_with(rtrim(l), '…'))) AS DOUBLE) AS nelll
+         |FROM q)
+         |SELECT doc_id, nw AS n_words,
+         |  round(nchars / den, 4) AS mean_word_len,
+         |  round(nhash / den, 6) AS hash_ratio,
+         |  round(nell / den, 6) AS ellipsis_ratio,
+         |  round(nalpha / den, 6) AS alpha_frac,
+         |  stop_hits,
+         |  round(nbull / nl, 6) AS bullet_frac,
+         |  round(nelll / nl, 6) AS ellipsis_line_frac,
+         |  (nw >= 50 AND nw <= 100000) AS r_word_count,
+         |  (nchars / den >= 3 AND nchars / den <= 10) AS r_mean_word_len,
+         |  (nhash / den <= 0.1) AS r_hash,
+         |  (nell / den <= 0.1) AS r_ellipsis,
+         |  (nalpha / den >= 0.8) AS r_alpha,
+         |  (stop_hits >= 2) AS r_stop,
+         |  (nbull / nl <= 0.9) AS r_bullet,
+         |  (nelll / nl <= 0.3) AS r_ellipsis_lines,
+         |  ((nw >= 50 AND nw <= 100000) AND (nchars / den >= 3 AND nchars / den <= 10)
+         |   AND (nhash / den <= 0.1) AND (nell / den <= 0.1)
+         |   AND (nalpha / den >= 0.8) AND (stop_hits >= 2)
+         |   AND (nbull / nl <= 0.9) AND (nelll / nl <= 0.3)) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH toks AS (SELECT doc_id, $LTOKS AS t FROM documents),
          |h AS (SELECT doc_id,

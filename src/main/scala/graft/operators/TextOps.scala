@@ -480,4 +480,93 @@ object TextOps {
         round(col("n_novel").cast("double") / col("n_shingles"), 6)
           .as("novelty"))
   }
+
+  /** The 8-word presence lexicon from the Gopher rules (Rae et al. 2021
+    * §A1.1: "contains at least 2 of the following English words").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021 §A1.1 — public
+    * heuristics, the standard LLM-corpus pre-filter): each published rule
+    * as a flag plus the conjunction `keep`, so a pipeline can both filter
+    * AND explain every rejection. Thresholds are the paper's: 50–100k
+    * words, mean word length 3–10, hash / ellipsis symbol-to-word ratios
+    * ≤ 0.1, ≥ 80% words with an alphabetic character, ≥ 2 presence hits
+    * on the 8-word lexicon, ≤ 90% bullet-started lines, ≤ 30%
+    * ellipsis-ended lines.
+    *
+    * Every signal derives from exact integer counts; flags compare the
+    * UNROUNDED quotients (the rank-window precedent — rounding only on
+    * output), so the decision is bit-reproducible in any engine. One
+    * scan, no shuffle, no UDF: token/line arrays and higher-order
+    * filters, all codegen-friendly; at 100 TB this is a map-stage over
+    * the corpus scan, and `keep` is a plain conjunction Catalyst can
+    * push into the scan filter when used inline.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val outputNames = Set("n_words", "mean_word_len", "hash_ratio",
+      "ellipsis_ratio", "alpha_frac", "stop_hits", "bullet_frac",
+      "ellipsis_line_frac", "r_word_count", "r_mean_word_len", "r_hash",
+      "r_ellipsis", "r_alpha", "r_stop", "r_bullet", "r_ellipsis_lines",
+      "keep")
+    require(!outputNames.contains(idCol),
+      s"idCol '$idCol' collides with a gopherRules output column")
+    import graft.functions.TextSignalExpressions._
+    val t = col(textCol)
+    val nW = token_cnt(t)
+    val den = greatest(nW, lit(1)).cast("double")
+    // non-whitespace chars / words — identical to quality()'s
+    // mean_token_len (ws class is ASCII, so length − ws_cnt ≡ the
+    // regex-stripped length the oracle computes)
+    val mwl = (length(t) - ws_cnt(t)).cast("double") / den
+    val hashRatio =
+      (length(t) - length(translate(t, "#", ""))).cast("double") / den
+    // '…' is one char; '...' counts non-overlapping left-to-right (regex
+    // and literal replace agree on that)
+    val ellRatio =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3) +
+        (length(t) - length(translate(t, "…", "")))).cast("double") / den
+    val alphaFrac =
+      size(filter(tokens(t), w => w.rlike("[A-Za-z]"))).cast("double") / den
+    val lt = tokens(lower(t))
+    val stopHits = gopherStopwords
+      .map(s => array_contains(lt, s).cast("int")).reduce(_ + _).cast("long")
+    val lines = split(t, "\n", -1)
+    val nL = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast("double") / nL
+    val ellLineFrac = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / nL
+    val rWords = nW >= 50 && nW <= 100000
+    val rMwl = mwl >= 3.0 && mwl <= 10.0
+    val rHash = hashRatio <= 0.1
+    val rEll = ellRatio <= 0.1
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = stopHits >= 2
+    val rBullet = bulletFrac <= 0.9
+    val rEllLines = ellLineFrac <= 0.3
+    df.select(col(idCol),
+      nW.cast("long").as("n_words"),
+      round(mwl, 4).as("mean_word_len"),
+      round(hashRatio, 6).as("hash_ratio"),
+      round(ellRatio, 6).as("ellipsis_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellLineFrac, 6).as("ellipsis_line_frac"),
+      rWords.as("r_word_count"),
+      rMwl.as("r_mean_word_len"),
+      rHash.as("r_hash"),
+      rEll.as("r_ellipsis"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      rBullet.as("r_bullet"),
+      rEllLines.as("r_ellipsis_lines"),
+      (rWords && rMwl && rHash && rEll && rAlpha && rStop && rBullet &&
+        rEllLines).as("keep"))
+  }
 }

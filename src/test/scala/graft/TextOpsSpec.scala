@@ -201,4 +201,43 @@ class TextOpsSpec extends SparkSuite {
     packs.filter(_._1 < packs.size - 1) // last pack may be underfull
       .foreach { case (id, tot) => assert(tot < cap + maxChunk, s"pack $id tot=$tot") }
   }
+
+  test("gopherRules: every rule flips on a crafted fixture; keep is the conjunction") {
+    val good = (Seq("the", "be", "to", "of", "and") ++
+      Seq.fill(60)("words")).mkString(" ") // 65 words, all rules pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "too few words here"),                         // fails word count
+      (3L, (Seq.fill(60)("a") ++ Seq("the", "be")).mkString(" ")), // mean len < 3
+      (4L, (Seq.fill(60)("## #word the be") : Seq[String]).mkString(" ")), // hash ratio
+      (5L, good + " " + Seq.fill(20)("...").mkString(" ")), // ellipsis symbols
+      (6L, (Seq.fill(60)("123456") ++ Seq("the", "be")).mkString(" ")), // alpha < 0.8
+      (7L, Seq.fill(70)("zebra").mkString(" ")),            // no stopword hits
+      (8L, (1 to 10).map(i => s"- bullet $i " + Seq.fill(5)("the be of and words").mkString(" ")).mkString("\n")), // all lines bullets
+      (9L, (1 to 10).map(i => s"line $i the be of and words trailing...").mkString("\n")) // all lines ellipsis-ended
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flag(id: Long, name: String): Boolean =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert(flag(1, "keep"), r(1).toString)
+    assert(!flag(2, "r_word_count") && !flag(2, "keep"))
+    assert(!flag(3, "r_mean_word_len") && flag(3, "r_stop"))
+    assert(!flag(4, "r_hash"), r(4).toString)
+    assert(!flag(5, "r_ellipsis") && flag(5, "r_word_count"))
+    assert(!flag(6, "r_alpha") && flag(6, "r_mean_word_len"))
+    assert(!flag(7, "r_stop") && flag(7, "r_word_count"))
+    assert(!flag(8, "r_bullet") && flag(8, "r_stop"))
+    assert(!flag(9, "r_ellipsis_lines") && flag(9, "r_bullet"))
+    // rule independence: failing docs fail ONLY their targeted rule family
+    assert(flag(5, "r_hash") && flag(8, "r_ellipsis_lines") && flag(9, "r_bullet"))
+    // degenerate: empty text -> zero words, no division blowups
+    val e = TextOps.gopherRules(Seq((10L, "")).toDF("doc_id", "text")).head()
+    assert(e.getLong(e.fieldIndex("n_words")) == 0L)
+    assert(!e.getBoolean(e.fieldIndex("keep")))
+    // idCol collision guard
+    intercept[IllegalArgumentException] {
+      TextOps.gopherRules(docs.withColumnRenamed("doc_id", "keep"), idCol = "keep")
+    }
+  }
 }
