@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized (Heaps' law: ~millions of rows for a 100 TB corpus,
   * KBs per executor core), so k training rounds cost k small shuffles
   * over a bounded table plus one corpus aggregation — not k corpus
-  * passes.
+  * passes. And because that table is model-parameter-scale, training is
+  * two-tier ([[trainMerges]]): below a vocab threshold the table
+  * collects once and the loop runs driver-side with zero per-round jobs;
+  * the distributed rounds are the above-threshold path.
   *
   * Each round: adjacent-symbol pair counts weighted by word frequency
   * (one shuffle over the word table) → the single best pair collects to
@@ -85,23 +88,57 @@ object Bpe {
     out.result()
   }
 
-  /** The distributed trainer. Returns at most `k` rules (fewer when the
-    * corpus runs out of adjacent pairs first).
+  /** The trainer — two tiers picked by vocabulary size, the
+    * [[graft.operators.Dedup.clustersFromPairs]] precedent. The word
+    * table is the state every round reads, and it is bounded by the
+    * vocabulary, not the corpus (Heaps' law): under `localVocab` distinct
+    * words — the overwhelmingly common case; 2M (word,count) rows is tens
+    * of MB — a single limit-probe collect fetches it AND picks the tier,
+    * then the merge loop runs driver-side as plain arrays
+    * ([[referenceMerges]]): zero per-round Spark jobs. Above the
+    * threshold the probe is discarded and the k-round distributed path
+    * runs (one small shuffle per round over the cached vocab table). The
+    * tiers are interchangeable by construction — same counts, same
+    * (-count, left, right) tiebreak — and the equivalence is spec-pinned
+    * with the distributed tier forced via `localVocab = 0`.
+    *
+    * The driver loop is O(k·Σ|word|) with no priority queue, fine at the
+    * bounded k this module enforces; a caller pushing k toward the 10000
+    * cap over a huge vocab should lower `localVocab` to keep the rounds
+    * distributed. Returns at most `k` rules (fewer when the corpus runs
+    * out of adjacent pairs first).
     */
-  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text"): Seq[MergeRule] = {
+  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text",
+                  localVocab: Long = 2000000L): Seq[MergeRule] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 0 && k <= 10000, s"merge rounds $k out of sane range")
+    if (k == 0) return Seq.empty
     // the ONE corpus-scale pass: whitespace words -> (word, count).
     // Everything after runs on this vocabulary-sized table.
-    val wordCounts = docs
+    val wcDf = docs
       .select(explode(TextOps.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
+      .toDF.trackedCache
+    // one action picks the tier AND fetches the vocab; limN caps what
+    // collect can fetch, and the acceptance compares against it too, so a
+    // threshold above Int range can't pass a TRUNCATED probe to the
+    // driver loop as the complete vocabulary
+    val limN = math.min(localVocab, Int.MaxValue - 2L).toInt.max(1)
+    val probe = wcDf.limit(limN + 1).collect()
+    if (probe.length < localVocab && probe.length <= limN) {
+      wcDf.unpersist(blocking = false)
+      return referenceMerges(
+        probe.toSeq.map(r => (r.getString(0), r.getLong(1))), k)
+    }
     var cur: Dataset[(Array[String], Long)] =
-      wordCounts.map { case (w, c) => (toSymbols(w), c) }
+      wcDf.as[(String, Long)].map { case (w, c) => (toSymbols(w), c) }
     var curDf = cur.toDF.trackedCache
     cur = curDf.as[(Array[String], Long)]
+    // materialize the symbol table before releasing the word table, or
+    // round 1 would recompute the corpus aggregation through the lineage
+    curDf.count()
+    wcDf.unpersist()
     val out = Seq.newBuilder[MergeRule]
     var rank = 0
     var done = false

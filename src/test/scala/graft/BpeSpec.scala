@@ -47,12 +47,17 @@ class BpeSpec extends SparkSuite {
     val wc = docs.selectExpr("explode(filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')) AS w")
       .groupBy("w").count().as[(String, Long)].collect().toSeq
     val expect = Bpe.referenceMerges(wc, 8)
-    val got = Bpe.trainMerges(docs, 8)
+    // localVocab = 0 forces the distributed tier — the default would take
+    // the driver tier, which IS referenceMerges, making this vacuous
+    val got = Bpe.trainMerges(docs, 8, localVocab = 0)
     assert(got == expect)
     assert(got.length == 8)
     // ranks are sequential and counts non-increasing is NOT guaranteed by
     // BPE in general, but determinism is: a second run is identical
-    assert(Bpe.trainMerges(docs, 8) == got)
+    assert(Bpe.trainMerges(docs, 8, localVocab = 0) == got)
+    // tier equivalence end-to-end through the public default path: the
+    // small fixture takes the driver tier and must produce the same rules
+    assert(Bpe.trainMerges(docs, 8) == expect)
   }
 
   test("mergesDf: roster shape, rank-ordered, merged column spells the fusion") {
