@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{AsofJoin, Bpe, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{AsofJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
 import graft.sources.{JsonIngest, VersionedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -146,6 +146,11 @@ object SparkEntry {
     // 5-value key; a per-series window would serialize it)
     "q_ts_delta" -> ((s, d) => TS.deltas(ev(s, d), Nil)),
     "q_ts_gaps" -> ((s, d) => TS.gaps(ev(s, d), Nil, thresholdUs = 7200000000L)),
+    "q_layout_zorder" -> ((s, d) => // Z-order layout effectiveness report:
+      // 64 Morton buckets over (user_id, ts) with per-bucket min/max — the
+      // spans being tight on BOTH dims is the file-skipping claim as data
+      Layout.zorderStats(Canon.eventsRaw(s, d).select("user_id", "ts_us"),
+        Seq("user_id", "ts_us"), bits = 12, buckets = 64)),
     // ----- S1/S2/S7: wire-JSON ingest over the checked-in shape fixture —
     // all four accepted object shapes, batch arrays (exploded in order),
     // and the full must-reject corpus (FIXTURES.md §1.3); good lane =
@@ -954,6 +959,29 @@ object SparkEntry {
            |      FROM c WINDOW w AS (PARTITION BY series ORDER BY ts_us ASC, rid ASC)) t
            |WHERE pts IS NOT NULL AND ts_us - pts > 7200000000
            |ORDER BY series, gap_start_us, gap_end_us""".stripMargin,
+      // exact-integer Morton math, mirrored op-for-op: signed normShift via
+      // length(bin(range)) (bitLength — no floating log2), stretch-or-
+      // compress CASE, and the 24 interleave terms generated by ZTERMS
+      "q_layout_zorder" ->
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+           |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+           |             min(ts_us) AS tmin, max(ts_us) AS tmax FROM e),
+           |s AS (SELECT umin, tmin,
+           |  (CASE WHEN umax > umin THEN length(bin(umax - umin)) ELSE 0 END) - 12 AS su,
+           |  (CASE WHEN tmax > tmin THEN length(bin(tmax - tmin)) ELSE 0 END) - 12 AS st
+           |  FROM b),
+           |n AS (SELECT e.user_id, e.ts_us,
+           |  (CASE WHEN s.su >= 0 THEN (e.user_id - s.umin) >> s.su
+           |        ELSE (e.user_id - s.umin) << (-s.su) END) AS nu,
+           |  (CASE WHEN s.st >= 0 THEN (e.ts_us - s.tmin) >> s.st
+           |        ELSE (e.ts_us - s.tmin) << (-s.st) END) AS nt
+           |  FROM e CROSS JOIN s),
+           |z AS (SELECT user_id, ts_us, ($ZTERMS) AS zv FROM n)
+           |SELECT (zv >> 18) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+           |  min(ts_us) AS ts_us_min, max(ts_us) AS ts_us_max,
+           |  min(zv) AS z_min, max(zv) AS z_max
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
       // mirrors JsonIngest.isValidShape + explodeBatches: order-sensitive
       // key-list equality, numeric value/timestamp, tag = array of
       // non-empty objects; timestamps truncate toward zero
@@ -1110,6 +1138,11 @@ object SparkEntry {
   // exactly the engine's TextOps.wsClass (the Spark side deliberately
   // excludes vertical tab to match RE2), so '\s+' below is byte-identical
   // to the Spark tokenizer on ANY input, not just the VT-free corpus.
+  private val ZTERMS = // 12-bit two-dim Morton interleave: dim 0 (nu) on
+    // even positions, dim 1 (nt) on odd — matches Layout.zvalue exactly
+    (0 until 12).map(b =>
+      s"(((nu >> $b) & 1) << ${2 * b}) | (((nt >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" | ")
   private val TOKS =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val LTOKS =

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{Bpe, Dedup, Layout, Multimodal, Similarity, TextOps, TimeSeries => TS}
 import graft.GraftSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -227,6 +227,13 @@ object ScaleProbe {
     probe("text_bpe_encode",
       Bpe.encodeDf(doc1, encMerges).count(),
       Bpe.encodeDf(doc10, encMerges).count())
+    // scan -> codegen'd shift/and/or project -> 64-key hash agg: the
+    // driver-collected bounds row is the only non-linear piece (O(1))
+    probe("layout_zorder",
+      Layout.zorderStats(evr1.select("user_id", "ts_us"),
+        Seq("user_id", "ts_us"), 12, 64).count(),
+      Layout.zorderStats(evr10.select("user_id", "ts_us"),
+        Seq("user_id", "ts_us"), 12, 64).count())
     spark.stop()
   }
 }
