@@ -430,6 +430,10 @@ object SparkEntry {
     "q_sim_ivf_trained" -> ((s, d) => // trained k-means cells; approximate → rows-only
       Similarity.ivfTopKTrained(Canon.embeddings(s, d), QIDS, k = 10)
         .withColumn("rn", col("rn").cast("long"))),
+    "q_sim_pq" -> ((s, d) => // product-quantization ADC + exact refine;
+      // approximate → rows-only, golden-pinned + recall floor in spec
+      Similarity.pqTopK(Canon.embeddings(s, d), QIDS, k = 10)
+        .withColumn("rn", col("rn").cast("long"))),
     "q_vec_quantize" -> ((s, d) => // int8 quantization summary (exact arithmetic)
       Similarity.quantizeInt8(Canon.embeddings(s, d))),
     "q_embed_outliers" -> ((s, d) => // bottom-5 cosine-to-label-centroid per label
@@ -872,7 +876,7 @@ object SparkEntry {
   private[graft] val goldenBases = Seq(
     "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_minhash",
     "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
-    "q_sim_ivf_trained", "q_text_bpe", "q_text_bpe_encode",
+    "q_sim_ivf_trained", "q_sim_pq", "q_text_bpe", "q_text_bpe_encode",
     "q_text_winnowing")
 
   private[graft] def contentHash(df: DataFrame): DataFrame = {
@@ -1123,6 +1127,7 @@ object SparkEntry {
     "q_sim_ann" -> "62831741413356666920",
     "q_sim_clusters_ivf" -> "-9728532660618393492",
     "q_sim_ivf_trained" -> "100154140864456300131",
+    "q_sim_pq" -> "-61701531336557848005",
     "q_text_bpe" -> "20492531778356716084",
     "q_text_bpe_encode" -> "-78832791577822915854",
     "q_text_winnowing" -> "436813087055418648453")

@@ -487,4 +487,138 @@ object Similarity {
       .select("qid", "vec_id", "cos", "rn")
       .orderBy("qid", "rn")
   }
+  // ---------------------------------------------------------------- PQ --
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011, IEEE
+    * TPAMI, "Product quantization for nearest neighbor search"): L2-
+    * normalize, split the dimension into `m` subspaces, k-means each
+    * subspace to `ksub` centroids. The codebooks are model parameters —
+    * m·ksub·(dim/m) doubles (4 KiB at the defaults here), trained once at
+    * index build like the IVF centroids; the in-process memo mirrors
+    * [[trainCellsCached]] (keyed by input files + hyperparameters, bypass
+    * for file-less frames whose fingerprint cannot outlive the JVM).
+    * Normalizing BEFORE encoding makes the ADC inner product approximate
+    * cosine exactly, so recall is measured against the same brute-force
+    * cosine ranking every other ANN operator here answers to.
+    */
+  def trainPq(df: DataFrame, m: Int = 4, ksub: Int = 16, maxIter: Int = 10,
+              seed: Long = 42L, vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(ksub >= 2 && ksub <= 256, s"ksub $ksub outside the code-byte range")
+    val dsub = dim / m
+    val unit = unitVec(asDouble(col(vecCol)))
+    (0 until m).map { s =>
+      // distinct seed per subspace: subspaces are separate quantizers
+      trainCells(df.select(slice(unit, s * dsub + 1, dsub).as(vecCol)),
+        ksub, maxIter, seed + s, vecCol)
+    }.toArray
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int, Int, Int, Long, String),
+      Array[Array[Array[Double]]]]()
+
+  def trainPqCached(df: DataFrame, m: Int = 4, ksub: Int = 16, maxIter: Int = 10,
+                    seed: Long = 42L, vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val files = df.inputFiles.toSeq.sorted
+    if (files.isEmpty) trainPq(df, m, ksub, maxIter, seed, vecCol)
+    else pqCache.computeIfAbsent((files, m, ksub, maxIter, seed, vecCol),
+      _ => trainPq(df, m, ksub, maxIter, seed, vecCol))
+  }
+
+  /** `v / ||v||` (zero vector passes through as zeros). */
+  private def unitVec(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+    transform(v, x => when(norm > 0.0d, x / norm).otherwise(lit(0.0d)))
+  }
+
+  /** Encode every vector as its `m` subspace code ids — the persisted PQ
+    * index: m small ints per vector instead of dim floats (a 64× payload
+    * cut at the defaults on float32 corpora), which is what makes
+    * billion-vector ANN memory-feasible. Map-only.
+    */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val unit = unitVec(asDouble(col(vecCol)))
+    df.select(col(idCol).as("vec_id"),
+      array((0 until m).map(s =>
+        cellOf(slice(unit, s * dsub + 1, dsub), codebooks(s))): _*).as("codes"))
+  }
+
+  /** PQ ANN top-k: asymmetric distance computation plus the standard
+    * refine stage (Jégou et al.'s ADC+R). Stage 1 scores every corpus
+    * vector from its codes alone via a per-query m×ksub lookup table of
+    * partial inner products — the scan never touches the embedding
+    * column, and the query batch's LUTs enter the plan as ONE literal
+    * array exploded inside the projection: scan → generate → codegen'd
+    * zip_with/aggregate → rank window, no join node. Stage 2 collects
+    * the `refine`-deep shortlist (bounded: |queries|·refine id pairs —
+    * the limit-probe precedent), re-reads ONLY those vectors through a
+    * pushed-down id filter, and rescores them with the exact cosine —
+    * again via a literal map explode, so the whole operator runs with
+    * zero joins and zero shuffles beyond the two k-row rank windows. At
+    * 100 TB: stage 1 reads m bytes per vector (the 64× index
+    * compression PQ exists for), stage 2 is a point-lookup-sized read.
+    * Approximate by construction (the true neighbour can miss the
+    * shortlist) — golden-pinned on the roster, recall floor vs the
+    * exact brute-force cosine in SimilaritySpec.
+    */
+  def pqTopK(df: DataFrame, queryIds: Seq[Long], k: Int,
+             m: Int = 4, ksub: Int = 16, refine: Int = 50,
+             maxIter: Int = 10, seed: Long = 42L,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= k, s"refine depth $refine below k=$k")
+    val cb = trainPqCached(df, m, ksub, maxIter, seed, vecCol)
+    val dsub = cb(0)(0).length
+    val codes = pqEncode(df, cb, idCol, vecCol)
+    // bounded query-vector fetch (the bruteForceTopK precedent), then the
+    // LUT math runs on the driver against model parameters only
+    val qvecs = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect().map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val n = math.sqrt(qv.map(x => x * x).sum)
+        (r.getLong(0), if (n > 0) qv.map(_ / n) else qv)
+      }
+    val luts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map { case (qid, qu) =>
+      (qid, (0 until m).map { s =>
+        cb(s).map(c =>
+          (0 until dsub).map(d => qu(s * dsub + d) * c(d)).sum).toSeq
+      })
+    }
+    val scored = codes
+      .select(col("vec_id"), col("codes"),
+        explode(typedLit(luts)).as("q"))
+      .filter(col("vec_id") =!= col("q._1"))
+      .select(col("q._1").as("qid"), col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), col("q._2"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0d), (a, x) => a + x).as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id").asc)
+    val short = scored.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= refine)
+      .select("qid", "vec_id").collect()
+    // vec_id -> the (bounded) qids that shortlisted it, sorted for
+    // deterministic literal construction
+    val byVec: Map[Long, Seq[Long]] = short.groupBy(_.getLong(1))
+      .map { case (v, rows) => v -> rows.map(_.getLong(0)).toSeq.sorted }
+    val qmap: Map[Long, Seq[Double]] = qvecs.map { case (q, v) => q -> v.toSeq }.toMap
+    val rescored = df.filter(col(idCol).isin(byVec.keys.toSeq: _*))
+      .select(col(idCol).cast("long").as("vec_id"), unitVec(asDouble(col(vecCol))).as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(element_at(typedLit(byVec), col("vec_id"))).as("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("v"), element_at(typedLit(qmap), col("qid")),
+            (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
 }

@@ -227,6 +227,11 @@ object ScaleProbe {
     probe("text_bpe_encode",
       Bpe.encodeDf(doc1, encMerges).count(),
       Bpe.encodeDf(doc10, encMerges).count())
+    // codes scan + literal-LUT generate + two bounded rank windows; the
+    // k-means codebook fit is the scale knob (memoized in production)
+    probe("sim_pq",
+      Similarity.pqTopK(emb1, Seq(0L, 1L, 2L, 3L, 4L), 10).count(),
+      Similarity.pqTopK(emb10, Seq(0L, 1L, 2L, 3L, 4L), 10).count())
     // scan -> codegen'd shift/and/or project -> 64-key hash agg: the
     // driver-collected bounds row is the only non-linear piece (O(1))
     probe("layout_zorder",
