@@ -321,6 +321,11 @@ object SparkEntry {
       TextOps.ngramNovelty(Canon.documents(s, d), n = 3).orderBy("doc_id")),
     "q_text_tfidf" -> ((s, d) => // top-3 salient terms per doc (tf/df rank)
       TextOps.salientTerms(Canon.documents(s, d), k = 3).orderBy("doc_id", "rk")),
+    "q_text_bm25" -> ((s, d) => // BM25 top-50 for a fixed query (Lucene
+      // formulation); corpus stats reduce to driver literals, top-k is
+      // TakeOrderedAndProject — no full sort, no shuffle but k rows
+      TextOps.bm25(Canon.documents(s, d),
+        Seq("join", "hash", "scan", "filter", "merge"), k = 50)),
     "q_dedup_spans" -> ((s, d) => // Lee-et-al-style duplicated-substring coverage
       Dedup.duplicatedSpans(Canon.documents(s, d), n = 3).orderBy("doc_id")),
     // referential QA before the doc⋈embedding join: counts, dup ids,
@@ -1193,6 +1198,32 @@ object SparkEntry {
     // salience = tf/df: integer counts, ONE double division — ranked
     // UNROUNDED in both engines (same operands → same IEEE double, so the
     // row_number tie structure matches), rounded only in the output
+    // e0-suffixed float literals force DOUBLE (bare 0.5 is DECIMAL in
+    // DuckDB — decimal arithmetic would diverge from Spark's doubles);
+    // operand order mirrors TextOps.bm25 term by term; ranking uses the
+    // ROUNDED score + doc_id so rank agreement needs only 6dp agreement
+    "q_text_bm25" -> {
+      val terms = Seq("join", "hash", "scan", "filter", "merge")
+      val dfcols = terms.map(t =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+      val tfcols = terms.map(t =>
+        s"CAST(len(list_filter(t.toks, x -> x = '$t')) AS DOUBLE) AS tfv_$t").mkString(", ")
+      val idfcols = terms.map(t =>
+        s"ln((s.n - s.df_$t + 0.5e0) / (s.df_$t + 0.5e0) + 1.0e0) AS idf_$t").mkString(", ")
+      val score = terms.map(t =>
+        s"idf_$t * tfv_$t / (tfv_$t + 1.2e0 * (0.25e0 + (0.75e0 * dl) / avgdl))").mkString(" + ")
+      val outtf = terms.map(t => s"CAST(tfv_$t AS BIGINT) AS tf_$t").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $LTOKS AS toks FROM documents),
+         |s AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl, $dfcols FROM t),
+         |sc AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.toks) AS DOUBLE) AS dl, CAST(s.sumdl AS DOUBLE) / s.n AS avgdl,
+         |  $tfcols, $idfcols
+         |  FROM t CROSS JOIN s),
+         |f AS (SELECT doc_id, n_tokens, round($score, 6) AS score, $outtf FROM sc)
+         |SELECT doc_id, n_tokens, score, ${terms.map(t => s"tf_$t").mkString(", ")},
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |FROM f ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
+    },
     "q_text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($LTOKS) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),

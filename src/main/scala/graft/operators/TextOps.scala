@@ -569,4 +569,84 @@ object TextOps {
       (rWords && rMwl && rHash && rEll && rAlpha && rStop && rBullet &&
         rEllLines).as("keep"))
   }
+
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond") over the corpus for a fixed
+    * query-term list — the lexical half of a retrieval pipeline next to
+    * the vector half ([[graft.operators.Similarity]]), and the standard
+    * relevance filter for "keep documents related to X" curation sweeps.
+    *
+    * Shape: corpus statistics (N, Σdl, per-term df) reduce to ONE scalar
+    * row collected to the driver (model parameters, the z-order bounds
+    * precedent — at 100 TB these come from a term-statistics table
+    * maintained at ingest); idf weights become plan literals; per-doc
+    * scoring is then a single codegen'd map over the scan (tf via
+    * higher-order filter on the token array — no explode, no shuffle),
+    * and the global top-k runs as a rank window that WindowGroupLimit
+    * executes with per-partition partial limits (the O3 early-termination
+    * path: k rows per partition shuffle, not the corpus).
+    *
+    * Determinism: scoring is fixed-order IEEE arithmetic mirrored
+    * operand-for-operand by the oracle; ranking orders by the ROUNDED
+    * score with a doc_id tiebreak, so rank agreement needs only 6dp
+    * score agreement (Java and DuckDB `ln` may differ in the last ulp;
+    * at 6dp on this frozen corpus they agree — oracle-checked).
+    */
+  def bm25(df: DataFrame, terms: Seq[String], k: Int = 50,
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, s"${terms.size} query terms")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "terms must be non-empty lowercase")
+    require(terms.distinct.size == terms.size, s"duplicate terms in $terms")
+    val outputNames = Set("n_tokens", "score", "rank") ++ terms.map("tf_" + _)
+    require(!outputNames.contains(idCol),
+      s"idCol '$idCol' collides with a bm25 output column")
+    val toks = tokens(lower(col(textCol)))
+    // one tiny reduce: N, Σdl, df per term — model parameters
+    val statsRow = df.select(
+      count(lit(1)).as("n") +:
+        sum(size(toks)).as("sumdl") +:
+        terms.map(t => sum(array_contains(toks, t).cast("long")).as(s"df_$t")): _*)
+      .head()
+    val n = statsRow.getLong(0)
+    if (n == 0) { // typed empty frame, same schema as the populated path
+      import org.apache.spark.sql.types._
+      val fields = df.schema(idCol) +: (StructField("n_tokens", LongType) +:
+        StructField("score", DoubleType) +:
+        terms.map(t => StructField(s"tf_$t", LongType))) :+
+        StructField("rank", LongType)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields.toArray))
+    }
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val idf = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = statsRow.getLong(2 + i)
+      t -> math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }.toMap
+    val dl = size(toks).cast("double")
+    val tfCols = terms.map(t => t -> size(filter(toks, w => w === t)).cast("double"))
+    // Lucene's BM25 formulation: the classic (k1+1) numerator factor is
+    // rank-invariant, and dropping it keeps every constant here a plain
+    // literal the oracle can repeat verbatim (k1+1.0 computed in IEEE
+    // sits a rounding tie away from the SQL literal "2.2" — a real
+    // cross-engine trap, sidestepped rather than threaded).
+    // Fixed-order sum; operand order mirrored by the oracle SQL.
+    val score = tfCols.map { case (t, tf) =>
+      lit(idf(t)) * tf /
+        (tf + lit(k1) * (lit(1.0 - b) + (lit(b) * dl) / lit(avgdl)))
+    }.reduce(_ + _)
+    val scored = df.select(
+      col(idCol) +: size(toks).cast("long").as("n_tokens") +:
+        round(score, 6).as("score") +:
+        tfCols.map { case (t, tf) => tf.cast("long").as(s"tf_$t") }: _*)
+    // global top-k as TakeOrderedAndProject (k rows per partition, no
+    // full sort), then the rank column is a window over k rows only
+    val top = scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("rank")
+  }
 }

@@ -227,6 +227,11 @@ object ScaleProbe {
     probe("text_bpe_encode",
       Bpe.encodeDf(doc1, encMerges).count(),
       Bpe.encodeDf(doc10, encMerges).count())
+    // stats reduce + literal-idf map + TakeOrderedAndProject top-k: two
+    // linear corpus passes, no shuffle wider than k rows
+    probe("text_bm25",
+      TextOps.bm25(doc1, Seq("join", "hash", "scan", "filter", "merge")).count(),
+      TextOps.bm25(doc10, Seq("join", "hash", "scan", "filter", "merge")).count())
     // codes scan + literal-LUT generate + two bounded rank windows; the
     // k-means codebook fit is the scale knob (memoized in production)
     probe("sim_pq",

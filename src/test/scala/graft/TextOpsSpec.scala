@@ -240,4 +240,55 @@ class TextOpsSpec extends SparkSuite {
       TextOps.gopherRules(docs.withColumnRenamed("doc_id", "keep"), idCol = "keep")
     }
   }
+
+  test("bm25: matches a plain-Scala reference; top-k rank deterministic; guards") {
+    val corpus = Seq(
+      (1L, "join hash join scan"),
+      (2L, "merge filter filter filter"),
+      (3L, "join join join join hash"),
+      (4L, "nothing relevant here at all"),
+      (5L, ""))
+    val docs = corpus.toDF("doc_id", "text")
+    val terms = Seq("join", "hash", "filter")
+    val got = TextOps.bm25(docs, terms, k = 3).collect()
+    // independent reference computation (same formula, plain collections)
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val idf = terms.map { t =>
+      val df = toks.values.count(_.contains(t))
+      t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val dl = toks(id).size.toDouble
+      idf(t) * tf / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+    }.sum
+    val expect = corpus.map(_._1)
+      .map(id => (id, math.rint(score(id) * 1e6) / 1e6))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got.length == 3)
+    got.zip(expect).zipWithIndex.foreach { case ((row, (eid, es)), i) =>
+      assert(row.getLong(0) == eid, s"rank ${i + 1}")
+      assert(math.abs(row.getDouble(2) - es) < 1e-9, s"score of $eid")
+      assert(row.getLong(row.fieldIndex("rank")) == i + 1)
+    }
+    // tf columns surface the per-term counts
+    val r3 = got.find(_.getLong(0) == 3L).get
+    assert(r3.getLong(r3.fieldIndex("tf_join")) == 4L)
+    assert(r3.getLong(r3.fieldIndex("tf_hash")) == 1L)
+    // empty corpus: typed empty frame, schema intact
+    val empty = TextOps.bm25(Seq.empty[(Long, String)].toDF("doc_id", "text"), terms)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "score", "tf_join", "tf_hash", "tf_filter", "rank"))
+    assert(empty.count() == 0)
+    // guards
+    intercept[IllegalArgumentException] { TextOps.bm25(docs, Seq.empty) }
+    intercept[IllegalArgumentException] { TextOps.bm25(docs, Seq("Join")) }
+    intercept[IllegalArgumentException] { TextOps.bm25(docs, Seq("a", "a")) }
+    intercept[IllegalArgumentException] {
+      TextOps.bm25(docs.withColumnRenamed("doc_id", "score"), terms, idCol = "score")
+    }
+  }
 }
