@@ -374,6 +374,9 @@ object SparkEntry {
       Dedup.simhashPairs(Canon.documents(s, d), maxHamming = 3)),
     "q_decontaminate" -> ((s, d) => // eval-set n-gram overlap report
       Dedup.decontaminationReport(Canon.documents(s, d), col("doc_id") % 10 === 0, n = 5)),
+    "q_decontaminate_bloom" -> ((s, d) => // scale tier: eval grams as a bloom bit table, join-free probe
+      Dedup.decontaminateBloom(Canon.documents(s, d), col("doc_id") % 10 === 0, n = 5)
+        .select("doc_id", "source").orderBy("doc_id")),
     // ----- beyond parity: deterministic sampling (documents)
     "q_sample_hash" -> ((s, d) => // uniform hash-gated sample, rate 64/256
       Sampling.hashSample(Canon.documents(s, d), 64)
@@ -1470,6 +1473,22 @@ object SparkEntry {
          |  CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_grams
          |FROM tr JOIN ev ON tr.g = ev.g
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bloom-tier decontamination: the oracle is the EXACT anti-join —
+    // valid because the 2^20-bit table realizes zero false positives on
+    // the frozen corpus (subset semantics pinned separately in DedupSpec;
+    // a false positive here would fail rows_match and flag the config)
+    "q_decontaminate_bloom" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(t) - 4, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 0),
+         |bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN ev USING (g) WHERE ex.doc_id % 10 <> 0)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY d.doc_id""".stripMargin,
     // hash-gated sampling: the gate (substr(md5(id),1,2) < threshold-hex)
     // is the same text on both engines — md5 of the decimal string is
     // engine-independent, lexicographic compare on lowercase hex is

@@ -564,6 +564,56 @@ object Dedup {
     df.filter(!evalFlag).join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter words (the packed bit table) for the gram set of the
+    * rows matching `pred` — the build half of [[decontaminateBloom]].
+    *
+    * The aggregation is fully mergeable: each gram fans out to k bit
+    * positions, positions reduce to at most `2^logM / 64` `(word, bits)`
+    * rows via map-side-combined `bit_or`, so the shuffle and the driver
+    * collect are bounded by the TABLE size (16 K rows at logM=20 —
+    * 128 KiB of bits), never by the corpus. This is the model-parameter
+    * collect pattern (k-means centroids, BM25 stats): the output is the
+    * model, and it is small by construction.
+    */
+  def bloomWords(df: DataFrame, pred: Column, n: Int, logM: Int, kHashes: Int,
+                 textCol: String = "text"): Array[Long] = {
+    val words = new Array[Long]((1 << logM) / 64)
+    df.filter(coalesce(pred, lit(false)))
+      .select(explode(graft.functions.SketchExpressions.hashed_shingles(col(textCol), n)).as("g"))
+      .select(explode(graft.functions.BloomExpressions.bloom_positions(col("g"), logM, kHashes)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("w"))
+      // SQL-form shiftleft: the Scala helper only takes a literal amount
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), pos & 63)")).as("bits"))
+      .collect() // bounded: <= 2^logM/64 rows regardless of corpus size
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Decontamination at the 100 TB tier: the eval set's gram Bloom filter
+    * replaces the gram join entirely. Build reduces the eval slice to a
+    * `2^logM`-bit table ([[bloomWords]]); probe is a SCAN-LOCAL predicate
+    * (`bloom_contains_any` over each doc's gram hashes) — no join, no
+    * broadcast hash relation, no shuffle on the training side, and the
+    * filter composes with partition pruning upstream.
+    *
+    * Semantics vs [[decontaminate]]: no false negatives ever (every truly
+    * contaminated doc has all its bits set), so the kept set is a SUBSET
+    * of the exact kept set; a false positive over-drops with probability
+    * ~(grams·k/m)^k per clean doc. At the default 2^20 bits the fixture
+    * corpus realizes ZERO false positives, so the exact SQL oracle checks
+    * this path too (`DedupSpec` pins subset semantics independently).
+    */
+  def decontaminateBloom(df: DataFrame, isEval: Column, n: Int = 5,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         logM: Int = 20, kHashes: Int = 5): DataFrame = {
+    val evalFlag = coalesce(isEval, lit(false))
+    val words = bloomWords(df, evalFlag, n, logM, kHashes, textCol)
+    df.filter(!evalFlag)
+      .filter(!graft.functions.BloomExpressions.bloom_contains_any(
+        graft.functions.SketchExpressions.hashed_shingles(col(textCol), n),
+        words, logM, kHashes))
+  }
+
   /** Near-dup pairs = hamming(simhash) <= maxHamming, found via the
     * pigeonhole band trick (64 bits into maxHamming+1 chunks; a pair within
     * the radius must agree exactly on >= 1 chunk) — bucket join, not

@@ -199,4 +199,23 @@ class DedupSpec extends SparkSuite {
     assert(pairs((0L, 1L)) == 0)
     assert(pairs.get((0L, 2L)).exists(_ <= 16)) // one-word change stays close
   }
+
+  test("bloom decontamination: no false negatives; exact-equal at 2^20; subset when saturated") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isEval = col("doc_id") % 10 === 0
+    val exact = Dedup.decontaminate(corpus, isEval)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(corpus, isEval)
+      .select("doc_id").as[Long].collect().toSet
+    // default table realizes zero false positives on the frozen corpus —
+    // the property the exact SQL oracle for q_decontaminate_bloom relies on
+    assert(bloom == exact)
+    // saturate a 256-bit table: collisions now inevitable, but they may
+    // only OVER-drop (subset) — a contaminated doc can never leak through
+    val tiny = Dedup.decontaminateBloom(corpus, isEval, logM = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny.subsetOf(exact))
+    assert(tiny.size < exact.size) // FPs genuinely realized at 256 bits
+  }
 }

@@ -65,6 +65,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("bloom decontamination probe is join-free (scan-local predicate)") {
+    val p = plan(SparkEntry.queries("q_decontaminate_bloom")(spark, sf))
+    assert(!p.contains("Join"), p) // the bit table replaced the gram join
+    assert(p.contains("bloom_contains_any"), p)
+  }
+
   test("stratified sample bounds the shuffle with a partial WindowGroupLimit") {
     val p = plan(SparkEntry.queries("q_sample_stratified")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
