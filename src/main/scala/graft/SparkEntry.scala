@@ -321,6 +321,8 @@ object SparkEntry {
       TextOps.ngramNovelty(Canon.documents(s, d), n = 3).orderBy("doc_id")),
     "q_text_tfidf" -> ((s, d) => // top-3 salient terms per doc (tf/df rank)
       TextOps.salientTerms(Canon.documents(s, d), k = 3).orderBy("doc_id", "rk")),
+    "q_text_heavyhit" -> ((s, d) => // Misra-Gries corpus top-20; capacity 4096 >> vocab → exact regime
+      TextOps.heavyHitters(Canon.documents(s, d), capacity = 4096, k = 20)),
     "q_text_bm25" -> ((s, d) => // BM25 top-50 for a fixed query (Lucene
       // formulation); corpus stats reduce to driver literals, top-k is
       // TakeOrderedAndProject — no full sort, no shuffle but k rows
@@ -1238,6 +1240,13 @@ object SparkEntry {
          |SELECT doc_id, term, tf, df, round(sal, 6) AS salience,
          |  CAST(rk AS BIGINT) AS rk
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // heavy hitters: capacity 4096 >> the 31-term vocabulary, so the
+    // Misra-Gries summary never decrements and IS the exact count table
+    // (merges included) — the sketch output equals exact top-k
+    "q_text_heavyhit" ->
+      s"""WITH tk AS (SELECT unnest($LTOKS) AS term FROM documents)
+         |SELECT term, CAST(count(*) AS BIGINT) AS est FROM tk
+         |GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
     // positional word 3-grams on the STRING form (the engine hashes them
     // to longs — grouping by hash equals grouping by string absent a
     // 64-bit collision, the novelty/commonness equivalence); covered

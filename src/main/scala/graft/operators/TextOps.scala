@@ -446,6 +446,31 @@ object TextOps {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Corpus heavy hitters via the Misra-Gries sketch
+    * ([[graft.functions.FreqExpressions.freq_sketch]]): top-k terms from a
+    * FIXED-SIZE mergeable summary — each scan task forwards ≤ `capacity`
+    * counters however many tokens it saw, so the shuffle is a constant
+    * instead of the term universe (the exact `salientTerms` df table is
+    * corpus-vocabulary-sized; this is the tier that replaces it when the
+    * vocabulary itself is too big to shuffle).
+    *
+    * With `capacity` above the stream's distinct-term count the summary
+    * is exact (no decrement ever fires) and the output equals the exact
+    * top-k — the oracle regime; under-capacity guarantees (presence above
+    * n/capacity, undercount ≤ n/capacity) are property-tested in
+    * `TextOpsSpec`.
+    */
+  def heavyHitters(df: DataFrame, capacity: Int, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got ($capacity, $k)")
+    df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .agg(graft.functions.FreqExpressions.freq_sketch(col("term"), capacity).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.term").as("term"), col("e.est").as("est"))
+      .orderBy(col("est").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in NO other document (corpus df = 1) —
     * the dedup-adjacent diagnostic (novelty ≈ 0 flags templated /

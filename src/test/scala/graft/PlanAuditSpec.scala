@@ -71,6 +71,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("bloom_contains_any"), p)
   }
 
+  test("heavy hitters reduce map-side to a fixed-size summary per task") {
+    val p = plan(SparkEntry.queries("q_text_heavyhit")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_freq_sketch"), p) // the constant-size partial
+  }
+
   test("stratified sample bounds the shuffle with a partial WindowGroupLimit") {
     val p = plan(SparkEntry.queries("q_sample_stratified")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)

@@ -291,4 +291,38 @@ class TextOpsSpec extends SparkSuite {
       TextOps.bm25(docs.withColumnRenamed("doc_id", "score"), terms, idCol = "score")
     }
   }
+
+  test("heavy hitters: exact regime equals exact counts across partitionings") {
+    // 40 terms, zipfish counts; capacity 64 > 40 → no decrement ever fires
+    val rows = (0 until 40).flatMap(i => Seq.fill(200 / (i + 1))(s"t$i"))
+    val expected = rows.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    for (parts <- Seq(1, 7)) { // single partial vs a real partial->merge tree
+      val df = rows.toDF("w").repartition(parts)
+        .select(concat(lit("x "), col("w")).as("text")) // 2 tokens/row: exercise explode
+      val got = TextOps.heavyHitters(df, capacity = 64, k = 10)
+        .as[(String, Long)].collect().toSeq
+      // "x" itself is the top term (one per row); drop it to compare the rest
+      assert(got.head._1 == "x" && got.head._2 == rows.size.toLong)
+      assert(got.tail == expected.take(9))
+    }
+  }
+
+  test("heavy hitters: Misra-Gries guarantees hold under eviction pressure") {
+    // 500 distinct terms >> capacity 50; one heavy term at 30% of the stream
+    val stream = (0 until 3000).map(i => if (i % 3 == 0) "heavy" else s"r${i % 500}")
+    val n = stream.size
+    val cap = 50
+    val df = stream.toDF("text") // one token per row
+    val got = TextOps.heavyHitters(df.repartition(5), capacity = cap, k = cap)
+      .as[(String, Long)].collect().toMap
+    val truth = stream.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    // presence: every term with true count > n/cap must be in the summary
+    truth.filter(_._2 > n / cap).keys.foreach(t => assert(got.contains(t), t))
+    // error: every estimate is an undercount by at most n/cap
+    got.foreach { case (t, est) =>
+      val tc = truth(t)
+      assert(est <= tc && tc - est <= n / cap, s"$t est=$est true=$tc")
+    }
+  }
 }
