@@ -323,6 +323,8 @@ object SparkEntry {
       TextOps.salientTerms(Canon.documents(s, d), k = 3).orderBy("doc_id", "rk")),
     "q_text_heavyhit" -> ((s, d) => // Misra-Gries corpus top-20; capacity 4096 >> vocab → exact regime
       TextOps.heavyHitters(Canon.documents(s, d), capacity = 4096, k = 20)),
+    "q_drift" -> ((s, d) => // per-source KL vs corpus blend over capped vocab + OOV bucket
+      TextOps.driftReport(Canon.documents(s, d), vocabSize = 24)),
     "q_text_bm25" -> ((s, d) => // BM25 top-50 for a fixed query (Lucene
       // formulation); corpus stats reduce to driver literals, top-k is
       // TakeOrderedAndProject — no full sort, no shuffle but k rows
@@ -1247,6 +1249,29 @@ object SparkEntry {
       s"""WITH tk AS (SELECT unnest($LTOKS) AS term FROM documents)
          |SELECT term, CAST(count(*) AS BIGINT) AS est FROM tk
          |GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
+    // KL drift: identical expression tree on both engines — per-bucket
+    // p·ln(p/q) rounded to nano-units and summed as BIGINTs (float sum
+    // order cannot matter), add-one smoothing over top-24 vocab + OOV
+    "q_drift" ->
+      s"""WITH tk AS (SELECT source, unnest($LTOKS) AS term FROM documents),
+         |cnt AS (SELECT source AS src, term, count(*) AS c FROM tk GROUP BY 1,2),
+         |corpus AS (SELECT term, sum(c) AS ct FROM cnt GROUP BY 1),
+         |top AS (SELECT term, ct FROM corpus ORDER BY ct DESC, term ASC LIMIT 24),
+         |tot AS (SELECT sum(c) AS n FROM cnt),
+         |tops AS (SELECT sum(ct) AS ts FROM top),
+         |st AS (SELECT src, sum(c) AS ns FROM cnt GROUP BY 1),
+         |mat AS (SELECT s.src, s.ns, t.term, t.ct, coalesce(c.c, 0) AS cst
+         |        FROM st s CROSS JOIN top t LEFT JOIN cnt c ON c.src = s.src AND c.term = t.term),
+         |invoc AS (SELECT src, ns,
+         |    sum(CAST(round((cst+1)/(ns+25.0) * ln(((cst+1)/(ns+25.0)) / ((ct+1)/((SELECT n FROM tot)+25.0))) * 1e9, 0) AS BIGINT)) AS in_nano,
+         |    sum(cst) AS intop
+         |  FROM mat GROUP BY 1,2),
+         |fin AS (SELECT src, ns, ns - intop AS oov, in_nano,
+         |    CAST(round((ns-intop+1)/(ns+25.0) * ln(((ns-intop+1)/(ns+25.0)) / (((SELECT n FROM tot)-(SELECT ts FROM tops)+1)/((SELECT n FROM tot)+25.0))) * 1e9, 0) AS BIGINT) AS oov_nano
+         |  FROM invoc)
+         |SELECT src AS source, CAST(ns AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS oov_tokens,
+         |       round((in_nano + oov_nano)/1e9, 6) AS kl
+         |FROM fin ORDER BY source""".stripMargin,
     // positional word 3-grams on the STRING form (the engine hashes them
     // to longs — grouping by hash equals grouping by string absent a
     // 64-bit collision, the novelty/commonness equivalence); covered

@@ -471,6 +471,76 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over a CAPPED
+    * reference vocabulary (top-`vocabSize` corpus terms by frequency) plus
+    * one OOV bucket, add-one smoothed — the corpus-assembly diagnostic
+    * that flags a source whose token mix diverges from the blend (new
+    * crawl snapshot drifting, a source gone spammy) before it trains.
+    *
+    * Capping the vocabulary is what makes the shape scale: the
+    * distribution support is `vocabSize + 1` buckets BY CONFIGURATION, so
+    * the per-source matrix is `#sources × (V+1)` however large the corpus
+    * term universe grows (full-vocab KL would cross sources with a
+    * corpus-dependent universe). The matrix cross broadcasts the
+    * driver-collected vocab (a LocalTableScan, never a scan-bearing
+    * subtree) against the per-source totals — the one sanctioned
+    * nested-loop join outside the similarity query batch
+    * (see PlanAuditSpec's allowlist).
+    *
+    * Determinism discipline: each bucket's contribution `p·ln(p/q)` is
+    * rounded to nano units and summed as LONGS, so the cross-engine
+    * float-sum-order problem disappears; corpus totals ride as driver
+    * literals (the BM25 stats pattern — two 1-row collects).
+    */
+  def driftReport(df: DataFrame, vocabSize: Int = 24,
+                  textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    require(!Set("n_tokens", "oov_tokens", "kl").contains(groupCol),
+      s"groupCol '$groupCol' collides with a driftReport output column")
+    val cnt = df
+      .select(col(groupCol).as("src"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("c"))
+      .trackedCache // feeds corpus agg, source totals AND the matrix probe
+    // the reference vocabulary is a MODEL TABLE: <= vocabSize rows by
+    // construction, collected to the driver so the matrix cross
+    // broadcasts a LocalTableScan, never a scan-bearing subtree (the
+    // k-means-centroid / BPE-merge-list precedent)
+    val topRows = cnt.groupBy("term").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("term").asc).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // smoothing buckets = REALIZED vocab + OOV (a corpus smaller than the
+    // cap must not smooth over phantom buckets — Σp has to be exactly 1)
+    val b = topRows.size + 1
+    val nTotal = cnt.agg(sum("c")).collect()(0).getLong(0) // 1-row collect
+    val topSum = topRows.map(_._2).sum
+    val session = df.sparkSession
+    import session.implicits._
+    val top = topRows.toDF("term", "ct")
+    val st = cnt.groupBy("src").agg(sum("c").as("ns"))
+    // contribution of one bucket with source count sc out of ns vs corpus
+    // count cc out of nTotal, in deterministic nano-units
+    def nano(sc: Column, ns: Column, cc: Column): Column = {
+      val p = (sc + lit(1L)).cast("double") / (ns + lit(b.toLong))
+      val q = (cc + lit(1L)).cast("double") / lit((nTotal + b).toDouble)
+      round(p * log(p / q) * lit(1e9), 0).cast("long")
+    }
+    val matrix = st.crossJoin(top)
+      .join(cnt.hint("shuffle_hash").withColumnRenamed("c", "cst"),
+        Seq("src", "term"), "left")
+      .na.fill(0L, Seq("cst"))
+    matrix
+      .groupBy("src", "ns")
+      .agg(sum(nano(col("cst"), col("ns"), col("ct"))).as("in_nano"),
+        sum("cst").as("intop"))
+      .select(col("src").as(groupCol),
+        col("ns").as("n_tokens"),
+        (col("ns") - col("intop")).as("oov_tokens"),
+        round((col("in_nano") +
+          nano(col("ns") - col("intop"), col("ns"), lit(nTotal - topSum)))
+          .cast("double") / lit(1e9), 6).as("kl"))
+      .orderBy(groupCol)
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in NO other document (corpus df = 1) —
     * the dedup-adjacent diagnostic (novelty ≈ 0 flags templated /

@@ -343,11 +343,15 @@ class PlanAuditSpec extends SparkSuite {
     Graft.register(spark)
     // q_sim_topk/q_sim_filtered deliberately broadcast the 10-row query
     // batch into a non-equi join (BNLJ with a tiny build side IS the
-    // intended shape for the exact scoring pass)
-    val allowedBnlj = Set("q_sim_topk", "q_sim_filtered")
+    // intended shape for the exact scoring pass); q_drift crosses two
+    // aggregate-derived tables BOUNDED BY CONFIGURATION (#sources ×
+    // top-V vocab) — the sanctioned model-matrix cartesian
+    val allowedBnlj = Set("q_sim_topk", "q_sim_filtered", "q_drift")
+    val allowedCartesian = Set("q_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = plan(SparkEntry.queries(n)(spark, sf))
-      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      if (!allowedCartesian(n))
+        assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
       if (!allowedBnlj(n))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a BNLJ")
     }

@@ -292,6 +292,30 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("drift report: conforming source scores near zero, skewed source far above") {
+    // blend is 50/50 "a b"; src_same mirrors it, src_skew is all-"a"
+    val docs = (Seq.fill(50)(("src_same", "a b")) ++
+      Seq.fill(25)(("src_skew", "a a")) ++ Seq.fill(25)(("src_other", "a b")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.driftReport(docs, vocabSize = 8)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out.keySet == Set("src_same", "src_skew", "src_other"))
+    // smoothed KL over a complete bucketing is >= 0 (nano-rounding slack)
+    out.values.foreach(kl => assert(kl >= -1e-6, s"negative KL: $out"))
+    assert(out("src_skew") > 0.3, out.toString)
+    assert(out("src_same") < 0.06 && out("src_other") < 0.06, out.toString)
+  }
+
+  test("drift report: OOV bucket carries the tail when the cap engages") {
+    val docs = Seq((0L, "x x x x rare1 rare2", "s0"), (1L, "x x x x rare3 rare4", "s1"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.driftReport(docs, vocabSize = 1) // only "x" in-vocab
+      .as[(String, Long, Long, Double)].collect()
+    rows.foreach { case (_, n, oov, _) => assert(n == 6 && oov == 2) }
+  }
+
   test("heavy hitters: exact regime equals exact counts across partitionings") {
     // 40 terms, zipfish counts; capacity 64 > 40 → no decrement ever fires
     val rows = (0 until 40).flatMap(i => Seq.fill(200 / (i + 1))(s"t$i"))
