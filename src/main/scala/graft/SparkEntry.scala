@@ -682,7 +682,7 @@ object SparkEntry {
       val outDir = StreamScratch.dir("q_stream_sessions")
       val schema = s.read.parquet(src).schema
       val raw = s.readStream.schema(schema).parquet(inDir.toString)
-        .select(col("user_id"), expr("CAST(ts DIV 1000 AS LONG)").as("ts_us"),
+        .select(col("user_id"), Canon.tsUsExpr(s.read.parquet(src)).as("ts_us"),
           col("value"))
       val sessions = streaming.WindowedAggs.sessionsByKey(raw, "user_id")
       val q = sessions.writeStream
@@ -730,7 +730,7 @@ object SparkEntry {
       import s.implicits._
       val raw = s.readStream.schema(schema).parquet(inDir.toString)
         .select(col("event_type").as("series"),
-          expr("CAST(ts DIV 1000 AS LONG)").as("ts_us"),
+          Canon.tsUsExpr(s.read.parquet(src)).as("ts_us"),
           lit(null).cast(Canon.tagType).as("tag"),
           col("value"), col("event_id").as("rid"))
         .as[Canon.Datapoint]

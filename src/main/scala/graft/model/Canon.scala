@@ -63,11 +63,24 @@ object Canon {
     * nanoseconds; both normalize to µs (integer division: nanos exceed
     * double's exact range, so no float math here).
     */
-  def canonicalizeEvents(raw: DataFrame): DataFrame = {
-    val tsUs = raw.schema("ts").dataType match {
-      case LongType => expr("CAST(ts DIV 1000 AS LONG)")
-      case _        => unix_micros(col("ts"))
+  /** Normalized µs-epoch expression for a raw `ts` column, across the three
+    * physical encodings driver-generated parquet has shipped with: parquet
+    * TIMESTAMP(NANOS) read as a LONG of nanos (via the `nanosAsLong` legacy
+    * conf), TIMESTAMP_NTZ (µs, naive-UTC — what pyarrow `timestamp[us]`
+    * without a zone becomes), and tz-adjusted TIMESTAMP. Integer division
+    * for the nanos lane (nanos exceed double's exact range); the NTZ lane
+    * casts through TimestampType, exact under the UTC session pin every
+    * entry point sets (`spark.sql.session.timeZone=UTC`).
+    */
+  def tsUsExpr(raw: DataFrame, colName: String = "ts"): Column =
+    raw.schema(colName).dataType match {
+      case LongType         => expr(s"CAST($colName DIV 1000 AS LONG)")
+      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+      case _                => unix_micros(col(colName))
     }
+
+  def canonicalizeEvents(raw: DataFrame): DataFrame = {
+    val tsUs = tsUsExpr(raw)
     raw.select(
       col("event_type").as(SERIES),
       tsUs.as(TS_US),
@@ -95,11 +108,7 @@ object Canon {
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsUs = raw.schema("ts").dataType match {
-      case LongType => expr("CAST(ts DIV 1000 AS LONG)")
-      case _        => unix_micros(col("ts"))
-    }
-    raw.select(col("event_id"), tsUs.as(TS_US), col("user_id"),
+    raw.select(col("event_id"), tsUsExpr(raw).as(TS_US), col("user_id"),
       col("event_type"), col("value"))
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: derive scan-pushable raw-column predicates from integral-
   * division comparisons.
@@ -44,6 +44,31 @@ object InferTimePredicates extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The TIMESTAMP_NTZ lane of `Canon.tsUsExpr`: `unix_micros(cast(ts as
+    * timestamp))` over a naive-µs attribute. Both NTZ and TIMESTAMP are
+    * µs longs internally and the cast is the identity on that long exactly
+    * when its zone is a zero offset — which the UTC session pin guarantees;
+    * the zone guard makes the rewrite safe even if a caller unpins it.
+    * The comparison then transfers to the raw attribute BIJECTIVELY (no
+    * division rounding): micros(a) >= v  ⟺  a >= ntz_literal(v).
+    */
+  private def microsOf(e: Expression): Option[Attribute] = e match {
+    case UnixMicros(c @ Cast(a: Attribute, TimestampType, _, _))
+      if a.dataType == TimestampNTZType && c.timeZoneId.exists(isZeroOffset) => Some(a)
+    case _ => None
+  }
+
+  private def isZeroOffset(tz: String): Boolean =
+    try {
+      val rules = java.time.ZoneId.of(tz).getRules
+      rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case _: java.time.DateTimeException => false }
+
+  private def ntzLit(v: Long): Literal = Literal(v, TimestampNTZType)
+
+  private def rewritable(e: Expression): Boolean =
+    divOf(e).isDefined || microsOf(e).isDefined
+
   private def implied(cmp: Expression): Option[Expression] = cmp match {
     // Literal-on-left forms normalize to the mirrored comparison FIRST —
     // these cases must precede the unguarded ones below, which would
@@ -52,15 +77,27 @@ object InferTimePredicates extends Rule[LogicalPlan] {
     // divOf(r) guard prevents a literal-vs-literal comparison (possible if
     // this rule ever sees a plan before constant folding) from mirroring
     // back and forth forever.
-    case GreaterThanOrEqual(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+    case GreaterThanOrEqual(l, r) if litVal(l).isDefined && rewritable(r) =>
       implied(LessThanOrEqual(r, l))
-    case GreaterThan(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+    case GreaterThan(l, r) if litVal(l).isDefined && rewritable(r) =>
       implied(LessThan(r, l))
-    case LessThanOrEqual(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+    case LessThanOrEqual(l, r) if litVal(l).isDefined && rewritable(r) =>
       implied(GreaterThanOrEqual(r, l))
-    case LessThan(l, r) if litVal(l).isDefined && divOf(r).isDefined =>
+    case LessThan(l, r) if litVal(l).isDefined && rewritable(r) =>
       implied(GreaterThan(r, l))
-    case EqualTo(l, r) if litVal(l).isDefined && divOf(r).isDefined => implied(EqualTo(r, l))
+    case EqualTo(l, r) if litVal(l).isDefined && rewritable(r) => implied(EqualTo(r, l))
+    // µs-bijective NTZ lane: exact transfer, every comparison and both
+    // comparison directions (mirrored above), no positivity guard needed
+    case GreaterThanOrEqual(l, r) if microsOf(l).isDefined =>
+      for (a <- microsOf(l); v <- litVal(r)) yield GreaterThanOrEqual(a, ntzLit(v))
+    case GreaterThan(l, r) if microsOf(l).isDefined =>
+      for (a <- microsOf(l); v <- litVal(r)) yield GreaterThan(a, ntzLit(v))
+    case LessThanOrEqual(l, r) if microsOf(l).isDefined =>
+      for (a <- microsOf(l); v <- litVal(r)) yield LessThanOrEqual(a, ntzLit(v))
+    case LessThan(l, r) if microsOf(l).isDefined =>
+      for (a <- microsOf(l); v <- litVal(r)) yield LessThan(a, ntzLit(v))
+    case EqualTo(l, r) if microsOf(l).isDefined =>
+      for (a <- microsOf(l); v <- litVal(r)) yield EqualTo(a, ntzLit(v))
     case GreaterThanOrEqual(l, r) =>
       for ((a, k) <- divOf(l); v <- litVal(r) if v > 0 && v <= Long.MaxValue / k)
         yield GreaterThanOrEqual(a, Literal(v * k))

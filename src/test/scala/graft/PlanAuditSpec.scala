@@ -313,10 +313,11 @@ class PlanAuditSpec extends SparkSuite {
   test("InferTimePredicates pushes derived raw-ts bounds to the parquet scan") {
     Graft.register(spark) // attaches the optimizer rule
     val p = plan(TS.readRange(Canon.events(spark, sf), Nil, 1704844800000000L, 1705708800000000L))
-    // the adapter derives ts_us = ts DIV 1000 from the nanos column; the rule
-    // must add pushable bounds on the RAW ts column
+    // the adapter derives ts_us = unix_micros(cast(ts)) from the NTZ column;
+    // the rule must add pushable bounds on the RAW ts column — rendered by the
+    // parquet source as the NTZ instant (µs-bijective, so the bound is exact)
     assert(p.contains("PushedFilters") &&
-      p.contains("GreaterThanOrEqual(ts,1704844800000000000"), p)
+      p.contains("GreaterThanOrEqual(ts,2024-01-10T00:00"), p)
     // and results are unchanged
     val n = TS.readRange(Canon.events(spark, sf), Nil, 1704844800000000L, 1705708800000000L).count()
     assert(n > 0)
@@ -326,13 +327,13 @@ class PlanAuditSpec extends SparkSuite {
     Graft.register(spark)
     import org.apache.spark.sql.functions.{col, lit}
     val ev = Canon.events(spark, sf)
-    // 5 <= ts_us DIV-derived column, literal on the LEFT — must still derive
-    // a pushed raw-nanos lower bound (was a dead match arm in round 1)
+    // 5 <= ts_us micros-derived column, literal on the LEFT — must still
+    // derive a pushed raw-ts lower bound (was a dead match arm in round 1)
     val lo = 1704844800000000L
     val df = ev.filter(lit(lo) <= col("ts_us"))
     val p = plan(df)
     assert(p.contains("PushedFilters") &&
-      p.contains("GreaterThanOrEqual(ts,1704844800000000000"), p)
+      p.contains("GreaterThanOrEqual(ts,2024-01-10T00:00"), p)
     // and the mirrored upper bound: ts_us <= lit on the RIGHT of the literal
     val hi = 1705708800000000L
     val p2 = plan(ev.filter(lit(hi) >= col("ts_us")))

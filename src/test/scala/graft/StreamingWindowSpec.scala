@@ -42,7 +42,7 @@ class StreamingWindowSpec extends SparkSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(src).schema
     val rawStream = spark.readStream.schema(schema).parquet(dir)
-      .select(col("user_id"), expr("CAST(ts DIV 1000 AS LONG)").as("ts_us"),
+      .select(col("user_id"), Canon.tsUsExpr(spark.read.parquet(src)).as("ts_us"),
         col("value"))
     val agg = WindowedAggs.sessionsByKey(rawStream, "user_id")
     val q = agg.writeStream
