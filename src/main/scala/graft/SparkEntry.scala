@@ -3,7 +3,7 @@ package graft
 import graft.functions.Tags
 import graft.model.Canon
 import graft.operators.{AsofJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
-import graft.sources.{JsonIngest, VersionedStore}
+import graft.sources.{JsonIngest, TieredStore, VersionedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,7 @@ object SparkEntry {
 
   private val IDS3 = Seq("click", "error", "purchase")
   private val IDS2 = Seq("signup", "view")
+  private val IDS5 = (IDS3 ++ IDS2).sorted
 
   /** Server-assigned ingest timestamp for the shape-fixture query (the
     * reference reads the wall clock per point; injected for determinism).
@@ -97,6 +98,39 @@ object SparkEntry {
             !(col("series") === "click" && col("ts_us").between(R1, R2))), root)
         VersionedStore.compact(s, root)
         root
+      })
+    }
+
+  /** Build-once-per-process dual-tier stores (M1-M3/I2, TieredStore).
+    * Scenario "sorted": disk = everything at-or-before SINCE, memory = the
+    * newer tail arriving in time order (seq = ts_us) — the buffer is sorted
+    * and beyond the disk bound, so reads qualify for the M1/M2 paths and
+    * nothing mutates. Scenario "overlap": a 1-in-7 rid sample buffered in
+    * rid order — its timestamps straddle the whole disk range, so the first
+    * read takes the M3 forced-flush path; later reads see the post-flush
+    * disk-only store (same rows either way). Store builds and the one-time
+    * flush are warmup cost, like ttStores.
+    */
+  private val tierStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
+  private def tierStore(s: SparkSession, d: String, scenario: String): TieredStore =
+    tierStores.synchronized {
+      tierStores.getOrElseUpdate(s"$d#$scenario", {
+        val root = StreamScratch.dir(
+          s"tier_${scenario}_" + Integer.toHexString(d.hashCode))
+        val st = new TieredStore(s, root)
+        val evd = ev(s, d)
+        if (scenario == "sorted") {
+          st.appendDisk(evd.filter(col("ts_us") <= SINCE))
+          st.appendMemory(
+            evd.filter(col("ts_us") > SINCE).withColumn(TieredStore.SEQ, col("ts_us")),
+            TieredStore.SEQ)
+        } else {
+          st.appendDisk(evd.filter(col("rid") % 7 =!= 0))
+          st.appendMemory(
+            evd.filter(col("rid") % 7 === 0).withColumn(TieredStore.SEQ, col("rid")),
+            TieredStore.SEQ)
+        }
+        st
       })
     }
 
@@ -219,6 +253,20 @@ object SparkEntry {
     "q_delete_tagged" -> ((s, d) => // delete with tag pipe (xargs-piped delete)
       raw(TS.deleteRange(ev(s, d), IDS2, R1, R2,
         Seq(Tags.Group("u", Seq("3"), Tags.Eq)))).orderBy(col("rid"))),
+    // ----- M1-M3/I2: dual-tier memory+disk reads over real store
+    // instances (TieredStore, reference timeseries.re:357-434).
+    // q_tier_read: the buffer qualifies (sorted, beyond disk) but holds
+    // fewer than n points per series at sf0.01 — the M2 memory-then-disk
+    // merge engages; the tier split must be invisible in the result.
+    "q_tier_read" -> ((s, d) =>
+      raw(tierStore(s, d, "sorted").readLast(IDS5, 500))),
+    // q_tier_flush: out-of-order buffer → M3 forced flush, disk-only read
+    "q_tier_flush" -> ((s, d) =>
+      raw(tierStore(s, d, "overlap").readLast(IDS5, 25))),
+    // q_tier_split: I2 memory/disk length split (timeseries.re:187-213)
+    "q_tier_split" -> ((s, d) => tierStore(s, d, "sorted").lengthSplit(IDS5)),
+    // I7 health route (main.re:169-173): the route grammar answers it
+    "q_health" -> ((s, d) => graft.api.Router.run(ev(s, d), "info/status")),
     // ----- U2/I1/I5/I6: metadata (SURVEY §2.7/§2.9)
     "q_names" -> ((s, d) => TS.names(ev(s, d))),
     "q_length" -> ((s, d) => TS.length(ev(s, d), IDS3)),
@@ -1089,6 +1137,25 @@ object SparkEntry {
         s"$CANON_SQL SELECT DISTINCT series FROM c ORDER BY series",
       "q_length" ->
         s"$CANON_SQL SELECT count(*) AS length FROM c WHERE $idsIn3",
+      // tier reads must equal the flat read — the memory/disk split is an
+      // implementation detail the oracle cannot see
+      "q_tier_read" ->
+        s"""$CANON_SQL SELECT $ROW FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY series ORDER BY ts_us DESC, rid DESC) AS rn
+           |  FROM c) t
+           |WHERE rn <= 500 ORDER BY ts_us DESC, rid DESC""".stripMargin,
+      "q_tier_flush" ->
+        s"""$CANON_SQL SELECT $ROW FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY series ORDER BY ts_us DESC, rid DESC) AS rn
+           |  FROM c) t
+           |WHERE rn <= 25 ORDER BY ts_us DESC, rid DESC""".stripMargin,
+      "q_tier_split" ->
+        s"""$CANON_SQL SELECT series,
+           |  count(*) FILTER (WHERE ts_us > $SINCE) AS mem_len,
+           |  count(*) FILTER (WHERE ts_us <= $SINCE) AS disk_len,
+           |  count(*) AS len
+           |FROM c GROUP BY series ORDER BY series""".stripMargin,
+      "q_health" -> "SELECT 'ok' AS status",
       "q_stats" ->
         s"$CANON_SQL SELECT series, count(*) AS length FROM c GROUP BY series ORDER BY series",
       "q_index_info" ->

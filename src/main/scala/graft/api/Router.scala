@@ -29,10 +29,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Router {
 
+  /** I7 `GET /info/status` (reference `src/main.re:169-173,190`): the
+    * health probe, `{"status":"ok"}` as a one-row frame. Pure — reaching
+    * the route IS the health signal, as in the reference.
+    */
+  def health(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    Seq("ok").toDF("status")
+  }
+
   def run(df: DataFrame, route: String): DataFrame = {
     val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
     parts match {
       case "names" :: Nil => TS.names(df)
+      case "info" :: "status" :: Nil => health(df)
       case ids :: rest =>
         val series = ids.split(',').toSeq
         rest match {

@@ -1,0 +1,194 @@
+package graft.sources
+
+import graft.CacheLedger.Tracked
+import graft.model.Canon
+import graft.model.Canon._
+import graft.operators.{TimeSeries => TS}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** M1-M3 + I2: the dual-tier store — an in-memory arrival buffer layered
+  * over the [[ShardStore]] disk tier, replicating the reference's
+  * membuf-plus-shards read semantics
+  * (`/root/reference/src/timeseries.re:357-434`, `src/membufq.re:17-41`).
+  *
+  * The reference keeps a per-series FIFO of not-yet-spilled points and
+  * answers reads by one of three paths:
+  *  - **M1 fast path**: when the buffer is internally time-sorted AND lies
+  *    entirely beyond the disk tier's cached bound, a `last n` that the
+  *    buffer can satisfy alone never touches disk (`timeseries.re:363-382`);
+  *  - **M2 memory-then-disk**: same qualification but the buffer is short
+  *    of `n` — take all of memory, fill the leftover from disk
+  *    (`timeseries.re:384-434`);
+  *  - **M3 forced flush**: the buffer overlaps the disk range (out-of-order
+  *    arrivals) — flush it to disk first, then read disk only
+  *    (`timeseries.re:357-361`).
+  *
+  * Spark-first mapping: the memory tier is a cached DataFrame carrying an
+  * arrival-sequence column; qualification is ONE distributed aggregate over
+  * it (a per-series lag(1) monotonicity count + min-ts vs the disk upper
+  * bound); the M2 merge is `union` + the same `WindowGroupLimit` top-n every
+  * flat read uses — Catalyst, not hand-merging. The only driver-side state
+  * is the per-series disk bounds and the per-series qualification verdicts —
+  * both bounded by the series cardinality, exactly the metadata the
+  * reference's membuf holds (`src/membufq.re:45-47`).
+  *
+  * Scale notes (100 TB): the memory tier is an ingest BUFFER — bounded by
+  * the spill threshold (reference `--shard-size`), not by corpus size; every
+  * read-path aggregate runs over that bounded frame. The disk tier is the
+  * partitioned ShardStore, whose series/day pruning does the heavy lifting;
+  * the M1 verdict's value at scale is skipping the disk scan ENTIRELY for
+  * hot-tail reads (the common monitoring access pattern). Divergence from
+  * the reference, documented: membufq's `is_ascending` compares only the
+  * NEWEST buffered point against the disk bound (`src/membufq.re:23-27`),
+  * which admits a buffer whose tail dips below it; we require `min(buffer
+  * ts) >= disk max ts` — the sound form of the same intent (a failed check
+  * degrades to M3, never to a wrong answer).
+  *
+  * Mutations are serialized on the store instance — the concurrency model
+  * the reference enforces globally (`src/main.re:225-227`).
+  */
+final class TieredStore(spark: SparkSession, val root: String) {
+  import TieredStore._
+
+  @volatile private var mem: DataFrame = emptyMem(spark)
+  @volatile private var memEmpty = true
+  /** Per-series (min ts, max ts) of everything flushed to disk; the analog
+    * of the membuf's cached `disk_range` (`src/membufq.re:45-47`).
+    */
+  private val diskBounds = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def canonSel(df: DataFrame): DataFrame =
+    df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+
+  /** Direct-to-disk append (the batch ingest path). */
+  def appendDisk(df: DataFrame): Unit = this.synchronized {
+    val slice = canonSel(df)
+    ShardStore.append(slice, root)
+    updateBounds(slice)
+  }
+
+  /** Buffer points in the memory tier. `seqCol` is the arrival order —
+    * the FIFO position in the reference's membuf (`src/membufq.re:9`).
+    */
+  def appendMemory(df: DataFrame, seqCol: String): Unit = this.synchronized {
+    val slice = df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE),
+      col(RID), col(seqCol).cast(LongType).as(SEQ))
+    mem = (if (memEmpty) slice else mem.unionByName(slice)).trackedCache
+    memEmpty = false
+  }
+
+  /** M3 / S6: flush the named series' buffered points to the disk tier. */
+  def flush(ids: Seq[String]): Unit = this.synchronized { flushLocked(ids) }
+
+  private def flushLocked(ids: Seq[String]): Unit = if (!memEmpty) {
+    val moving = canonSel(mem.filter(col(SERIES).isin(ids: _*)))
+    ShardStore.append(moving, root)
+    updateBounds(moving)
+    mem = mem.filter(!col(SERIES).isin(ids: _*)).trackedCache
+    if (mem.isEmpty) { mem = emptyMem(spark); memEmpty = true }
+  }
+
+  private def updateBounds(slice: DataFrame): Unit =
+    slice.groupBy(SERIES).agg(min(TS_US).as("lo"), max(TS_US).as("hi"))
+      .collect() // bounded by series cardinality — membuf-equivalent metadata
+      .foreach { r =>
+        val (s, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+        diskBounds.updateWith(s) {
+          case Some((l, h)) => Some((math.min(l, lo), math.max(h, hi)))
+          case None         => Some((lo, hi))
+        }
+      }
+
+  private def diskHasData: Boolean = diskBounds.nonEmpty
+
+  private def disk(ids: Seq[String]): DataFrame =
+    if (!diskHasData) emptyCanon(spark)
+    else TS.selectSeries(ShardStore.read(spark, root), ids)
+
+  private def memCanon(ids: Seq[String]): DataFrame =
+    canonSel(TS.selectSeries(mem, ids))
+
+  private case class MemStat(count: Long, minTs: Long, sorted: Boolean)
+
+  /** One aggregate over the (bounded) buffer: per-series count, min ts and
+    * arrival-order monotonicity — the distributed `is_ascending`
+    * (`src/membufq.re:17-28`).
+    */
+  private def memStats(ids: Seq[String]): Map[String, MemStat] = {
+    if (memEmpty) return Map.empty
+    val w = Window.partitionBy(SERIES).orderBy(col(SEQ))
+    TS.selectSeries(mem, ids)
+      .withColumn("__prev_ts", lag(col(TS_US), 1).over(w))
+      .groupBy(SERIES)
+      .agg(count(lit(1)).as("cnt"), min(TS_US).as("min_ts"),
+        sum(when(col("__prev_ts") > col(TS_US), 1L).otherwise(0L)).as("viol"))
+      .collect() // bounded by series cardinality
+      .map(r => r.getString(0) -> MemStat(r.getLong(1), r.getLong(2), r.getLong(3) == 0L))
+      .toMap
+  }
+
+  /** Buffer lies entirely beyond everything on disk for this series. */
+  private def beyondDisk(s: String, st: MemStat): Boolean =
+    diskBounds.get(s).forall { case (_, hi) => st.minTs >= hi }
+
+  /** Q1 `last n` through the tier decision (`timeseries.re:357-382`):
+    * per queried series — M1 memory-only when the sorted-and-beyond buffer
+    * holds ≥ n points, M2 memory∪disk top-n when it qualifies but is short,
+    * M3 flush-then-disk when it overlaps the disk range. The three branches
+    * union into one declarative plan; a query whose every series takes M1
+    * plans NO disk scan at all (asserted by `TieredStoreSpec`).
+    */
+  def readLast(ids: Seq[String], n: Int): DataFrame = this.synchronized {
+    require(ids.nonEmpty, "tiered readLast needs explicit series ids")
+    val stats = memStats(ids)
+    val qualified = ids.filter(s =>
+      stats.get(s).forall(st => st.sorted && beyondDisk(s, st)))
+    val fast = qualified.filter(s => stats.get(s).exists(_.count >= n))
+    val merge = qualified.diff(fast)
+    val toFlush = ids.diff(qualified)
+    if (toFlush.nonEmpty) flushLocked(toFlush)
+    val branches = Seq(
+      if (fast.isEmpty) None else Some(TS.readLast(memCanon(fast), fast, n)),
+      if (merge.isEmpty) None
+      else {
+        val memSide = if (memEmpty) emptyCanon(spark) else memCanon(merge)
+        Some(TS.readLast(memSide.unionByName(disk(merge)), merge, n))
+      },
+      if (toFlush.isEmpty) None else Some(TS.readLast(disk(toFlush), toFlush, n))
+    ).flatten
+    branches.reduce(_ unionByName _).orderBy(col(TS_US).desc, col(RID).desc)
+  }
+
+  /** I2: per-series memory/disk length split
+    * (`/root/reference/src/timeseries.re:187-213`, routes
+    * `memory/length` + `disk/length`, `src/main.re:184-185`).
+    */
+  def lengthSplit(ids: Seq[String]): DataFrame = {
+    val m = (if (memEmpty) emptyCanon(spark) else memCanon(ids))
+      .groupBy(SERIES).agg(count(lit(1)).as("mem_len"))
+    val d = disk(ids).groupBy(SERIES).agg(count(lit(1)).as("disk_len"))
+    // full-outer of two series-cardinality aggregates — never a data join
+    m.join(d, Seq(SERIES), "full_outer")
+      .select(col(SERIES),
+        coalesce(col("mem_len"), lit(0L)).as("mem_len"),
+        coalesce(col("disk_len"), lit(0L)).as("disk_len"))
+      .withColumn("len", col("mem_len") + col("disk_len"))
+      .orderBy(SERIES)
+  }
+}
+
+object TieredStore {
+  /** Arrival-sequence column of the memory tier (membuf FIFO position). */
+  val SEQ = "__seq"
+
+  private def emptyCanon(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Canon.schema)
+
+  private def emptyMem(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Canon.schema.fields :+ StructField(SEQ, LongType)))
+}

@@ -154,8 +154,12 @@ class PlanAuditSpec extends SparkSuite {
       qe.toRdd.count() // execute THIS plan so AQE's choices are final
       val nodes = flatten(qe.executedPlan)
       // sanity: the traversal actually descends (a vacuous gate is worse
-      // than none — it reads as coverage)
-      assert(nodes.length > 1, s"$n: flatten saw only the AQE wrapper")
+      // than none — it reads as coverage). A single node is legitimate
+      // only for constant probes whose whole plan IS one local leaf
+      // (q_health's one-row route answer).
+      assert(nodes.length > 1 ||
+        nodes.head.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec],
+        s"$n: flatten saw only the AQE wrapper")
       sawBroadcast += nodes.count(_.isInstanceOf[BroadcastExchangeExec])
       sawAgg += nodes.count(_.isInstanceOf[HashAggregateExec])
       nodes.foreach {

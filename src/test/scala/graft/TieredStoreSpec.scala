@@ -1,0 +1,106 @@
+package graft
+
+import graft.model.Canon.{Datapoint, TagEntry}
+import graft.sources.TieredStore
+import org.apache.spark.sql.functions._
+
+/** M1-M3/I2: the dual-tier read semantics (reference
+  * `src/timeseries.re:357-434`, `src/membufq.re:17-41`) — tier decisions,
+  * the forced-flush mutation lifecycle, and the plan-level proof that the
+  * M1 fast path never touches the disk tier.
+  */
+class TieredStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T0 = 1704067200000000L // 2024-01-01 UTC
+  private def dp(s: String, ts: Long, rid: Long) =
+    Datapoint(s, ts, Some(Seq(TagEntry("k", "1"))), rid.toDouble, rid)
+
+  /** Buffer frame arriving in the given row order (seq = position). */
+  private def arriving(rows: Seq[Datapoint]) =
+    rows.zipWithIndex.map { case (d, i) => (d, i.toLong) }
+      .toDF("d", TieredStore.SEQ)
+      .select(col("d.*"), col(TieredStore.SEQ))
+
+  private def freshSorted(): TieredStore = {
+    val st = new TieredStore(spark, tmpDir("tier"))
+    st.appendDisk((0L until 100L).map(i => dp("a", T0 + i * 1000L, i)).toDF())
+    st.appendMemory(
+      arriving((0L until 20L).map(i => dp("a", T0 + 1000000L + i * 1000L, 100 + i))),
+      TieredStore.SEQ)
+    st
+  }
+
+  test("M1 fast path: sorted beyond-disk buffer satisfying n plans NO disk scan") {
+    val st = freshSorted()
+    val q = st.readLast(Seq("a"), 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+    val rids = q.select("rid").as[Long].collect().toSeq
+    assert(rids == (119L to 110L by -1L)) // newest 10, memory only
+  }
+
+  test("M2 memory-then-disk: qualified but short buffer merges with disk") {
+    val st = freshSorted()
+    val q = st.readLast(Seq("a"), 30)
+    assert(q.queryExecution.executedPlan.toString.contains("FileScan"))
+    val rids = q.select("rid").as[Long].collect().toSeq
+    // all 20 buffered + the 10 newest on disk, globally ordered desc
+    assert(rids == ((119L to 100L by -1L) ++ (99L to 90L by -1L)))
+    // the read did not flush: the split is unchanged
+    val split = st.lengthSplit(Seq("a")).head()
+    assert(split.getLong(1) == 20L && split.getLong(2) == 100L)
+  }
+
+  test("M3 forced flush: an overlapping buffer is flushed, then read from disk") {
+    val st = new TieredStore(spark, tmpDir("tier"))
+    st.appendDisk((0L until 100L by 2L).map(i => dp("a", T0 + i * 1000L, i)).toDF())
+    // odd timestamps interleave INSIDE the disk range -> never qualifies
+    st.appendMemory(
+      arriving((1L until 100L by 2L).map(i => dp("a", T0 + i * 1000L, i))),
+      TieredStore.SEQ)
+    val before = st.lengthSplit(Seq("a")).head()
+    assert(before.getLong(1) == 50L && before.getLong(2) == 50L)
+    val rids = st.readLast(Seq("a"), 10).select("rid").as[Long].collect().toSeq
+    assert(rids == (99L to 90L by -1L)) // correct merged answer
+    val after = st.lengthSplit(Seq("a")).head()
+    assert(after.getLong(1) == 0L && after.getLong(2) == 100L) // buffer moved to disk
+  }
+
+  test("an out-of-arrival-order buffer degrades to flush, never a wrong answer") {
+    val st = new TieredStore(spark, tmpDir("tier"))
+    st.appendDisk((0L until 50L).map(i => dp("a", T0 + i * 1000L, i)).toDF())
+    // beyond the disk bound but arriving NEWEST-FIRST: is_ascending fails
+    st.appendMemory(
+      arriving((69L to 50L by -1L).map(i => dp("a", T0 + i * 1000L, i))),
+      TieredStore.SEQ)
+    val rids = st.readLast(Seq("a"), 25).select("rid").as[Long].collect().toSeq
+    assert(rids == (69L to 45L by -1L))
+    assert(st.lengthSplit(Seq("a")).head().getLong(1) == 0L)
+  }
+
+  test("tier decisions are per series; branches union into one result") {
+    val st = new TieredStore(spark, tmpDir("tier"))
+    st.appendDisk(((0L until 40L).map(i => dp("a", T0 + i * 1000L, i)) ++
+      (0L until 40L).map(i => dp("b", T0 + i * 1000L, 1000 + i))).toDF())
+    // "a" buffers a sorted beyond-bound tail (fast), "b" buffers overlap (flush)
+    st.appendMemory(
+      arriving((0L until 10L).map(i => dp("a", T0 + 100000L + i * 1000L, 100 + i)) ++
+        (0L until 10L).map(i => dp("b", T0 + 5000L + i * 100L, 2000 + i))),
+      TieredStore.SEQ)
+    val got = st.readLast(Seq("a", "b"), 5)
+      .select("series", "rid").as[(String, Long)].collect().toSeq
+    assert(got.filter(_._1 == "a").map(_._2) == (109L to 105L by -1L))
+    assert(got.filter(_._1 == "b").map(_._2) == Seq(1039L, 1038L, 1037L, 1036L, 1035L))
+    // only b flushed; a's buffer intact
+    val split = st.lengthSplit(Seq("a", "b")).collect()
+    assert(split.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 10L, 40L), ("b", 0L, 50L)))
+  }
+
+  test("I7 health route answers through the router grammar") {
+    val df = (0L until 3L).map(i => dp("a", T0 + i, i)).toDF()
+    val rows = graft.api.Router.run(df, "info/status").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "ok")
+  }
+}
