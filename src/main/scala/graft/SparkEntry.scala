@@ -439,6 +439,10 @@ object SparkEntry {
     "q_sample_mixture" -> ((s, d) => // per-source weighted mixing report
       Sampling.mixtureReport(Canon.documents(s, d), "source",
         Seq("src0" -> 192, "src1" -> 128, "src2" -> 64), default256 = 32)),
+    "q_sample_budget" -> ((s, d) => // token-budget allocation: temperature-
+      // flattened per-source budgets (w ∝ sqrt(tokens), exact integer
+      // split), filled as a deterministic md5-ordered prefix
+      Sampling.tokenBudgetReport(Canon.documents(s, d), totalBudget = 20000L)),
     // end-to-end curation pipeline: quality-filter → exact-dedup (keep min
     // doc_id per content hash) → deterministic sample → per-language
     // report; see Curation.report for the one-scan/one-shuffle design
@@ -1614,6 +1618,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_budget" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |s AS (SELECT source, count(*) AS src_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY source),
+         |b AS (SELECT source, src_docs, src_tokens,
+         |        CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+         |      FROM s),
+         |b2 AS (SELECT source, src_docs, src_tokens,
+         |        CAST((20000 * wq) // (SELECT sum(wq) FROM b) AS BIGINT) AS budget_tokens
+         |       FROM b),
+         |r AS (SELECT source, doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+         |k AS (SELECT r.source, count(*) AS kept_docs,
+         |        CAST(sum(r.n_tokens) AS BIGINT) AS kept_tokens
+         |      FROM r JOIN b2 ON r.source = b2.source
+         |      WHERE r.cum <= b2.budget_tokens GROUP BY r.source)
+         |SELECT b2.source, src_docs, src_tokens, budget_tokens,
+         |  CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+         |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM b2 LEFT JOIN k ON b2.source = k.source ORDER BY b2.source""".stripMargin,
     // int8 quantization summary: double products are computed identically
     // on both engines (same cast chain), round() is half-away-from-zero in
     // both, so the summary hashes match exactly

@@ -91,4 +91,89 @@ object Sampling {
       .withColumn("rate", round(col("n_sampled").cast("double") / col("n_docs"), 6))
       .orderBy(strataCol)
   }
+
+  // ------------------------------------------------- token budgets --
+
+  /** Token-budget mixture allocation — the data-mixing step of training-
+    * corpus assembly when the knob is a TOKEN budget, not a sampling
+    * rate: distribute `totalBudget` tokens across sources by
+    * temperature-flattened size weights w_s ∝ sqrt(tokens_s) (the
+    * T=0.5 point of the multilingual-sampling exponent family; sqrt
+    * specifically because IEEE-754 sqrt is correctly rounded in every
+    * engine where pow(x, α) is not, so the weights round-trip the
+    * oracle bit-for-bit), then fill each source's budget
+    * deterministically in [[sampleKey]] order — reproducible across
+    * runs, engines and cluster sizes, unbiased by ingest order. All
+    * budget arithmetic after one quantized sqrt is exact integer math:
+    * `wq = round(sqrt(tokens_s)·1e6)`, `budget_s = totalBudget·wq DIV
+    * Σwq`; a kept document is one whose per-source running token sum
+    * (inclusive) stays within the budget — a deterministic prefix,
+    * never a probabilistic thinning.
+    *
+    * Scale: per-source totals are one aggregate; Σwq is a single-
+    * partition window over that SOURCE-CARDINALITY aggregate (the
+    * sanctioned bounded-input shape); the budget join back to the
+    * corpus pins `shuffle_hash` (slim (source, budget) build rows —
+    * source cardinality is corpus-dependent, the commonness
+    * discipline); and the per-source running sum is the hot-key-safe
+    * two-pass prefix sum (`Windowing.withRankAndRunningSum` — source is
+    * low-cardinality, so a plain per-source window would serialize each
+    * source through one task).
+    */
+  private def budgetFrames(df: DataFrame, totalBudget: Long,
+                           sourceCol: String, idCol: String,
+                           textCol: String): (DataFrame, DataFrame) = {
+    import graft.CacheLedger.Tracked
+    require(totalBudget >= 0, s"negative token budget: $totalBudget")
+    val outputs = Set("n_tokens", "budget_tokens", "src_docs", "src_tokens",
+      "kept_docs", "kept_tokens")
+    require(!outputs.contains(idCol) && !outputs.contains(sourceCol),
+      "id/source column collides with a tokenBudget output column")
+    val toks = df.select(col(sourceCol), col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      sampleKey(col(idCol)).as("__h"))
+      .trackedCache // feeds the budget aggregate AND the prefix-sum probe
+    val budgets = toks.groupBy(sourceCol)
+      .agg(count(lit(1)).as("src_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("wq", round(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("__W", sum("wq").over(Window.partitionBy()))
+      .withColumn("budget_tokens",
+        expr(s"(CAST($totalBudget AS BIGINT) * wq) DIV __W"))
+      .select(col(sourceCol), col("src_docs"), col("src_tokens"), col("budget_tokens"))
+    val ranked = Windowing.withRankAndRunningSum(toks, Seq(sourceCol),
+      Seq(col("__h").asc, col(idCol).asc), col("n_tokens"),
+      rankName = "__rk", sumName = "__cum")
+    val kept = ranked.join(budgets.hint("shuffle_hash"), Seq(sourceCol))
+      .filter(col("__cum") <= col("budget_tokens"))
+    (budgets, kept)
+  }
+
+  /** The kept rows: `(source, id, n_tokens, ...)` of every document whose
+    * per-source running token sum stays inside its source's budget.
+    */
+  def tokenBudgetKept(df: DataFrame, totalBudget: Long,
+                      sourceCol: String = "source", idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    budgetFrames(df, totalBudget, sourceCol, idCol, textCol)._2
+      .select(col(sourceCol), col(idCol), col("n_tokens"))
+
+  /** Per-source allocation report: corpus size, allocated budget, and the
+    * kept prefix — sources whose budget admits no document still report.
+    */
+  def tokenBudgetReport(df: DataFrame, totalBudget: Long,
+                        sourceCol: String = "source", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val (budgets, kept) = budgetFrames(df, totalBudget, sourceCol, idCol, textCol)
+    val keptAgg = kept.groupBy(sourceCol)
+      .agg(count(lit(1)).as("kept_docs"), sum("n_tokens").as("kept_tokens"))
+    // both sides are source-cardinality aggregates, but their subtrees are
+    // whole-corpus scans — pin shuffle_hash so AQE never "broadcasts" a
+    // subtree whose leaf is the unfiltered corpus (the plan-gate shape)
+    budgets.join(keptAgg.hint("shuffle_hash"), Seq(sourceCol), "left")
+      .select(col(sourceCol), col("src_docs"), col("src_tokens"),
+        col("budget_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(sourceCol)
+  }
 }

@@ -89,4 +89,48 @@ class SamplingSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 10L, 11L, 12L))
   }
+
+  test("token budget: kept set equals a driver-side reference prefix fill") {
+    val budget = 5000L
+    // driver reference: same arithmetic, plain Scala
+    val rows = docs.select(col("source"), col("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long"),
+        Sampling.sampleKey(col("doc_id")))
+      .as[(String, Long, Long, String)].collect().toSeq
+    val bySrc = rows.groupBy(_._1)
+    val wq = bySrc.view.mapValues(v =>
+      math.round(math.sqrt(v.map(_._3).sum.toDouble) * 1e6)).toMap
+    val bigW = wq.values.sum
+    val expect = bySrc.flatMap { case (src, v) =>
+      val b = budget * wq(src) / bigW
+      var cum = 0L
+      v.sortBy(r => (r._4, r._2)).flatMap { r =>
+        cum += r._3; if (cum <= b) Some(r._2) else None
+      }
+    }.toSet
+    val got = Sampling.tokenBudgetKept(docs, budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // and per-source kept tokens never exceed the allocation
+    val rep = Sampling.tokenBudgetReport(docs, budget)
+      .select("source", "budget_tokens", "kept_tokens")
+      .as[(String, Long, Long)].collect()
+    assert(rep.forall { case (_, b, k) => k <= b })
+    // allocations can't overrun the global budget (DIV floors)
+    assert(rep.map(_._2).sum <= budget)
+  }
+
+  test("token budget is invariant under repartitioning") {
+    val a = Sampling.tokenBudgetKept(docs, 3000L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.tokenBudgetKept(docs.repartition(13), 3000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("token budget edge: zero budget keeps only zero-token documents") {
+    val kept = Sampling.tokenBudgetKept(docs, 0L)
+      .select("n_tokens").as[Long].collect()
+    assert(kept.forall(_ == 0L))
+  }
 }
