@@ -244,6 +244,31 @@ object ScaleProbe {
         Seq("user_id", "ts_us"), 12, 64).count(),
       Layout.zorderStats(evr10.select("user_id", "ts_us"),
         Seq("user_id", "ts_us"), 12, 64).count())
+
+    // --- dual-tier reads (M1): a hot-tail last-n that the buffer can
+    // satisfy answers from the buffer ALONE — its cost must be
+    // independent of the disk tier's size. Disk = 1× vs ×mult events
+    // written through the partitioned store; the SAME ev1-sized buffer
+    // sits beyond both disk ranges. ratio ≈ 1 is the claim (a flat read
+    // over the union would scale with the corpus, ratio ≈ mult).
+    {
+      import graft.sources.TieredStore
+      val maxTs = ev10.agg(max("ts_us")).head().getLong(0)
+      val buf = ev1.withColumn("ts_us", col("ts_us") + lit(maxTs + 1L))
+        .withColumn(TieredStore.SEQ, col("ts_us"))
+      val ids = Seq("click", "error", "purchase", "signup", "view")
+      def mkStore(disk: DataFrame): TieredStore = {
+        val st = new TieredStore(spark,
+          java.nio.file.Files.createTempDirectory("graft_tierprobe").toString)
+        st.appendDisk(disk)
+        st.appendMemory(buf, TieredStore.SEQ)
+        st
+      }
+      val t1 = mkStore(ev1)
+      val tN = mkStore(ev10)
+      probe("tier_read_fast",
+        t1.readLast(ids, 100).count(), tN.readLast(ids, 100).count())
+    }
     spark.stop()
   }
 }

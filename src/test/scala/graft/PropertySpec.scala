@@ -44,6 +44,30 @@ class PropertySpec extends SparkSuite {
   private def rids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("rid").as[Long].collect().toSet
 
+  test("tiered readLast == flat readLast for any tier split and arrival order") {
+    import graft.sources.TieredStore
+    import org.apache.spark.sql.functions.col
+    forAll(genCorpus, Gen.chooseNum(1, 10)) { (pts, n) =>
+      // unique rids keep the (ts, rid) tiebreak total, so both paths have
+      // exactly one correct answer
+      val d = pts.groupBy(_.rid).map(_._2.head).toSeq
+      whenever(d.nonEmpty) {
+        val ids = d.map(_.series).distinct.sorted
+        def key(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+          df.select("series", "ts_us", "rid").as[(String, Long, Long)].collect().toSeq
+        val expect = key(TS.readLast(d.toDF(), ids, n))
+        val st = new TieredStore(spark, tmpDir("tierprop"))
+        val (disk, mem) = d.partition(_.rid % 2 == 0)
+        if (disk.nonEmpty) st.appendDisk(disk.toDF())
+        if (mem.nonEmpty) // arrival order = rid order: arbitrary vs time,
+          // so qualify/merge/flush paths all get exercised across seeds
+          st.appendMemory(mem.toDF().withColumn(TieredStore.SEQ, col("rid")),
+            TieredStore.SEQ)
+        assert(key(st.readLast(ids, n)) == expect)
+      }
+    }
+  }
+
   test("readLast(n) rows are a subset of readRange(min,max); at most n per series") {
     forAll(genCorpus, Gen.chooseNum(1, 10)) { (pts, n) =>
       whenever(pts.nonEmpty) {
