@@ -38,6 +38,28 @@ object Router {
     Seq("ok").toDF("status")
   }
 
+  /** Route interpretation against a LIVE dual-tier store: the bare
+    * last/latest routes take the tier-aware read (M1 can skip the disk
+    * scan entirely); the I2 `memory/length` / `disk/length` routes
+    * (`src/main.re:184-185`) read the split; everything else runs over
+    * the memory∪disk snapshot — the tier seam is invisible either way
+    * (property-tested), so only the hot-tail paths need awareness.
+    */
+  def run(store: graft.sources.TieredStore, route: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
+    def tierLength(col: String, ids: String): DataFrame =
+      store.lengthSplit(ids.split(',').toSeq)
+        .agg(coalesce(sum(col), lit(0L)).as("length"))
+    parts match {
+      case ids :: "last" :: n :: Nil => store.readLast(ids.split(',').toSeq, n.toInt)
+      case ids :: "latest" :: Nil => store.readLast(ids.split(',').toSeq, 1)
+      case ids :: "memory" :: "length" :: Nil => tierLength("mem_len", ids)
+      case ids :: "disk" :: "length" :: Nil => tierLength("disk_len", ids)
+      case _ => run(store.snapshot, route)
+    }
+  }
+
   def run(df: DataFrame, route: String): DataFrame = {
     val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
     parts match {

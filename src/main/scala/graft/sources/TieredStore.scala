@@ -162,6 +162,36 @@ final class TieredStore(spark: SparkSession, val root: String) {
     branches.reduce(_ unionByName _).orderBy(col(TS_US).desc, col(RID).desc)
   }
 
+  /** The whole store as one canonical frame (memory ∪ disk) — the input
+    * for every route that has no tier-aware fast path (since/range/aggs:
+    * they read both tiers anyway, and Catalyst prunes the disk side).
+    */
+  def snapshot: DataFrame = {
+    val m = if (memEmpty) emptyCanon(spark) else canonSel(mem)
+    if (!diskHasData) m
+    else m.unionByName(ShardStore.read(spark, root))
+  }
+
+  /** Number of buffered points (the membuf length, one job over the
+    * bounded buffer). */
+  def bufferedCount(): Long = if (memEmpty) 0L else mem.count()
+
+  /** S3 ingest-side spill policy (reference `--shard-size`,
+    * `src/main.re:10`; spill at `timeseries.re:158-168`): buffer the
+    * batch, then flush each series whose buffer has reached
+    * `spillThreshold` points — the reference's PER-SERIES shard-size
+    * check, batch-granular (a micro-batch is this design's arrival
+    * unit), so a series' buffer holds < threshold + one batch.
+    */
+  def ingest(batch: DataFrame, seqCol: String, spillThreshold: Long): Unit =
+    this.synchronized {
+      appendMemory(batch, seqCol)
+      val full = mem.groupBy(SERIES).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= spillThreshold)
+        .collect().map(_.getString(0)) // bounded by series cardinality
+      if (full.nonEmpty) flushLocked(full.toSeq)
+    }
+
   /** I2: per-series memory/disk length split
     * (`/root/reference/src/timeseries.re:187-213`, routes
     * `memory/length` + `disk/length`, `src/main.re:184-185`).

@@ -48,4 +48,34 @@ object Ingest {
     ShardStore.append(r.good, storePath)
     r
   }
+
+  /** The full reference ingest cycle, tiered: file stream → validate →
+    * MEMORY BUFFER → per-series spill at `spillThreshold` points (the
+    * `--shard-size` membuf discipline, reference `src/timeseries.re:158-168`)
+    * — hot-tail reads against the store take the TieredStore fast paths
+    * between spills. Arrival sequence within a batch is the content-derived
+    * rid (stable across replays, so a checkpoint-recovered batch re-buffers
+    * identically); batches arrive in batchId order under the streaming
+    * engine's serial foreachBatch contract.
+    */
+  def startTieredFileStream(spark: SparkSession, inDir: String,
+                            store: graft.sources.TieredStore, checkpoint: String,
+                            spillThreshold: Long,
+                            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.sources.TieredStore
+    val lines = spark.readStream.text(inDir)
+    val wire = lines.select(
+      get_json_object(col("value"), "$.series").as("series"),
+      get_json_object(col("value"), "$.point").as("json"))
+    wire.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = JsonIngest.ingest(batch, ingestTimeUs = batchId)
+        store.ingest(r.good.withColumn(TieredStore.SEQ, col("rid")),
+          TieredStore.SEQ, spillThreshold)
+        ()
+      }
+      .start()
+  }
 }

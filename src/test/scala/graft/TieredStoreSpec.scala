@@ -98,6 +98,38 @@ class TieredStoreSpec extends SparkSuite {
       Seq(("a", 10L, 40L), ("b", 0L, 50L)))
   }
 
+  test("S3 ingest spill policy: a series spills at the threshold, others stay buffered") {
+    val st = new TieredStore(spark, tmpDir("tier"))
+    // each batch: 4 points of "a", 1 of "b" (the per-series shard-size check)
+    def batch(i: Long) = arriving(
+      (0L until 4L).map(j => dp("a", T0 + (i * 4 + j) * 1000L, i * 4 + j)) :+
+        dp("b", T0 + i * 1000L, 1000 + i))
+    st.ingest(batch(0L), TieredStore.SEQ, spillThreshold = 10L)
+    assert(st.bufferedCount() == 5L) // both below threshold
+    st.ingest(batch(1L), TieredStore.SEQ, spillThreshold = 10L)
+    assert(st.bufferedCount() == 10L)
+    st.ingest(batch(2L), TieredStore.SEQ, spillThreshold = 10L)
+    assert(st.bufferedCount() == 3L) // a hit 12 >= 10 and spilled; b's 3 stay
+    val split = st.lengthSplit(Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(split == Seq(("a", 0L, 12L), ("b", 3L, 0L)))
+    // nothing lost across the spill boundary
+    assert(st.readLast(Seq("a", "b"), 12).count() == 15L)
+  }
+
+  test("router routes run against the live store; tier routes answer the split") {
+    val st = freshSorted() // 100 on disk, 20 buffered
+    val series = Seq("a")
+    val viaStore = graft.api.Router.run(st, "a/last/15").select("rid").as[Long].collect().toSeq
+    assert(viaStore == st.readLast(series, 15).select("rid").as[Long].collect().toSeq)
+    assert(graft.api.Router.run(st, "a/memory/length").head().getLong(0) == 20L)
+    assert(graft.api.Router.run(st, "a/disk/length").head().getLong(0) == 100L)
+    assert(graft.api.Router.run(st, "a/length").head().getLong(0) == 120L)
+    // xargs routes fall through to the snapshot and see BOTH tiers
+    val mean = graft.api.Router.run(st, "a/since/0/mean")
+    assert(mean.count() == 1L)
+  }
+
   test("I7 health route answers through the router grammar") {
     val df = (0L until 3L).map(i => dp("a", T0 + i, i)).toDF()
     val rows = graft.api.Router.run(df, "info/status").collect()
