@@ -548,6 +548,19 @@ object SparkEntry {
       Multimodal.resizePixels(
           Multimodal.syntheticPixelMedia(Canon.documents(s, d)), 4, 4)
         .orderBy("media_id")),
+    "q_multimodal_audio" -> ((s, d) =>
+      // the audio lane: Spark assembles complete PCM16 RIFF/WAVE files
+      // from id arithmetic (text bytes as trailing junk — the decoder
+      // must honor chunk lengths), WavDecoder walks the chunks and
+      // decodes the samples, and the oracle recomputes every statistic
+      // as exact integer math over the same sample formula
+      Multimodal.decodeAudio(
+          Multimodal.syntheticAudioFromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(col("media_id"), col("n_bytes"), col("channels"),
+          col("sample_rate"), col("n_frames"), col("duration_us"),
+          col("peak_abs"), col("sum_abs"), col("sum_sq"), col("clipped"))
+        .orderBy("media_id")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
       Canon.table(s, d, "lineitem")
@@ -1934,6 +1947,29 @@ object SparkEntry {
         |  FROM flatfit r JOIN flatpx p USING (media_id))
         |SELECT * FROM gifrows UNION ALL SELECT * FROM flatrows
         |ORDER BY media_id""".stripMargin,
+    "q_multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS c, 8000 * (1 + doc_id % 3) AS r,
+        |    16 + doc_id % 64 AS f, octet_length(encode(text)) AS tb
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, c, r, f, tb,
+        |    list_transform(range(0, CAST(f * c AS BIGINT)), k ->
+        |      CASE WHEN (doc_id * 31 + k * 17) % 65536 >= 32768
+        |           THEN (doc_id * 31 + k * 17) % 65536 - 65536
+        |           ELSE (doc_id * 31 + k * 17) % 65536 END) AS v
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CAST(44 + 2 * f * c + tb AS BIGINT) AS n_bytes,
+        |  CAST(c AS BIGINT) AS channels,
+        |  CAST(r AS BIGINT) AS sample_rate,
+        |  CAST(f AS BIGINT) AS n_frames,
+        |  CAST((f * 1000000) // r AS BIGINT) AS duration_us,
+        |  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(v, x -> abs(x) >= 32767)) AS BIGINT) AS clipped
+        |FROM s ORDER BY media_id""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

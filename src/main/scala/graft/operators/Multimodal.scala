@@ -148,6 +148,76 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio metadata + exact PCM signal statistics. Sums are LONGS
+    * (sum_sq fits: 2^30 per sample × payload sample counts) so every
+    * field is integer-exact and oracle-comparable — the rms/loudness a
+    * pipeline filters on derives as sqrt(sum_sq/n) downstream, outside
+    * the cross-engine float boundary.
+    */
+  case class AudioMeta(media_id: Long, n_bytes: Long, channels: Long,
+                       sample_rate: Long, n_frames: Long, duration_us: Long,
+                       peak_abs: Long, sum_abs: Long, sum_sq: Long,
+                       clipped: Long, ok: Boolean)
+
+  /** Real RIFF/WAVE parsing + PCM16 decode — the audio lane of the
+    * multimodal contract. Walks the chunk list (honoring RIFF's odd-size
+    * padding rule, tolerating unknown chunks before fmt/data), requires
+    * PCM (format 1) at 16 bits, and computes the signal statistics in one
+    * pass over the little-endian samples. Anything else — wrong magic,
+    * truncated chunks, non-PCM, odd data length — quarantines (`ok=false`),
+    * matching the HeaderDecoder discipline: garbage never kills a batch.
+    */
+  object WavDecoder extends Decoder[AudioMeta] {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      le16(b, o) | (le16(b, o + 2) << 16)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parse(r: MediaRow): Option[AudioMeta] = {
+      val b = r.media
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var o = 12
+      var fmt: Option[(Int, Int)] = None // (channels, rate) once PCM16-validated
+      var data: Option[(Int, Int)] = None // (offset, len)
+      while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(b, o)
+        val size = le32(b, o + 4)
+        if (size < 0 || o + 8 + size > b.length) return None // truncated chunk
+        if (id == "fmt " && size >= 16) {
+          val audioFormat = le16(b, o + 8)
+          val bits = le16(b, o + 22)
+          if (audioFormat != 1 || bits != 16) return None // not PCM16
+          fmt = Some((le16(b, o + 10), le32(b, o + 12)))
+        } else if (id == "data") data = Some((o + 8, size))
+        o += 8 + size + (size & 1) // RIFF pads odd chunks
+      }
+      for ((ch, rate) <- fmt; (off, len) <- data;
+           if ch > 0 && rate > 0 && len % (2 * ch) == 0) yield {
+        val n = len / 2
+        var i = 0
+        var peak = 0L; var sAbs = 0L; var sSq = 0L; var clip = 0L
+        while (i < n) {
+          val s = le16(b, off + 2 * i).toShort.toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sAbs += a; sSq += s * s
+          if (a >= 32767L) clip += 1
+          i += 1
+        }
+        val frames = n / ch
+        AudioMeta(r.media_id, r.n_bytes, ch.toLong, rate.toLong, frames.toLong,
+          frames.toLong * 1000000L / rate, peak, sAbs, sSq, clip, ok = true)
+      }
+    }
+
+    def decode(rows: Iterator[MediaRow]): Iterator[AudioMeta] = rows.map { r =>
+      parse(r).getOrElse(AudioMeta(r.media_id, r.n_bytes, -1, -1, -1, -1,
+        -1, -1, -1, -1, ok = false))
+    }
+  }
+
   /** Build a media table from the documents corpus: the text bytes stand in
     * for an opaque payload (byte-plumbing queries; not parseable media).
     */
@@ -209,6 +279,41 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
   }
 
+  /** Synthetic-but-REAL audio: each document becomes a complete PCM16
+    * RIFF/WAVE file assembled from pure column expressions — RIFF header,
+    * fmt chunk (channels/rate derived from doc_id), data chunk whose
+    * samples follow a fixed id-indexed formula — with the text bytes as
+    * trailing junk (the decoder must honor chunk lengths, not file size).
+    * Because samples are id arithmetic, every decoded statistic is
+    * oracle-checkable exactly: `m_k = (doc_id·31 + k·17) mod 65536`
+    * little-endian, decoded as its 16-bit two's complement.
+    */
+  def syntheticAudioFromDocuments(docs: DataFrame): DataFrame = {
+    def hexLe32(v: Column): Column = concat(
+      lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(v, 8).bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(v, 16).bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(v, 24).bitwiseAND(lit(255L))), 2, "0"))
+    val ch = (lit(1L) + col("doc_id") % 2L).cast("long")
+    val rate = (lit(8000L) * (lit(1L) + col("doc_id") % 3L)).cast("long")
+    val frames = (lit(16L) + col("doc_id") % 64L).cast("long")
+    val dataLen = frames * ch * 2L
+    val samplesHex = array_join(
+      transform(sequence(lit(0L), frames * ch - 1L),
+        k => hexLe16((col("doc_id") * 31L + k * 17L) % 65536L)), "")
+    val wavHex = concat(
+      lit("52494646"), hexLe32(lit(36L) + dataLen), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " len=16 PCM
+      hexLe16(ch), hexLe32(rate), hexLe32(rate * ch * 2L), // rates
+      hexLe16(ch * 2L), lit("1000"), // block align, 16 bits
+      lit("64617461"), hexLe32(dataLen), samplesHex) // "data"
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      concat(unhex(wavHex), encode(col("text"), "UTF-8")).as("media"))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
   /** Decode over partition-sized batches, with the shuffle SIZED BY BYTE
     * VOLUME, not row count — the knob that matters at 100 TB where
     * payloads are MBs, not rows: a row-count repartition hands one task a
@@ -255,6 +360,14 @@ object Multimodal {
                     targetBytesPerPartition: Long = 128L << 20): DataFrame =
     decodeBatched(media, HeaderDecoder, targetBytesPerPartition)(
       Encoders.product[MediaMeta]).toDF()
+
+  /** Audio metadata + exact signal statistics for every payload;
+    * `ok=false` rows are the quarantine lane.
+    */
+  def decodeAudio(media: DataFrame,
+                  targetBytesPerPartition: Long = 128L << 20): DataFrame =
+    decodeBatched(media, WavDecoder, targetBytesPerPartition)(
+      Encoders.product[AudioMeta]).toDF()
 
   /** Frame sampling plan for multi-frame payloads (animations/video):
     * every `stride`-th frame index from the parsed frame-count column —

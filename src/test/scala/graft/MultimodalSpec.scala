@@ -307,4 +307,56 @@ class MultimodalSpec extends SparkSuite {
     assert(idx.length == 2)
     assert(idx.forall(s => s.head == 0L && s.zip(s.tail).forall { case (a, b) => b - a == 10 }))
   }
+
+  test("WAV decode: hand-built PCM16 with an unknown chunk and trailing junk") {
+    // RIFF → junk "LIST" chunk (odd size: exercises the pad rule) → fmt →
+    // data with samples [100, -100, 32767, -32768] @ 8kHz mono → junk tail
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    val fmtC = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val dataC = "data".getBytes ++ le32(8) ++
+      le16(100) ++ le16(-100 & 0xffff) ++ le16(32767) ++ le16(-32768 & 0xffff)
+    val junk = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // padded
+    val body = "WAVE".getBytes ++ junk ++ fmtC ++ dataC
+    val wav = "RIFF".getBytes ++ le32(body.length) ++ body ++ "tail-junk".getBytes
+    val m = Multimodal.WavDecoder.parse(
+      Multimodal.MediaRow(7L, "audio", wav, wav.length.toLong)).get
+    assert(m.channels == 1L && m.sample_rate == 8000L && m.n_frames == 4L)
+    assert(m.duration_us == 500L && m.peak_abs == 32768L)
+    assert(m.sum_abs == 100L + 100L + 32767L + 32768L)
+    assert(m.sum_sq == 100L * 100 * 2 + 32767L * 32767 + 32768L * 32768)
+    assert(m.clipped == 2L)
+  }
+
+  test("WAV decode: non-PCM, truncated, and wrong-magic payloads quarantine") {
+    def r(b: Array[Byte]) = Multimodal.MediaRow(1L, "audio", b, b.length.toLong)
+    assert(Multimodal.WavDecoder.parse(r("not audio at all".getBytes)).isEmpty)
+    assert(Multimodal.WavDecoder.parse(r("RIFF   WAVE".getBytes)).isEmpty)
+    // fmt declaring IEEE float (format 3) must quarantine
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    val fmtF = "fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(32)
+    val body = "WAVE".getBytes ++ fmtF ++ "data".getBytes ++ le32(0)
+    val wav = "RIFF".getBytes ++ le32(body.length) ++ body
+    assert(Multimodal.WavDecoder.parse(r(wav)).isEmpty)
+  }
+
+  test("synthetic audio round-trips through the real RIFF walk exactly") {
+    val audio = Multimodal.syntheticAudioFromDocuments(docs)
+    val out = Multimodal.decodeAudio(audio)
+    assert(out.filter(!col("ok")).count() == 0)
+    val row = out.filter(col("media_id") === 3L).head()
+    // doc 3: channels 2, rate 8000, frames 19
+    assert(row.getLong(2) == 2L && row.getLong(3) == 8000L && row.getLong(4) == 19L)
+    assert(row.getLong(5) == 19L * 1000000L / 8000L)
+    // spot-check sum_abs against the sample formula on the driver
+    val n = 19 * 2
+    val ref = (0 until n).map { k =>
+      val m = (3L * 31 + k * 17) % 65536
+      math.abs(if (m >= 32768) m - 65536 else m)
+    }.sum
+    assert(row.getLong(7) == ref)
+  }
 }
