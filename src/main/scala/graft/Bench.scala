@@ -82,7 +82,14 @@ object Bench {
   private[graft] val famAbbrev = Map(
     "agg" -> "a", "dedup" -> "d", "filter" -> "f", "multimodal" -> "m",
     "sample" -> "p", "sim" -> "s", "stream" -> "w", "text" -> "t",
-    "tpch" -> "h", "tier" -> "i")
+    "tpch" -> "h", "tier" -> "i",
+    // late-r7 extension (the audio lane left 11 chars of tail-window
+    // headroom): every remaining multi-member or long family. Same
+    // inverse rule — no original first component is 1 char (spec-checked)
+    "sessionize" -> "z", "delete" -> "e", "store" -> "o", "index" -> "x",
+    "ingest" -> "g", "layout" -> "l", "approx" -> "b", "window" -> "u",
+    "moving" -> "n", "pivot" -> "c", "ntile" -> "k", "vec" -> "v",
+    "ts" -> "y", "range" -> "r", "join" -> "j")
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
                                 sfDir: String, partial: Boolean,
                                 dp: Int = 1,

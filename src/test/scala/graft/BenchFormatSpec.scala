@@ -33,12 +33,15 @@ class BenchFormatSpec extends AnyFunSuite {
   test("stdout shortKeys: q_ stripped, families abbreviated, object renamed to q") {
     val line = Bench.formatLine(
       Seq("q_agg_sum" -> 0.3, "q_b" -> 1.0, "q_ts_delta" -> 0.1,
+        "q_first_n" -> 0.1, "q_sessionize" -> 0.2,
         "q_multimodal_pixels" -> 0.2), Seq("q_text_bad"),
       "sf0.1", partial = false, shortKeys = true)
     val n = mapper.readTree(line)
     assert(n.get("q").get("a_sum") != null) // agg -> a
     assert(n.get("q").get("m_pixels") != null) // multimodal -> m
-    assert(n.get("q").get("ts_delta") != null) // unmapped family unchanged
+    assert(n.get("q").get("y_delta") != null) // ts -> y (late-r7 extension)
+    assert(n.get("q").get("first_n") != null) // unmapped family unchanged
+    assert(n.get("q").get("sessionize") != null) // no underscore: bare even when mapped
     assert(n.get("q").get("b") != null) // no underscore: bare
     assert(n.get("queries") == null && n.get("q").get("q_agg_sum") == null)
     assert(n.get("failed").get(0).asText == "t_bad")
