@@ -418,6 +418,9 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Canon.documents(s, d), n = 3, tau = 0.6)),
     "q_dedup_clusters" -> ((s, d) => // connected components over verified pairs → keep-list
       Dedup.duplicateClusters(Canon.documents(s, d), n = 3, tau = 0.6)),
+    "q_dedup_keepers" -> ((s, d) => // quality-preferring keeper election:
+      // keep each cluster's argmax(quality, min id), not an arbitrary id
+      Dedup.qualityKeepers(Canon.documents(s, d), n = 3, tau = 0.6)),
     "q_dedup_containment" -> ((s, d) => // small-set-in-big-set near-dup (asymmetric)
       Dedup.containmentPairs(Canon.documents(s, d), t = 0.8)),
     "q_dedup_minhash" -> ((s, d) => // LSH candidates + exact verify; rows-only check
@@ -1754,6 +1757,39 @@ object SparkEntry {
          |reach(src, cur) AS (SELECT id, id FROM nodes
          |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.cur = e.a)
          |SELECT src AS doc_id, min(cur) AS keep_id FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // clusters as above + the q_text_score arithmetic + per-cluster argmax
+    "q_dedup_keepers" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS s FROM toks),
+         |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+         |                 any_value(a.n) AS na, any_value(b.n) AS nb
+         |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |good AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard FROM pairs) jp
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM good
+         |          UNION SELECT id_b, id_a FROM good),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, cur) AS (SELECT id, id FROM nodes
+         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.cur = e.a),
+         |comp AS (SELECT src AS doc_id, min(cur) AS cluster_id FROM reach GROUP BY src),
+         |q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt FROM documents),
+         |sc AS (SELECT doc_id, round(
+         |  least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2, 6) AS quality
+         |FROM q),
+         |j AS (SELECT c.doc_id, c.cluster_id, s.quality
+         |      FROM comp c JOIN sc s ON c.doc_id = s.doc_id),
+         |best AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rk FROM j) t
+         |  WHERE rk = 1)
+         |SELECT j.doc_id, j.cluster_id, b.keeper_id, j.quality
+         |FROM j JOIN best b ON j.cluster_id = b.cluster_id
+         |ORDER BY j.doc_id""".stripMargin,
     // curation pipeline: same score arithmetic as q_text_score, then
     // min-id-per-md5 keep list, then the q_sample_hash gate at 128/256
     "q_pipeline_curate" ->

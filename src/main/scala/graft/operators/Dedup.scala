@@ -269,6 +269,35 @@ object Dedup {
     clustersFromPairs(ngramJaccardPairs(df, n, tau, textCol, idCol),
       outIdCol = "doc_id", localEdges = localEdges)
 
+  /** Quality-preferring keeper election over the duplicate clusters —
+    * production dedup keeps the BEST member of each cluster, not an
+    * arbitrary one: rejoin the component labeling with the quality score
+    * and elect argmax(quality, tie → min id) per component. Output: one
+    * row per clustered doc `(id, cluster_id, keeper_id, quality)`; a doc
+    * survives the dedup iff id == keeper_id.
+    *
+    * Scale: the cluster labeling is verified-pair-sized (see
+    * [[clustersFromPairs]]); its join back to the corpus-scale score
+    * frame pins `shuffle_hash` — the labeling's subtree contains the
+    * unfiltered corpus scan, so an AQE broadcast election would ship a
+    * corpus-derived table (the plan-gate shape). The election window
+    * keys on the cluster label (component-cardinality, maximal), so the
+    * rank parallelizes and no single task sees more than one cluster.
+    */
+  def qualityKeepers(df: DataFrame, n: Int = 3, tau: Double = 0.6,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(df, n, tau, textCol, idCol)
+      .withColumnRenamed("doc_id", idCol).withColumnRenamed("keep_id", "cluster_id")
+    val scores = TextOps.qualityScore(df, textCol, idCol)
+    val j = clusters.hint("shuffle_hash").join(scores, Seq(idCol))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col(idCol).asc)
+    j.withColumn("keeper_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("cluster_id"), col("keeper_id"), col("quality"))
+      .orderBy(idCol)
+  }
+
   /** Embedding-cosine near-duplicate keep-list — the "semantic dedup"
     * deliverable over an embedding column: exact all-pairs cosine >= tau
     * (the validation tier; at 100 TB the sign-LSH bucket join generates

@@ -108,6 +108,22 @@ class DedupSpec extends SparkSuite {
     assert(clusters == Map(10L -> 10L, 20L -> 10L, 30L -> 10L)) // 40 absent: no pair
   }
 
+  test("keeper election prefers quality over the min id") {
+    // 10 and 20 are near-dups (J = 10/30 at the shared prefix); 20 scores
+    // higher on the length AND stopword terms, so the keeper must be 20 —
+    // NOT the min id the plain keep-list would choose
+    val docs = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (20L, "a b c d e f g h i j k l " +
+        "the and of to in is was for on with as by at from be this that it or"),
+      (30L, "totally different standalone text body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.qualityKeepers(docs, n = 3, tau = 0.3)
+      .select("doc_id", "cluster_id", "keeper_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((10L, 10L, 20L), (20L, 10L, 20L))) // cluster label min, keeper argmax
+  }
+
   test("clusters on an edgeless graph: empty result with the right schema, both tiers") {
     val lonely = Seq(
       (1L, "completely distinct first document body here"),
