@@ -184,7 +184,9 @@ object Multimodal {
       while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
         val id = tag(b, o)
         val size = le32(b, o + 4)
-        if (size < 0 || o + 8 + size > b.length) return None // truncated chunk
+        // bounds math in Long: a garbage size near Int.MaxValue would wrap
+        // `o + 8 + size` negative and sneak past an Int guard
+        if (size < 0 || o.toLong + 8L + size > b.length) return None // truncated chunk
         if (id == "fmt " && size >= 16) {
           val audioFormat = le16(b, o + 8)
           val bits = le16(b, o + 22)
@@ -213,8 +215,11 @@ object Multimodal {
     }
 
     def decode(rows: Iterator[MediaRow]): Iterator[AudioMeta] = rows.map { r =>
-      parse(r).getOrElse(AudioMeta(r.media_id, r.n_bytes, -1, -1, -1, -1,
-        -1, -1, -1, -1, ok = false))
+      // belt-and-braces quarantine: any parse exception on adversarial
+      // bytes maps to the ok=false row — garbage never kills a batch
+      scala.util.Try(parse(r)).toOption.flatten
+        .getOrElse(AudioMeta(r.media_id, r.n_bytes, -1, -1, -1, -1,
+          -1, -1, -1, -1, ok = false))
     }
   }
 

@@ -1,12 +1,12 @@
 package graft.sources
 
-import graft.CacheLedger.Tracked
 import graft.model.Canon
 import graft.model.Canon._
 import graft.operators.{TimeSeries => TS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** M1-M3 + I2: the dual-tier store — an in-memory arrival buffer layered
@@ -26,42 +26,88 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    arrivals) — flush it to disk first, then read disk only
   *    (`timeseries.re:357-361`).
   *
-  * Spark-first mapping: the memory tier is a cached DataFrame carrying an
-  * arrival-sequence column; qualification is ONE distributed aggregate over
-  * it (a per-series lag(1) monotonicity count + min-ts vs the disk upper
-  * bound); the M2 merge is `union` + the same `WindowGroupLimit` top-n every
-  * flat read uses — Catalyst, not hand-merging. The only driver-side state
-  * is the per-series disk bounds and the per-series qualification verdicts —
-  * both bounded by the series cardinality, exactly the metadata the
-  * reference's membuf holds (`src/membufq.re:45-47`).
+  * Spark-first mapping: the memory tier is an eagerly LOCAL-CHECKPOINTED
+  * DataFrame carrying an arrival-sequence column. Every buffer mutation
+  * swaps in a fresh checkpoint, which (a) materializes the new content
+  * immediately (decoupling it from non-replayable foreachBatch sources),
+  * and (b) truncates the plan to one `LogicalRDD` leaf — plan depth and
+  * block count stay CONSTANT over an unbounded micro-batch stream instead
+  * of growing one union/filter layer per batch. Qualification is ONE
+  * distributed aggregate over the buffer (a per-series lag(1) monotonicity
+  * count + min-ts vs the disk upper bound); the M2 merge is `union` + the
+  * same `WindowGroupLimit` top-n every flat read uses — Catalyst, not
+  * hand-merging.
+  *
+  * **Snapshot contract**: every frame this class returns (readLast,
+  * snapshot, lengthSplit) is built under the store lock from the
+  * checkpointed buffer plus a parquet relation whose file listing Spark
+  * pins at construction — an immutable snapshot of the store at call time.
+  * Superseded buffer checkpoints are kept alive for [[TieredStore.RetireDepth]]
+  * further mutations so in-flight readers stay valid; past that horizon
+  * their blocks are dropped and a stale reader fails LOUDLY
+  * (checkpoint-block-not-found) — never a silently doubled or stale answer.
+  *
+  * Driver-side state is the per-series disk bounds and qualification
+  * verdicts — the metadata the reference's membuf holds
+  * (`src/membufq.re:45-47`), bounded by series cardinality and CAPPED at
+  * `maxTrackedSeries` entries: a store pointed at more series than the cap
+  * stops tracking new bounds and conservatively degrades those series'
+  * reads to the always-correct merge/flush paths (reads stay flat, memory
+  * stays bounded, answers stay right).
   *
   * Scale notes (100 TB): the memory tier is an ingest BUFFER — bounded by
   * the spill threshold (reference `--shard-size`), not by corpus size; every
   * read-path aggregate runs over that bounded frame. The disk tier is the
   * partitioned ShardStore, whose series/day pruning does the heavy lifting;
   * the M1 verdict's value at scale is skipping the disk scan ENTIRELY for
-  * hot-tail reads (the common monitoring access pattern). Divergence from
-  * the reference, documented: membufq's `is_ascending` compares only the
-  * NEWEST buffered point against the disk bound (`src/membufq.re:23-27`),
-  * which admits a buffer whose tail dips below it; we require `min(buffer
-  * ts) >= disk max ts` — the sound form of the same intent (a failed check
-  * degrades to M3, never to a wrong answer).
+  * hot-tail reads (the common monitoring access pattern). Divergences from
+  * the reference, documented: (1) membufq's `is_ascending` compares only
+  * the NEWEST buffered point against the disk bound
+  * (`src/membufq.re:23-27`), which admits a buffer whose tail dips below
+  * it; we require the whole buffer beyond the bound. (2) The bound check is
+  * STRICT (`min(buffer ts) > disk max ts`): at a shared timestamp the
+  * (ts desc, rid desc) order can rank a disk row above a buffered one, so a
+  * tie must not qualify for the memory-only path — it degrades to the
+  * merge/flush paths, never to a wrong answer.
   *
   * Mutations are serialized on the store instance — the concurrency model
   * the reference enforces globally (`src/main.re:225-227`).
   */
-final class TieredStore(spark: SparkSession, val root: String) {
+final class TieredStore(spark: SparkSession, val root: String,
+                        val maxTrackedSeries: Int = TieredStore.DefaultMaxTrackedSeries) {
   import TieredStore._
 
   @volatile private var mem: DataFrame = emptyMem(spark)
   @volatile private var memEmpty = true
+  /** Superseded buffer checkpoints, oldest first; see the snapshot
+    * contract in the class doc. */
+  private val retiredFrames = scala.collection.mutable.Queue.empty[DataFrame]
   /** Per-series (min ts, max ts) of everything flushed to disk; the analog
     * of the membuf's cached `disk_range` (`src/membufq.re:45-47`).
     */
   private val diskBounds = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  /** True once any series' bounds were dropped on the cap: an ABSENT
+    * bounds entry then means "unknown", not "no disk data". */
+  @volatile private var boundsOverflow = false
+  @volatile private var diskNonEmpty = false
 
   private def canonSel(df: DataFrame): DataFrame =
     df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+
+  /** Swap the buffer to new content: eagerly local-checkpoint the plan
+    * (materialized blocks, depth-1 `LogicalRDD` plan), then retire the
+    * superseded frame. Checkpoints older than [[RetireDepth]] swaps have
+    * their blocks dropped deterministically via [[CheckpointBridge]].
+    */
+  private def swapMem(plan: DataFrame): Unit = {
+    val old = mem
+    mem = plan.localCheckpoint(eager = true)
+    if (!memEmpty) {
+      retiredFrames.enqueue(old)
+      while (retiredFrames.size > RetireDepth)
+        CheckpointBridge.releaseCheckpoint(retiredFrames.dequeue())
+    }
+  }
 
   /** Direct-to-disk append (the batch ingest path). */
   def appendDisk(df: DataFrame): Unit = this.synchronized {
@@ -76,7 +122,7 @@ final class TieredStore(spark: SparkSession, val root: String) {
   def appendMemory(df: DataFrame, seqCol: String): Unit = this.synchronized {
     val slice = df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE),
       col(RID), col(seqCol).cast(LongType).as(SEQ))
-    mem = (if (memEmpty) slice else mem.unionByName(slice)).trackedCache
+    swapMem(if (memEmpty) slice else mem.unionByName(slice))
     memEmpty = false
   }
 
@@ -87,22 +133,26 @@ final class TieredStore(spark: SparkSession, val root: String) {
     val moving = canonSel(mem.filter(col(SERIES).isin(ids: _*)))
     ShardStore.append(moving, root)
     updateBounds(moving)
-    mem = mem.filter(!col(SERIES).isin(ids: _*)).trackedCache
-    if (mem.isEmpty) { mem = emptyMem(spark); memEmpty = true }
+    swapMem(mem.filter(!col(SERIES).isin(ids: _*)))
+    if (mem.isEmpty) { swapMem(emptyMem(spark)); memEmpty = true }
   }
 
-  private def updateBounds(slice: DataFrame): Unit =
-    slice.groupBy(SERIES).agg(min(TS_US).as("lo"), max(TS_US).as("hi"))
-      .collect() // bounded by series cardinality — membuf-equivalent metadata
-      .foreach { r =>
-        val (s, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+  private def updateBounds(slice: DataFrame): Unit = {
+    val rows = slice.groupBy(SERIES).agg(min(TS_US).as("lo"), max(TS_US).as("hi"))
+      .collect() // bounded by series cardinality, capped at maxTrackedSeries
+    if (rows.nonEmpty) diskNonEmpty = true
+    rows.foreach { r =>
+      val (s, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      if (diskBounds.contains(s) || diskBounds.size < maxTrackedSeries)
         diskBounds.updateWith(s) {
           case Some((l, h)) => Some((math.min(l, lo), math.max(h, hi)))
           case None         => Some((lo, hi))
         }
-      }
+      else boundsOverflow = true // untracked: this series degrades to M2/M3
+    }
+  }
 
-  private def diskHasData: Boolean = diskBounds.nonEmpty
+  private def diskHasData: Boolean = diskNonEmpty
 
   private def disk(ids: Seq[String]): DataFrame =
     if (!diskHasData) emptyCanon(spark)
@@ -125,14 +175,22 @@ final class TieredStore(spark: SparkSession, val root: String) {
       .groupBy(SERIES)
       .agg(count(lit(1)).as("cnt"), min(TS_US).as("min_ts"),
         sum(when(col("__prev_ts") > col(TS_US), 1L).otherwise(0L)).as("viol"))
-      .collect() // bounded by series cardinality
+      .collect() // bounded by the queried series count
       .map(r => r.getString(0) -> MemStat(r.getLong(1), r.getLong(2), r.getLong(3) == 0L))
       .toMap
   }
 
-  /** Buffer lies entirely beyond everything on disk for this series. */
+  /** Buffer lies STRICTLY beyond everything on disk for this series. A tie
+    * (buffer min ts == disk max ts) must NOT qualify: under (ts desc,
+    * rid desc) a disk row at the shared timestamp can outrank a buffered
+    * one, so ties take the always-correct merge/flush paths. A series with
+    * cap-evicted (unknown) bounds is conservatively not-beyond.
+    */
   private def beyondDisk(s: String, st: MemStat): Boolean =
-    diskBounds.get(s).forall { case (_, hi) => st.minTs >= hi }
+    diskBounds.get(s) match {
+      case Some((_, hi)) => st.minTs > hi
+      case None          => !boundsOverflow
+    }
 
   /** Q1 `last n` through the tier decision (`timeseries.re:357-382`):
     * per queried series — M1 memory-only when the sorted-and-beyond buffer
@@ -165,8 +223,11 @@ final class TieredStore(spark: SparkSession, val root: String) {
   /** The whole store as one canonical frame (memory ∪ disk) — the input
     * for every route that has no tier-aware fast path (since/range/aggs:
     * they read both tiers anyway, and Catalyst prunes the disk side).
+    * Built under the lock: the memory side is the current checkpoint, the
+    * disk side a relation whose file listing is pinned at construction —
+    * an immutable snapshot per the class contract.
     */
-  def snapshot: DataFrame = {
+  def snapshot: DataFrame = this.synchronized {
     val m = if (memEmpty) emptyCanon(spark) else canonSel(mem)
     if (!diskHasData) m
     else m.unionByName(ShardStore.read(spark, root))
@@ -175,6 +236,13 @@ final class TieredStore(spark: SparkSession, val root: String) {
   /** Number of buffered points (the membuf length, one job over the
     * bounded buffer). */
   def bufferedCount(): Long = if (memEmpty) 0L else mem.count()
+
+  /** Buffer plan depth + tracked-bounds size, for lifecycle tests. */
+  private[graft] def lifecycleStats: (Int, Int) =
+    (memPlanDepth(mem.queryExecution.analyzed), diskBounds.size)
+
+  private def memPlanDepth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    1 + (if (p.children.isEmpty) 0 else p.children.map(memPlanDepth).max)
 
   /** S3 ingest-side spill policy (reference `--shard-size`,
     * `src/main.re:10`; spill at `timeseries.re:158-168`): buffer the
@@ -188,15 +256,16 @@ final class TieredStore(spark: SparkSession, val root: String) {
       appendMemory(batch, seqCol)
       val full = mem.groupBy(SERIES).agg(count(lit(1)).as("n"))
         .filter(col("n") >= spillThreshold)
-        .collect().map(_.getString(0)) // bounded by series cardinality
+        .collect().map(_.getString(0)) // bounded: buffer size / threshold
       if (full.nonEmpty) flushLocked(full.toSeq)
     }
 
   /** I2: per-series memory/disk length split
     * (`/root/reference/src/timeseries.re:187-213`, routes
     * `memory/length` + `disk/length`, `src/main.re:184-185`).
+    * Snapshot semantics as [[snapshot]].
     */
-  def lengthSplit(ids: Seq[String]): DataFrame = {
+  def lengthSplit(ids: Seq[String]): DataFrame = this.synchronized {
     val m = (if (memEmpty) emptyCanon(spark) else memCanon(ids))
       .groupBy(SERIES).agg(count(lit(1)).as("mem_len"))
     val d = disk(ids).groupBy(SERIES).agg(count(lit(1)).as("disk_len"))
@@ -213,6 +282,18 @@ final class TieredStore(spark: SparkSession, val root: String) {
 object TieredStore {
   /** Arrival-sequence column of the memory tier (membuf FIFO position). */
   val SEQ = "__seq"
+
+  /** How many superseded buffer checkpoints stay alive after a mutation:
+    * a returned frame remains a valid immutable snapshot for at least this
+    * many subsequent mutations, then fails loudly if still unevaluated.
+    */
+  val RetireDepth = 8
+
+  /** Cap on driver-tracked per-series disk bounds (the membuf metadata).
+    * ~48 bytes/entry → a few tens of MB at the cap; beyond it new series
+    * degrade to the merge/flush read paths instead of growing the map.
+    */
+  val DefaultMaxTrackedSeries: Int = 1 << 20
 
   private def emptyCanon(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -14,3 +14,24 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Deterministic release of `Dataset.localCheckpoint` blocks.
+  *
+  * `Dataset.unpersist` only talks to the SQL `CacheManager`; a local
+  * checkpoint's blocks belong to the UNDERLYING RDD (the `LogicalRDD` leaf
+  * the checkpoint rewrote the plan to), so without this hop superseded
+  * checkpoints linger until the ContextCleaner happens to GC the RDD.
+  * Walking the analyzed plan's leaves and unpersisting their RDDs drops the
+  * blocks promptly; any later attempt to recompute the released checkpoint
+  * fails loudly (checkpoint block not found) rather than silently
+  * recomputing stale lineage — exactly the failure mode a retired
+  * immutable snapshot should have.
+  */
+object CheckpointBridge {
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

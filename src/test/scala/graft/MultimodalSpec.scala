@@ -341,6 +341,18 @@ class MultimodalSpec extends SparkSuite {
     val body = "WAVE".getBytes ++ fmtF ++ "data".getBytes ++ le32(0)
     val wav = "RIFF".getBytes ++ le32(body.length) ++ body
     assert(Multimodal.WavDecoder.parse(r(wav)).isEmpty)
+    // adversarial chunk size near Int.MaxValue: `o + 8 + size` wraps
+    // negative in Int arithmetic — the Long-math guard must quarantine
+    // instead of letting the sample loop run off the array (r7 advice)
+    val fmtOk = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val bomb = "data".getBytes ++ le32(0x7ffffff0) ++ le16(1) ++ le16(2)
+    val body2 = "WAVE".getBytes ++ fmtOk ++ bomb
+    val wav2 = "RIFF".getBytes ++ le32(body2.length) ++ body2
+    assert(Multimodal.WavDecoder.parse(r(wav2)).isEmpty)
+    // and through decode(): the poisoned row flows as ok=false data
+    val out = Multimodal.WavDecoder.decode(Iterator(r(wav2))).toList
+    assert(out.length == 1 && !out.head.ok)
   }
 
   test("synthetic audio round-trips through the real RIFF walk exactly") {

@@ -117,6 +117,75 @@ class TieredStoreSpec extends SparkSuite {
     assert(st.readLast(Seq("a", "b"), 12).count() == 15L)
   }
 
+  test("a timestamp TIE between buffer min and disk max never takes the M1 path") {
+    // r7 advice (high): disk holds (ts=T, rid=5); the buffer holds (ts=T,
+    // rid=1) plus later points. Under (ts desc, rid desc) the DISK row at
+    // the shared timestamp outranks the buffered one — a >= bound check
+    // would qualify M1 (memory-only) and drop rid=5 from the answer.
+    val st = new TieredStore(spark, tmpDir("tier"))
+    st.appendDisk(Seq(dp("a", T0, 5), dp("a", T0 - 1000L, 4)).toDF())
+    st.appendMemory(
+      arriving(Seq(dp("a", T0, 1), dp("a", T0 + 1000L, 2), dp("a", T0 + 2000L, 3))),
+      TieredStore.SEQ)
+    val rids = st.readLast(Seq("a"), 3).select("rid").as[Long].collect().toSeq
+    assert(rids == Seq(3L, 2L, 5L)) // at ts=T0 the disk rid 5 outranks mem rid 1
+    // and the flat snapshot agrees (tier invisibility at the tie)
+    val flat = graft.operators.TimeSeries
+      .readLast(st.snapshot, Seq("a"), 3).select("rid").as[Long].collect().toSeq
+    assert(flat == rids)
+  }
+
+  test("returned frames are immutable snapshots across subsequent mutations") {
+    val st = freshSorted() // 100 on disk, 20 buffered
+    val snap = st.snapshot
+    val split = st.lengthSplit(Seq("a"))
+    st.flush(Seq("a")) // moves the 20 buffered rows to disk
+    // evaluated AFTER the flush, the pre-flush snapshot must not double-count
+    assert(snap.count() == 120L)
+    val r = split.head()
+    assert(r.getLong(1) == 20L && r.getLong(2) == 100L)
+    // while a fresh read sees the post-flush state
+    val r2 = st.lengthSplit(Seq("a")).head()
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 120L)
+  }
+
+  test("buffer plan depth and checkpoint block count stay bounded over many batches") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val st = new TieredStore(spark, tmpDir("tier"))
+    (0L until 25L).foreach { i =>
+      st.ingest(arriving(Seq(dp("a", T0 + i * 1000L, i))), TieredStore.SEQ,
+        spillThreshold = 7L)
+    }
+    val (depth, _) = st.lifecycleStats
+    assert(depth <= 3, s"buffer lineage grew with batch count: depth $depth")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= TieredStore.RetireDepth + 2,
+      s"superseded buffer checkpoints accumulate: $before -> $after")
+    // nothing lost across 25 swaps + spills
+    assert(st.readLast(Seq("a"), 25).count() == 25L)
+  }
+
+  test("series-cardinality cap: untracked series degrade to correct merge/flush reads") {
+    val st = new TieredStore(spark, tmpDir("tier"), maxTrackedSeries = 4)
+    val many = (0 until 10).flatMap(s =>
+      (0L until 5L).map(i => dp(f"s$s%02d", T0 + i * 1000L, s * 100L + i)))
+    st.appendDisk(many.toDF())
+    assert(st.lifecycleStats._2 == 4) // map capped, not grown
+    // s09 is untracked; a beyond-bound buffer must NOT shortcut to M1
+    st.appendMemory(
+      arriving((5L until 8L).map(i => dp("s09", T0 + i * 1000L, 900L + i))),
+      TieredStore.SEQ)
+    val rids = st.readLast(Seq("s09"), 5).select("rid").as[Long].collect().toSeq
+    assert(rids == Seq(907L, 906L, 905L, 904L, 903L))
+    // a TRACKED series still rides the fast path with no disk scan
+    st.appendMemory(
+      arriving((5L until 10L).map(i => dp("s00", T0 + i * 1000L, i))),
+      TieredStore.SEQ)
+    val q = st.readLast(Seq("s00"), 3)
+    assert(!q.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(q.select("rid").as[Long].collect().toSeq == Seq(9L, 8L, 7L))
+  }
+
   test("router routes run against the live store; tier routes answer the split") {
     val st = freshSorted() // 100 on disk, 20 buffered
     val series = Seq("a")
