@@ -267,11 +267,25 @@ object SparkEntry {
     "q_tier_split" -> ((s, d) => tierStore(s, d, "sorted").lengthSplit(IDS5)),
     // I7 health route (main.re:169-173): the route grammar answers it
     "q_health" -> ((s, d) => graft.api.Router.run(ev(s, d), "info/status")),
-    // ----- U2/I1/I5/I6: metadata (SURVEY §2.7/§2.9)
-    "q_names" -> ((s, d) => TS.names(ev(s, d))),
+    // ----- U2/I1/I5/I6: metadata (SURVEY §2.7/§2.9), answered THROUGH
+    // the reference's own URL routes (main.re:183-192) so the route
+    // surface itself sits under the oracle
+    "q_names" -> ((s, d) => graft.api.Router.run(ev(s, d), "info/ts/names")),
     "q_length" -> ((s, d) => TS.length(ev(s, d), IDS3)),
-    "q_stats" -> ((s, d) => TS.stats(ev(s, d))),
+    "q_stats" -> ((s, d) => graft.api.Router.run(ev(s, d), "info/ts/stats")),
     "q_index_info" -> ((s, d) => TS.indexInfo(ev(s, d))),
+    // I3/I4 index routes (main.re:186-187): shard = (series, utc-day)
+    "q_index" -> ((s, d) =>
+      graft.api.Router.run(ev(s, d), "ts/click/index")),
+    "q_index_length" -> ((s, d) =>
+      graft.api.Router.run(ev(s, d), s"ts/${IDS3.mkString(",")}/index/length")),
+    // S6 ctl/ts/sync (main.re:188) against a LIVE tier store: the flush
+    // is observable as the whole corpus landing on the disk tier
+    "q_sync" -> ((s, d) => {
+      val st = tierStore(s, d, "sync")
+      graft.api.Router.run(st, "ctl/ts/sync").collect() // drive the flush
+      st.lengthSplit(IDS5)
+    }),
     // ----- beyond parity: group-by + time-window generalizations
     "q_agg_by_series" -> ((s, d) =>
       TS.aggregateBySeries(ev(s, d), TS.Mean).select(col("series"), round(col("mean"), 6).as("mean"))),
@@ -1181,6 +1195,18 @@ object SparkEntry {
       "q_index_info" ->
         s"""$CANON_SQL SELECT series, min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us,
            |count(*) AS length FROM c GROUP BY series ORDER BY series""".stripMargin,
+      "q_index" ->
+        s"""$CANON_SQL SELECT (ts_us // 86400000000) * 86400000000 AS shard_day_us,
+           |min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us, count(*) AS length
+           |FROM c WHERE series = 'click' GROUP BY shard_day_us ORDER BY shard_day_us""".stripMargin,
+      "q_index_length" ->
+        s"""$CANON_SQL SELECT count(*) AS length FROM (
+           |  SELECT DISTINCT series, ts_us // 86400000000 AS d FROM c WHERE $idsIn3) t""".stripMargin,
+      // after sync the buffer is empty: every series' points sit on disk
+      "q_sync" ->
+        s"""$CANON_SQL SELECT series, CAST(0 AS BIGINT) AS mem_len,
+           |count(*) AS disk_len, count(*) AS len
+           |FROM c GROUP BY series ORDER BY series""".stripMargin,
       "q_agg_by_series" ->
         s"$CANON_SQL SELECT series, round(avg(value), 6) AS mean FROM c GROUP BY series ORDER BY series",
       "q_agg_quantiles" ->

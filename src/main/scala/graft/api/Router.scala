@@ -16,11 +16,18 @@ import org.apache.spark.sql.DataFrame
   *   Router.run(df, "names") ; Router.run(df, "s1/length")
   * }}}
   *
-  * Route grammar (reference `src/main.re:177-190`, xargs dispatch
+  * Route grammar (reference `src/main.re:177-192`, xargs dispatch
   * `src/timeseries.re:502-511`):
   *   <ids>/last/<n>[/xargs] | <ids>/latest[/xargs] | <ids>/first/<n>[/xargs]
   *   | <ids>/earliest[/xargs] | <ids>/since/<t>[/xargs]
-  *   | <ids>/range/<t1>/<t2>[/xargs] | <ids>/length | names
+  *   | <ids>/range/<t1>/<t2>[/xargs] | <ids>/length
+  *   | <ids>/memory/length | <ids>/disk/length | <ids>/index/length
+  *   | <id>/index | names | info/ts/names | info/ts/stats | info/status
+  *   | ctl/ts/sync
+  * A leading `ts/` segment (the reference URL prefix for series routes,
+  * `main.re:177`) is accepted and stripped so full reference paths replay
+  * verbatim; a series literally named "ts" must be addressed without the
+  * prefix.
   * xargs: filter/<name>/<equals|contains>/<value>[/<agg>] | <agg>
   *
   * Divergence (documented, SURVEY §7.5 #3): `equals` with a trailing
@@ -52,6 +59,8 @@ object Router {
       store.lengthSplit(ids.split(',').toSeq)
         .agg(coalesce(sum(col), lit(0L)).as("length"))
     parts match {
+      case "ts" :: rest if rest.nonEmpty => run(store, rest.mkString("/"))
+      case "ctl" :: "ts" :: "sync" :: Nil => store.sync(); health(store.snapshot)
       case ids :: "last" :: n :: Nil => store.readLast(ids.split(',').toSeq, n.toInt)
       case ids :: "latest" :: Nil => store.readLast(ids.split(',').toSeq, 1)
       case ids :: "memory" :: "length" :: Nil => tierLength("mem_len", ids)
@@ -63,8 +72,14 @@ object Router {
   def run(df: DataFrame, route: String): DataFrame = {
     val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
     parts match {
+      case "ts" :: rest if rest.nonEmpty => run(df, rest.mkString("/"))
       case "names" :: Nil => TS.names(df)
+      case "info" :: "ts" :: "names" :: Nil => TS.names(df)
+      case "info" :: "ts" :: "stats" :: Nil => TS.stats(df)
       case "info" :: "status" :: Nil => health(df)
+      // sync against a flat frame: nothing is buffered, ack like the
+      // reference's empty-membuf flush (`src/timeseries.re:166-168`)
+      case "ctl" :: "ts" :: "sync" :: Nil => health(df)
       case ids :: rest =>
         val series = ids.split(',').toSeq
         rest match {
@@ -76,6 +91,8 @@ object Router {
           case "range" :: t1 :: t2 :: xargs =>
             pipe(TS.readRange(df, series, t1.toLong, t2.toLong), xargs)
           case "length" :: Nil => TS.length(df, series)
+          case "index" :: "length" :: Nil => TS.indexLength(df, series)
+          case "index" :: Nil => TS.index(df, ids)
           case _ => throw new IllegalArgumentException(s"unknown path: $route")
         }
       case _ => throw new IllegalArgumentException(s"unknown path: $route")

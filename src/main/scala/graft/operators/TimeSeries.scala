@@ -182,6 +182,32 @@ object TimeSeries {
       count(lit(1)).as("length")
     ).orderBy(SERIES)
 
+  private val DAY_US = 86400000000L
+
+  /** I3 route `<ids>/index/length` (reference `src/main.re:186`,
+    * `length_of_index`): the number of index entries covering the ids.
+    * Our shard is the (series, utc-day) ShardStore partition, so the
+    * index length is the count of distinct (series, day) shards.
+    */
+  def indexLength(df: DataFrame, ids: Seq[String]): DataFrame =
+    selectSeries(df, ids)
+      .select(col(SERIES), floor(col(TS_US) / DAY_US).as("__day"))
+      .distinct()
+      .agg(count(lit(1)).as("length"))
+
+  /** I4 route `<id>/index` (reference `src/main.re:187`, `get_index`):
+    * the series' shard index as data — one row per utc-day shard with its
+    * covered [t1,t2] range and point count, the observable content of the
+    * reference's interval index (`src/index.re:92-105`).
+    */
+  def index(df: DataFrame, id: String): DataFrame =
+    selectSeries(df, Seq(id))
+      .groupBy((floor(col(TS_US) / DAY_US) * DAY_US).cast("long").as("shard_day_us"))
+      .agg(min(col(TS_US)).as("min_ts_us"),
+        max(col(TS_US)).as("max_ts_us"),
+        count(lit(1)).as("length"))
+      .orderBy("shard_day_us")
+
   // ----------------------------------------------------- beyond parity
 
   /** Beyond-parity: group-by-series aggregation (the reference has no

@@ -129,6 +129,18 @@ final class TieredStore(spark: SparkSession, val root: String,
   /** M3 / S6: flush the named series' buffered points to the disk tier. */
   def flush(ids: Seq[String]): Unit = this.synchronized { flushLocked(ids) }
 
+  /** S6 `ctl/ts/sync` (reference `src/main.re:188`, `timeseries_sync` →
+    * `Timeseries.flush`): flush EVERY buffered series to disk. Idempotent —
+    * a second sync on an empty buffer is a no-op.
+    */
+  def sync(): Unit = this.synchronized {
+    if (!memEmpty) {
+      val ids = mem.select(SERIES).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by buffered series count
+      if (ids.nonEmpty) flushLocked(ids)
+    }
+  }
+
   private def flushLocked(ids: Seq[String]): Unit = if (!memEmpty) {
     val moving = canonSel(mem.filter(col(SERIES).isin(ids: _*)))
     ShardStore.append(moving, root)

@@ -43,6 +43,56 @@ class RouterSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Router.run(df, "s1/last/3/filter/a/like/b") }
   }
 
+  test("every reference GET route string dispatches (main.re:177-192)") {
+    // ts_us chosen so s1 spans two utc-day shards, s2 one
+    val day = 86400000000L
+    val idx = Seq(
+      Datapoint("s1", 100L, None, 1.0, 1),
+      Datapoint("s1", day + 500L, None, 2.0, 2),
+      Datapoint("s2", 300L, None, 3.0, 3)
+    ).toDF()
+    // the five routes wired in r8, flat-frame overload:
+    assert(Router.run(idx, "s1,s2/index/length").as[Long].head() == 3L)
+    val shards = Router.run(idx, "s1/index")
+      .select("shard_day_us", "min_ts_us", "max_ts_us", "length")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(shards == Seq((0L, 100L, 100L, 1L), (day, day + 500L, day + 500L, 1L)))
+    assert(Router.run(idx, "info/ts/names").as[String].collect().toSeq == Seq("s1", "s2"))
+    assert(Router.run(idx, "info/ts/stats").select("series", "length")
+      .as[(String, Long)].collect().toSeq == Seq(("s1", 2L), ("s2", 1L)))
+    assert(Router.run(idx, "ctl/ts/sync").head().getString(0) == "ok")
+    // full reference URL paths replay with the ts/ prefix intact
+    assert(Router.run(idx, "ts/s1/last/1").select("rid").as[Long].head() == 2L)
+    assert(Router.run(idx, "/ts/s1,s2/length").as[Long].head() == 3L)
+    // every GET route shape from the reference dispatch table runs
+    val all = Seq("ts/s1/last/2", "ts/s1/latest", "ts/s1/first/2", "ts/s1/earliest",
+      "ts/s1/since/0", "ts/s1/range/0/500", "ts/s1/length", "ts/s1,s2/index/length",
+      "ts/s1/index", "info/ts/names", "info/ts/stats", "info/status", "ctl/ts/sync")
+    all.foreach(r => assert(Router.run(idx, r).collect().nonEmpty, r))
+  }
+
+  test("ctl/ts/sync against a live store flushes every buffered series") {
+    import graft.sources.TieredStore
+    import org.apache.spark.sql.functions.col
+    val st = new TieredStore(spark, tmpDir("routersync"))
+    st.appendDisk(Seq(Datapoint("s1", 100L, None, 1.0, 1)).toDF())
+    st.appendMemory(
+      Seq(Datapoint("s1", 900L, None, 2.0, 2), Datapoint("s2", 901L, None, 3.0, 3))
+        .toDF().withColumn(TieredStore.SEQ, col("rid")),
+      TieredStore.SEQ)
+    assert(st.bufferedCount() == 2L)
+    assert(Router.run(st, "ctl/ts/sync").head().getString(0) == "ok")
+    assert(st.bufferedCount() == 0L)
+    val split = st.lengthSplit(Seq("s1", "s2")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(split == Seq(("s1", 0L, 2L), ("s2", 0L, 1L)))
+    // store overload also replays ts-prefixed reference paths
+    assert(Router.run(st, "ts/s1/memory/length").as[Long].head() == 0L)
+    assert(Router.run(st, "ts/s1,s2/disk/length").as[Long].head() == 3L)
+    // idempotent second sync
+    assert(Router.run(st, "ctl/ts/sync").head().getString(0) == "ok")
+  }
+
   test("wire JSON: reference field order, tag omitted when absent") {
     val rows = Wire.toJsonRows(Router.run(df, "s1/first/3"))
       .as[String].collect()
