@@ -111,6 +111,60 @@ object SparkEntry {
     * disk-only store (same rows either way). Store builds and the one-time
     * flush are warmup cost, like ttStores.
     */
+  /** Build-once-per-process END-TO-END reference lifecycle store
+    * (VERDICT r7 item 2): canonical events — deduped to unique
+    * (series, ts_us) so last-n reads are independent of the content-derived
+    * rid tiebreak — are serialized to the reference's POST wire shape
+    * `{"series": s, "point": {"timestamp":…, "tag":[…], "value":…}}`,
+    * landed as files, and stream-ingested through `startTieredFileStream`
+    * (validate → memory buffer → per-series spill at the threshold), one
+    * micro-batch per file. The end state straddles both tiers; the
+    * composed q_e2e_lifecycle row then queries it THROUGH the router and
+    * serializes THROUGH the wire sink, so the full reference data path —
+    * wire in, tiered store, URL query, wire out — sits under one oracle.
+    */
+  private val e2eStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
+  private def e2eStore(s: SparkSession, d: String): TieredStore =
+    e2eStores.synchronized {
+      e2eStores.getOrElseUpdate(d, {
+        val tagId = Integer.toHexString(d.hashCode)
+        val in = StreamScratch.dir(s"e2e_in_$tagId")
+        val ckpt = StreamScratch.dir(s"e2e_ckpt_$tagId")
+        val st = new TieredStore(s, StreamScratch.dir(s"e2e_store_$tagId"))
+        // wire lines: tag entries with null values dropped (props without
+        // a k key), tag omitted when empty — the reference's optional-tag
+        // shapes; to_json emits timestamp/tag/value in wire key order
+        val tagClean = filter(col("tag"), e => e.getField("value").isNotNull)
+        val point = to_json(struct(
+          col("ts_us").as("timestamp"),
+          transform(
+            when(size(tagClean) > 0, tagClean).otherwise(lit(null).cast(Canon.tagType)),
+            e => map(e.getField("name"), e.getField("value"))).as("tag"),
+          col("value").as("value")))
+        e2eUnique(ev(s, d))
+          .select(concat(lit("{\"series\":\""), col("series"),
+            lit("\",\"point\":"), point, lit("}")).as("value"))
+          .repartition(6)
+          .write.mode("overwrite").text(in)
+        val q = graft.streaming.Ingest.startTieredFileStream(s, in, st, ckpt,
+          spillThreshold = 1100L,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          maxFilesPerTrigger = Some(1))
+        require(q.awaitTermination(300000L), "e2e ingest stream did not terminate in 300s")
+        st
+      })
+    }
+
+  /** Events deduped to one row per (series, ts_us), lowest rid kept — the
+    * e2e corpus whose last-n reads don't depend on the rid tiebreak.
+    */
+  private def e2eUnique(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series"), col("ts_us")).orderBy(col("rid"))
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   private val tierStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
   private def tierStore(s: SparkSession, d: String, scenario: String): TieredStore =
     tierStores.synchronized {
@@ -285,6 +339,18 @@ object SparkEntry {
       val st = tierStore(s, d, "sync")
       graft.api.Router.run(st, "ctl/ts/sync").collect() // drive the flush
       st.lengthSplit(IDS5)
+    }),
+    // ----- the FULL reference lifecycle in one row (VERDICT r7 item 2):
+    // POST wire JSON → streaming tiered ingest (buffer → per-series
+    // spill) → reference URL query through the router → wire JSON out.
+    // The wire output is parsed back so the oracle compares the number,
+    // not cross-engine float formatting.
+    "q_e2e_lifecycle" -> ((s, d) => {
+      val st = e2eStore(s, d)
+      val agg = graft.api.Router.run(st,
+        "ts/click,error/last/200/filter/u/equals/3/sum")
+      graft.api.Wire.aggToJson(agg).select(
+        round(get_json_object(col("json"), "$.sum").cast("double"), 4).as("sum"))
     }),
     // ----- beyond parity: group-by + time-window generalizations
     "q_agg_by_series" -> ((s, d) =>
@@ -1207,6 +1273,17 @@ object SparkEntry {
         s"""$CANON_SQL SELECT series, CAST(0 AS BIGINT) AS mem_len,
            |count(*) AS disk_len, count(*) AS len
            |FROM c GROUP BY series ORDER BY series""".stripMargin,
+      // e2e: same dedup the wire generator applies, then the routed query
+      // (last 200 per series over click,error; tag u = 3; sum)
+      "q_e2e_lifecycle" ->
+        s"""$CANON_SQL, u AS (
+           |  SELECT * FROM c
+           |  QUALIFY row_number() OVER (PARTITION BY series, ts_us ORDER BY rid) = 1
+           |), l AS (
+           |  SELECT * FROM u WHERE series IN ('click', 'error')
+           |  QUALIFY row_number() OVER (PARTITION BY series ORDER BY ts_us DESC) <= 200
+           |)
+           |SELECT round(sum(value), 4) AS sum FROM l WHERE tag_u = '3'""".stripMargin,
       "q_agg_by_series" ->
         s"$CANON_SQL SELECT series, round(avg(value), 6) AS mean FROM c GROUP BY series ORDER BY series",
       "q_agg_quantiles" ->

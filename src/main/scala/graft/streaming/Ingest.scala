@@ -61,9 +61,12 @@ object Ingest {
   def startTieredFileStream(spark: SparkSession, inDir: String,
                             store: graft.sources.TieredStore, checkpoint: String,
                             spillThreshold: Long,
-                            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+                            trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import graft.sources.TieredStore
-    val lines = spark.readStream.text(inDir)
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream)(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    val lines = reader.text(inDir)
     val wire = lines.select(
       get_json_object(col("value"), "$.series").as("series"),
       get_json_object(col("value"), "$.point").as("json"))
