@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   * manifest, so each historical version stays readable forever (time
   * travel) and readers never block on writers.
   *
-  * Concurrency contract: SINGLE WRITER — faithful to the reference, whose
-  * global request mutex serializes every mutation (`src/main.re:225-227`).
-  * Readers are safe at any moment: a manifest is either absent or
-  * complete (the commit rename is atomic on HDFS and POSIX filesystems;
-  * object stores substitute a conditional put — same public pattern).
+  * Concurrency contract: optimistic single-winner — faithful to the
+  * reference, whose global request mutex serializes every mutation
+  * (`src/main.re:225-227`), but hardened for the case the reference never
+  * faces: two writers racing the same version number. The commit publish
+  * is a true compare-and-swap on the version file name — POSIX link(2)
+  * (atomically EEXIST-fails) for local filesystems, no-overwrite
+  * FileContext rename for HDFS, a conditional put for object stores (same
+  * public Delta/Iceberg optimistic-concurrency pattern) — so the loser
+  * gets a clean [[ConcurrentCommitException]], the chain stays linear,
+  * and the winner's manifest is never silently overwritten. Readers are
+  * safe at any moment: a manifest is either absent or complete.
   *
   * 100 TB story: manifests are KB-sized regardless of data volume (they
   * name directories, not files, so there is no O(files) driver-side
@@ -33,6 +39,12 @@ import org.apache.spark.sql.functions._
   * path, trivially diffable, and versioned by file name (`v%08d.txt`).
   */
 object VersionedStore {
+
+  /** A competing writer committed this version first. The caller's data
+    * dir (if any) is orphaned — never referenced by a manifest — and the
+    * committed chain is untouched; reload the latest version and retry.
+    */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   /** One committed version: `dirs` are the data directories (relative to
     * `root/data/`) whose union is the store content at `version`.
@@ -60,26 +72,62 @@ object VersionedStore {
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
         Commit(n.stripPrefix("v").stripSuffix(".txt").toInt,
-          lines.head.stripPrefix("op "), lines.tail.map(_.stripPrefix("dir ")))
+          lines.find(_.startsWith("op ")).fold("?")(_.stripPrefix("op ")),
+          lines.filter(_.startsWith("dir ")).map(_.stripPrefix("dir ")))
       }
   }
 
   private def nextVersion(spark: SparkSession, root: String): Int =
     versions(spark, root).lastOption.map(_.version).getOrElse(0) + 1
 
-  private def commitAt(spark: SparkSession, root: String, v: Int,
-                       op: String, dirs: Seq[String]): Int = {
+  private[graft] def commitAt(spark: SparkSession, root: String, v: Int,
+                              op: String, dirs: Seq[String]): Int = {
     val fs = fsOf(spark, root)
     val mdir = new Path(root, MANIFESTS)
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, f".v$v%08d.tmp")
+    val txn = java.util.UUID.randomUUID().toString
+    val tmp = new Path(mdir, f".v$v%08d-$txn.tmp")
+    val dest = new Path(mdir, f"v$v%08d.txt")
     val out = fs.create(tmp, true)
-    try out.write((s"op $op" +: dirs.map("dir " + _)).mkString("\n").getBytes("UTF-8"))
+    try out.write((s"op $op" +: dirs.map("dir " + _) :+ s"txn $txn")
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, new Path(mdir, f"v$v%08d.txt")),
-      s"manifest commit rename failed for version $v (concurrent writer?)")
+    if (!publishExclusive(spark, fs, tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new ConcurrentCommitException(
+        s"version $v was committed by a concurrent writer while this " +
+        s"$op was in flight; the chain is intact — reload and retry")
+    }
     v
   }
+
+  /** Atomically publish `tmp` as `dest`, failing (false) when `dest`
+    * already exists — the CAS at the heart of optimistic concurrency.
+    * Local filesystems get POSIX link(2), whose EEXIST failure is atomic
+    * in the kernel (a plain rename(2) would silently overwrite the
+    * winner); everything else gets FileContext rename with Rename.NONE,
+    * which HDFS implements as an atomic no-overwrite rename server-side.
+    */
+  private def publishExclusive(spark: SparkSession, fs: FileSystem,
+                               tmp: Path, dest: Path): Boolean =
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("file")) {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      try {
+        Files.createLink(Paths.get(dest.toUri.getPath), Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    } else {
+      import org.apache.hadoop.fs.{FileContext, Options}
+      try {
+        FileContext.getFileContext(fs.getUri, spark.sessionState.newHadoopConf())
+          .rename(tmp, dest, Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
 
   /** Write `df` as a fresh immutable data dir for version `v`; returns the
     * dir name, or None when the frame was empty (an empty partitioned
@@ -87,7 +135,10 @@ object VersionedStore {
     * commits a manifest without a data dir — still a real version).
     */
   private def writeData(df: DataFrame, root: String, v: Int, op: String): Option[String] = {
-    val name = f"d$v%08d-$op"
+    // the attempt-unique suffix keeps two writers staging the same version
+    // from overwriting each other's data dir before the manifest CAS runs;
+    // a losing attempt's dir is simply never referenced (orphaned)
+    val name = f"d$v%08d-$op-${java.util.UUID.randomUUID().toString.take(8)}"
     df.withColumn("day", date_format(timestamp_micros(col(TS_US)), "yyyy-MM-dd"))
       .sortWithinPartitions(col(SERIES), col(TS_US))
       .write.partitionBy(SERIES, "day")
@@ -106,10 +157,12 @@ object VersionedStore {
     */
   def append(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
-    val v = nextVersion(spark, root)
+    // one chain snapshot feeds both the version number and the parent dir
+    // set, so the manifest can never pair v with a different writer's tip
+    val tip = versions(spark, root).lastOption
+    val v = tip.map(_.version).getOrElse(0) + 1
     val d = writeData(df, root, v, "append")
-    val parent = versions(spark, root).lastOption.map(_.dirs).getOrElse(Seq.empty)
-    commitAt(spark, root, v, "append", parent ++ d)
+    commitAt(spark, root, v, "append", tip.map(_.dirs).getOrElse(Seq.empty) ++ d)
   }
 
   /** D1 delete as a version: rewrite survivors into one fresh dir; the

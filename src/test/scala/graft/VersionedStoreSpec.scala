@@ -81,4 +81,53 @@ class VersionedStoreSpec extends SparkSuite {
       VersionedStore.readAt(spark, root, 0)
     }
   }
+
+  test("interleaved writers: loser gets a clean conflict, history stays linear") {
+    val root = tmpDir("vstore_race")
+    val src = Canon.events(spark, "/root/testdata/sf0.001").limit(20)
+    VersionedStore.append(src.filter(col("rid") % 2 === 0), root) // v1
+    // writer A stages version 2 (reads the chain, writes data, has not
+    // committed); writer B commits version 2 first and wins the CAS
+    val staged = 2
+    val winner = VersionedStore.append(src.filter(col("rid") % 2 =!= 0), root)
+    assert(winner == staged)
+    val e = intercept[VersionedStore.ConcurrentCommitException] {
+      VersionedStore.commitAt(spark, root, staged, "append", Seq("orphan-dir"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the chain is linear and the winner's manifest was not overwritten
+    val vs = VersionedStore.versions(spark, root)
+    assert(vs.map(_.version) == Seq(1, 2))
+    assert(!vs.exists(_.dirs.contains("orphan-dir")))
+    assert(fp(VersionedStore.readAt(spark, root, 2)) == fp(src))
+  }
+
+  test("8 racing appenders: every commit lands once, chain linear, union exact") {
+    val root = tmpDir("vstore_threads")
+    val src = Canon.events(spark, "/root/testdata/sf0.001").limit(64).cache()
+    try {
+      src.count()
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // each appender retries on conflict — the standard optimistic loop
+      def appendWithRetry(part: Int): Int = {
+        var committed = -1
+        while (committed < 0)
+          try committed = VersionedStore.append(src.filter(col("rid") % 8 === part), root)
+          catch { case _: VersionedStore.ConcurrentCommitException => }
+        committed
+      }
+      val got = Await.result(
+        Future.sequence((0 until 8).map(p => Future(appendWithRetry(p)))), 5.minutes)
+      pool.shutdown()
+      // all eight landed at distinct versions, the chain is gapless, and
+      // the final read is the exact union of every writer's slice
+      assert(got.sorted == (1 to 8))
+      assert(VersionedStore.versions(spark, root).map(_.version) == (1 to 8))
+      assert(fp(VersionedStore.read(spark, root)) == fp(src))
+    } finally src.unpersist()
+  }
 }
