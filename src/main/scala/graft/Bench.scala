@@ -90,16 +90,46 @@ object Bench {
     "ingest" -> "g", "layout" -> "l", "approx" -> "b", "window" -> "u",
     "moving" -> "n", "pivot" -> "c", "ntile" -> "k", "vec" -> "v",
     "ts" -> "y", "range" -> "r", "join" -> "j")
+
+  /** r8 automation (r7 VERDICT item 7): the static map above is a SEED —
+    * every family in the actual roster that it doesn't cover gets a free
+    * single character assigned here, deterministically (descending family
+    * population, then name; prefer the family's own letters, then any
+    * unused letter/digit), so a growing roster never again needs the map
+    * hand-extended to stay inside the tail window. The inverse stays
+    * mechanical and collision-free by construction: an abbrev char is
+    * never a character that is itself a roster family name, and never
+    * shadows a bare (underscore-free) query name.
+    */
+  private[graft] def abbrevFor(names: Seq[String]): Map[String, String] = {
+    val bares = names.map(_.stripPrefix("q_"))
+    val fams = bares.filter(_.contains('_'))
+      .groupBy(_.takeWhile(_ != '_')).view.mapValues(_.size).toMap
+    val used = scala.collection.mutable.Set[String]() ++
+      famAbbrev.values ++ bares.filterNot(_.contains('_'))
+    val out = scala.collection.mutable.Map[String, String]() ++ famAbbrev
+    // 'q' is never assigned: "q_foo" would read as a full query name to
+    // anyone pattern-matching the stripped "q_" prefix
+    fams.keys.toSeq.filterNot(out.contains).filter(_.length > 1)
+      .sortBy(f => (-fams(f), f))
+      .foreach { f =>
+        (f + "abcdefghijklmnopqrstuvwxyz0123456789").filterNot(_ == 'q').map(_.toString)
+          .find(c => !used(c) && !fams.contains(c))
+          .foreach { c => out(f) = c; used += c }
+      }
+    out.toMap
+  }
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
                                 sfDir: String, partial: Boolean,
                                 dp: Int = 1,
                                 medians: Option[Map[String, Double]] = None,
                                 shortKeys: Boolean = false): String = {
+    val abbrev = if (shortKeys) abbrevFor(ts.map(_._1) ++ failed) else famAbbrev
     def key(n: String): String = if (!shortKeys) n else {
       val bare = n.stripPrefix("q_")
       val cut = bare.indexOf('_')
       if (cut < 0) bare
-      else famAbbrev.get(bare.substring(0, cut))
+      else abbrev.get(bare.substring(0, cut))
         .fold(bare)(_ + bare.substring(cut))
     }
     val qKey = if (shortKeys) "q" else "queries"
@@ -115,6 +145,33 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$med,"sf":"$sfDir"$pf}"""
   }
 
+  /** The stdout emission with the budget guard (r8): the 1dp short-key
+    * line when it fits the driver's ~1925-char tail window, else a
+    * minimal always-parseable fallback — contract fields intact, the
+    * per-query object emptied (the sidecar keeps every per-query number
+    * at 2dp regardless), and `q_overflow` naming how many were elided.
+    * Losing per-query stdout detail is strictly better than losing the
+    * whole round's parse to a truncated line head.
+    */
+  private[graft] val stdoutBudget = 1895
+  private[graft] def stdoutLine(snap: Seq[(String, Double)], failed: Seq[String],
+                                sfBase: String, partial: Boolean): String = {
+    val full = formatLine(snap, failed, sfBase, partial, shortKeys = true)
+    if (full.length <= stdoutBudget) full
+    else {
+      val total = fmt(snap.map(_._2).sum, 2)
+      val pf = s""","partial":$partial""" +
+        failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      val fb = s"""{"metric":"total","value":$total,"unit":"sec","q":{},""" +
+        s""""q_overflow":${snap.size},"sf":"$sfBase"$pf}"""
+      // a huge failed list could overflow even the fallback: count instead
+      if (fb.length <= stdoutBudget) fb
+      else s"""{"metric":"total","value":$total,"unit":"sec","q":{},""" +
+        s""""q_overflow":${snap.size},"sf":"$sfBase","partial":$partial,""" +
+        s""""failed":[],"failed_count":${failed.size}}"""
+    }
+  }
+
   /** Print the result line exactly once (normal end or shutdown hook). */
   private def emit(sfDir: String, partial: Boolean): Unit = lock.synchronized {
     if (printed) return
@@ -125,8 +182,7 @@ object Bench {
     // stdout: sf as basename (the full testdata path is constant and the
     // tail window is precious) and SHORT query keys (see formatLine —
     // stdoutKey = SparkEntry name minus "q_"); the sidecar keeps both full
-    val line = formatLine(snap, failed,
-      new java.io.File(sfDir).getName, partial, shortKeys = true)
+    val line = stdoutLine(snap, failed, new java.io.File(sfDir).getName, partial)
     println(line)
     System.out.flush()
     // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),

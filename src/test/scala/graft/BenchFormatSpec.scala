@@ -40,7 +40,13 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(n.get("q").get("a_sum") != null) // agg -> a
     assert(n.get("q").get("m_pixels") != null) // multimodal -> m
     assert(n.get("q").get("y_delta") != null) // ts -> y (late-r7 extension)
-    assert(n.get("q").get("first_n") != null) // unmapped family unchanged
+    // r8: an UNSEEDED family is auto-assigned a free char (never 'q' —
+    // that would read as a full query name) — see abbrevFor
+    val firstAbbrev = Bench.abbrevFor(Seq("q_agg_sum", "q_b", "q_ts_delta",
+      "q_first_n", "q_sessionize", "q_multimodal_pixels", "q_text_bad"))("first")
+    assert(firstAbbrev.length == 1 && firstAbbrev != "q")
+    assert(n.get("q").get(firstAbbrev + "_n") != null)
+    assert(n.get("q").get("first_n") == null)
     assert(n.get("q").get("sessionize") != null) // no underscore: bare even when mapped
     assert(n.get("q").get("b") != null) // no underscore: bare
     assert(n.get("queries") == null && n.get("q").get("q_agg_sum") == null)
@@ -105,5 +111,53 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("q").size == roster.size)
     assert(line.length <= 1895,
       s"bench line ${line.length} chars — headroom to the measured ~1925 budget: ${1925 - line.length}; time to trim the format")
+  }
+
+  test("auto-abbrev: unseeded families get free single chars, inverse stays collision-free") {
+    val names = Bench.benchQueryNames ++ Seq(
+      "q_quorum_vote", "q_quorum_merge", "q_zebra_stripe", "q_zebra_cross")
+    val m = Bench.abbrevFor(names)
+    // seeded entries are untouched (r7 key stability)
+    Bench.famAbbrev.foreach { case (k, v) => assert(m(k) == v) }
+    // the new families got 1-char keys not used by any other family
+    assert(m("quorum").length == 1 && m("zebra").length == 1)
+    assert(m.values.toSeq.distinct.size == m.values.size, "abbrev collision")
+    // no abbrev char is itself a roster family or bare query name
+    val fams = names.map(_.stripPrefix("q_")).filter(_.contains('_'))
+      .map(_.takeWhile(_ != '_')).toSet
+    val bare = names.map(_.stripPrefix("q_")).filterNot(_.contains('_')).toSet
+    m.values.foreach { c => assert(!fams(c) && !bare(c), s"abbrev '$c' shadows a name") }
+    // round trip: every short key maps back to exactly one full name
+    val inv = m.map(_.swap)
+    val shortToFull = names.map { n =>
+      val b = n.stripPrefix("q_"); val cut = b.indexOf('_')
+      val short = if (cut < 0) b
+        else m.get(b.substring(0, cut)).fold(b)(_ + b.substring(cut))
+      short -> n
+    }
+    assert(shortToFull.map(_._1).distinct.size == names.size, "short-key collision")
+    shortToFull.foreach { case (s, full) =>
+      val cut = s.indexOf('_')
+      val restored = if (cut < 0) "q_" + s
+        else "q_" + inv.get(s.substring(0, cut)).fold(s)(_ + s.substring(cut))
+      assert(restored == full, s"$s round-tripped to $restored not $full")
+    }
+  }
+
+  test("budget guard: an outgrown roster falls back to a minimal parseable line") {
+    // a roster far past anything the format can fit
+    val huge = (1 to 400).map(i => f"q_family$i%03d_operator_name_$i" -> 1.234567)
+    val line = Bench.stdoutLine(huge, Seq("q_family001_operator_name_1"),
+      "sf0.1", partial = false)
+    assert(line.length <= Bench.stdoutBudget)
+    val n = mapper.readTree(line)
+    assert(n.get("metric").asText == "total")
+    assert(math.abs(n.get("value").asDouble - 400 * 1.234567) < 0.01)
+    assert(n.get("q").size == 0 && n.get("q_overflow").asInt == 400)
+    assert(!n.get("partial").asBoolean && n.get("failed").size == 1)
+    // and the real roster today still takes the full-detail path
+    val real = Bench.benchQueryNames.map(_ -> 1.234567)
+    val realLine = Bench.stdoutLine(real, Nil, "sf0.1", partial = false)
+    assert(mapper.readTree(realLine).get("q").size == real.size)
   }
 }
