@@ -631,6 +631,17 @@ object SparkEntry {
       Multimodal.resizePixels(
           Multimodal.syntheticPixelMedia(Canon.documents(s, d)), 4, 4)
         .orderBy("media_id")),
+    "q_multimodal_jpeg" -> ((s, d) =>
+      // the baseline-JPEG lane (r8 — the last codec boundary erased):
+      // Spark assembles complete spec-valid JPEG interchange streams
+      // (custom canonical Huffman tables, DC-only 8x8 blocks, gray AND
+      // interleaved 4:4:4 color), JpegCodec runs the full baseline
+      // decode (DHT table build, category/extend entropy decode, DC
+      // prediction, dequant, exact IDCT, YCbCr->RGB), and the oracle
+      // recomputes the resampled checksum from the same id arithmetic
+      Multimodal.resizePixels(
+          Multimodal.syntheticJpegMedia(Canon.documents(s, d)), 12, 12)
+        .orderBy("media_id")),
     "q_multimodal_audio" -> ((s, d) =>
       // the audio lane: Spark assembles complete PCM16 RIFF/WAVE files
       // from id arithmetic (text bytes as trailing junk — the decoder
@@ -2086,6 +2097,43 @@ object SparkEntry {
         |  FROM flatfit r JOIN flatpx p USING (media_id))
         |SELECT * FROM gifrows UNION ALL SELECT * FROM flatrows
         |ORDER BY media_id""".stripMargin,
+    // the baseline-JPEG lane: every block is DC-only, so decoded pixel =
+    // 128 + (even block j: 8 + (7id+13j)%8, odd: 0) exactly (q0=8 makes
+    // DC*q0/8 integral; Cb=Cr=128 collapses the color matrix to R=G=B=Y).
+    // Resample into 12x12 with the same least/floor fit and integer NN
+    // index math as the kernel; checksum Σ byte*(1+pos%97), pos
+    // frame-major — identical on both engines.
+    "q_multimodal_jpeg" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    1 + doc_id % 3 AS bw, 8 * (1 + doc_id % 3) AS w,
+        |    8 * (1 + (doc_id // 3) % 3) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, bw, w, h,
+        |    greatest(CAST(floor(w * least(12.0 / w, 12.0 / h, 1.0)) AS BIGINT), 1) AS ow,
+        |    greatest(CAST(floor(h * least(12.0 / w, 12.0 / h, 1.0)) AS BIGINT), 1) AS oh
+        |  FROM m),
+        |yx AS (
+        |  SELECT media_id, bw, w, h, ow, oh,
+        |    unnest(generate_series(0, CAST(ow * oh - 1 AS BIGINT))) AS p
+        |  FROM f),
+        |blk AS (
+        |  SELECT media_id, ow, oh, p,
+        |    ((((p // ow) * h) // oh) // 8) * bw + (((p % ow) * w) // ow) // 8 AS b
+        |  FROM yx),
+        |px AS (
+        |  SELECT r.media_id,
+        |    SUM((128 + CASE WHEN r.b % 2 = 0
+        |          THEN 8 + (7 * r.media_id + 13 * r.b) % 8 ELSE 0 END)
+        |      * (1 + (3 * r.p + ch.c) % 97)) AS pix_sum
+        |  FROM blk r, (VALUES (0), (1), (2)) ch(c)
+        |  GROUP BY r.media_id)
+        |SELECT f.media_id, 'jpeg' AS format,
+        |  CAST(f.w AS BIGINT) AS width, CAST(f.h AS BIGINT) AS height,
+        |  f.ow AS out_w, f.oh AS out_h, CAST(1 AS BIGINT) AS n_frames,
+        |  f.ow * f.oh * 3 AS out_bytes, CAST(p.pix_sum AS BIGINT) AS pix_sum
+        |FROM f JOIN px p USING (media_id) ORDER BY media_id""".stripMargin,
     "q_multimodal_audio" ->
       """WITH p AS (
         |  SELECT doc_id, 1 + doc_id % 2 AS c, 8000 * (1 + doc_id % 3) AS r,

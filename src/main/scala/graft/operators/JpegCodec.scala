@@ -1,0 +1,390 @@
+package graft.operators
+
+/** Pure-JVM baseline JPEG decoder (ITU-T T.81 sequential DCT, Huffman
+  * entropy coding) — the last multimodal capability boundary from r7
+  * (`VERDICT.md` item 3) erased: the pixel tier now covers GIF (LZW),
+  * PNG (DEFLATE), raw RGB, WAV (PCM16) **and** baseline JPEG, all
+  * without a codec dependency. The reference engine treats media as
+  * opaque bytes; this decoder exists for the beyond-parity multimodal
+  * lane (`Multimodal.PixelResizeKernel`), so a training-data pipeline
+  * can decode/resize real images inside the engine.
+  *
+  * Scope — everything a *baseline* (SOF0) stream can carry:
+  *   - 8-bit precision, 1–4 components, sampling factors 1–4 each
+  *     (4:4:4, 4:2:2, 4:2:0, ... all fall out of the generic MCU walk);
+  *   - multiple DQT/DHT segments, table redefinition between scans'
+  *     tables, APPn/COM skipped by length;
+  *   - restart markers (DRI interval, RST0–7 with predictor reset and
+  *     bit-alignment), 0xFF00 byte-unstuffing;
+  *   - single interleaved scan (the only scan layout SOF0 baseline with
+  *     one scan produces; non-interleaved single-component scans are the
+  *     degenerate case of the same loop).
+  * Progressive (SOF2) and arithmetic coding remain out of scope and flow
+  * through the capacity-planning tier (`Multimodal.ResizePlanKernel`).
+  *
+  * Decode math: coefficients dequantize to Int, the IDCT is the exact
+  * separable double-precision definition from T.81 A.3.3 (no fast
+  * integer approximation — per-block cost is a constant 1024 FMAs, and
+  * exactness is what lets flat DC-only blocks reproduce bit-identically
+  * for the oracle), samples round half-up and clamp to [0,255]. Chroma
+  * upsampling is nearest-neighbor (sample (x·hᵢ/Hmax, y·vᵢ/Vmax)), and
+  * YCbCr→RGB is the JFIF matrix (R = Y + 1.402·(Cr−128), ...) rounded
+  * half-up — both documented contracts the unit fuzz test recomputes
+  * independently.
+  *
+  * Quarantine contract (same as every decoder here): any malformed,
+  * truncated, oversized, or unsupported payload returns None — garbage
+  * never kills a batch.
+  */
+object JpegCodec {
+
+  /** Hard cap on decoded pixel volume (w·h). A hostile header claiming
+    * 65535×65535 would otherwise allocate ~12 GiB of planes before the
+    * entropy decode has proven a single bit; beyond the cap the payload
+    * quarantines. 2^24 px = 48 MiB RGB, ample for a resize pipeline's
+    * per-row bound.
+    */
+  private val MaxPixels = 1 << 24
+
+  private final class Reader(b: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val v = ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff); pos += 2; v }
+    def skip(n: Int): Unit = { require(n >= 0 && pos + n <= b.length); pos += n }
+    def remaining: Int = b.length - pos
+  }
+
+  /** Canonical Huffman table (T.81 C.2): decode via the standard
+    * mincode/maxcode/valptr walk — one compare per code length, no
+    * lookup-table memory per task.
+    */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** Entropy-segment bit reader: 0xFF00 unstuffs to 0xFF; any other
+    * 0xFF-marker ends the segment (the MCU/restart loop decides whether
+    * that marker was expected).
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+
+    def bit(): Int = {
+      if (nbits == 0) {
+        require(pos < b.length, "entropy data exhausted")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          require(pos < b.length, "truncated stuffing")
+          val m = b(pos) & 0xff
+          require(m == 0x00, f"marker 0xFF$m%02X inside entropy data")
+          pos += 1
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+
+    def decode(h: Huff): Int = {
+      var code = bit(); var l = 1
+      while (!(code <= h.maxCode(l))) {
+        require(l < 16, "invalid Huffman code")
+        code = (code << 1) | bit(); l += 1
+      }
+      h.value(l, code)
+    }
+
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(expected: Int): Unit = {
+      nbits = 0
+      require(pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xff) == (0xd0 + expected), "missing restart marker")
+      pos += 2
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private val zigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) · C(u), the exact T.81 A.3.3 basis, precomputed
+  private val basis: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        t(x * 8 + u) = c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Exact separable 2-D IDCT of one dequantized block; output is the
+    * UNSHIFTED spatial sample (level shift +128 happens at plane write).
+    */
+  private def idct(coef: Array[Int], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: tmp(y,x) = Σu C(u)·F(y·8+u)·cos(...)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += basis(x * 8 + u) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // columns
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += basis(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+        out(yy * 8 + x) = s / 4.0
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private case class Comp(id: Int, h: Int, v: Int, tq: Int,
+                          var td: Int = 0, var ta: Int = 0)
+
+  /** Decode a baseline JPEG to one RGB24 frame; None on anything
+    * malformed or out of scope (progressive, arithmetic, 12-bit, ...).
+    */
+  def decode(b: Array[Byte]): Option[GifCodec.Frame] =
+    try decodeOrThrow(b) catch { case _: Throwable => None }
+
+  /** The throwing body behind [[decode]] — test-visible so a spec
+    * failure names the actual parse error instead of a bare None.
+    */
+  private[graft] def decodeOrThrow(b: Array[Byte]): Option[GifCodec.Frame] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val r = new Reader(b); r.skip(2)
+    val qtab = new Array[Array[Int]](4)
+    val dcTab = new Array[Huff](4)
+    val acTab = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+
+    var sosPos = -1
+    var scanComps: Array[Comp] = null
+    while (sosPos < 0) {
+      require(r.remaining >= 2, "truncated before SOS")
+      require(r.u8() == 0xff, "marker desync")
+      var m = r.u8()
+      while (m == 0xff) m = r.u8() // fill bytes are legal
+      m match {
+        case 0xdb => // DQT: one or more tables
+          val dqtLen = r.u16(); val end = r.pos + dqtLen - 2
+          while (r.pos < end) {
+            val pq = r.u8(); require((pq >> 4) == 0, "16-bit qtable unsupported")
+            val t = new Array[Int](64)
+            var i = 0; while (i < 64) { t(zigzag(i)) = r.u8(); i += 1 }
+            qtab(pq & 3) = t
+          }
+          require(r.pos == end, "DQT length mismatch")
+        case 0xc4 => // DHT: one or more tables
+          val dhtLen = r.u16(); val end = r.pos + dhtLen - 2
+          while (r.pos < end) {
+            val tc = r.u8()
+            val bits = Array.fill(16)(r.u8())
+            val n = bits.sum; require(n <= 256, "DHT overflow")
+            val vals = Array.fill(n)(r.u8())
+            val t = new Huff(bits, vals)
+            if ((tc >> 4) == 0) dcTab(tc & 3) = t else acTab(tc & 3) = t
+          }
+          require(r.pos == end, "DHT length mismatch")
+        case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential shares the layout)
+          val len = r.u16()
+          require(r.u8() == 8, "only 8-bit precision")
+          h = r.u16(); w = r.u16()
+          val nc = r.u8()
+          require(len == 8 + 3 * nc, "SOF length mismatch")
+          require(nc >= 1 && nc <= 4, "1-4 components")
+          require(w > 0 && h > 0 && w.toLong * h <= MaxPixels, "dims out of range")
+          comps = Array.fill(nc) {
+            val id = r.u8(); val hv = r.u8(); val tq = r.u8()
+            val ch = hv >> 4; val cv = hv & 15
+            require(ch >= 1 && ch <= 4 && cv >= 1 && cv <= 4, "sampling out of range")
+            Comp(id, ch, cv, tq)
+          }
+          // a single-component scan is non-interleaved (T.81 A.2.2): the
+          // component covers the full frame in plain 8x8 blocks, so its
+          // declared sampling factors are irrelevant — normalize them
+          if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive/lossless/arithmetic: planning tier only
+        case 0xdd => require(r.u16() == 4); restartInterval = r.u16()
+        case 0xda => // SOS
+          require(comps != null, "SOS before SOF")
+          r.u16()
+          val ns = r.u8()
+          require(ns == comps.length, "only single interleaved scan")
+          scanComps = Array.fill(ns) {
+            val cs = r.u8()
+            val c = comps.find(_.id == cs).getOrElse(sys.error(s"unknown comp $cs"))
+            val tt = r.u8(); c.td = tt >> 4; c.ta = tt & 15
+            c
+          }
+          val ss = r.u8(); val se = r.u8(); r.u8()
+          require(ss == 0 && se == 63, "baseline spectral selection only")
+          sosPos = r.pos
+        case 0xd9 => return None // EOI before any scan
+        case _ => r.skip(r.u16() - 2) // APPn, COM, DNL, anything skippable
+      }
+    }
+
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+
+    // per-component plane at its own resolution (MCU-padded)
+    val planes = comps.map { c =>
+      new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8)
+    }
+    val planeW = comps.map(c => mcusX * c.h * 8)
+
+    val br = new BitReader(b, sosPos)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val spatial = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var rstIdx = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < scanComps.length) {
+        val c = scanComps(ci)
+        val cIdx = comps.indexWhere(_.id == c.id)
+        val q = qtab(c.tq); require(q != null, "missing qtable")
+        val dc = dcTab(c.td); val ac = acTab(c.ta)
+        require(dc != null && ac != null, "missing Huffman table")
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            val t = br.decode(dc)
+            require(t <= 11, "DC category out of range")
+            pred(cIdx) += extend(br.bits(t), t)
+            coef(0) = pred(cIdx) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.decode(ac)
+              val run = rs >> 4; val size = rs & 15
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += run
+                require(k < 64, "AC index overflow")
+                coef(zigzag(k)) = extend(br.bits(size), size) * q(zigzag(k))
+                k += 1
+              }
+            }
+            idct(coef, spatial)
+            val px = (mx * c.h + bx) * 8; val py = (my * c.v + by) * 8
+            val pw = planeW(cIdx); val plane = planes(cIdx)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              val rowOff = (py + yy) * pw + px
+              while (xx < 8) {
+                val v = math.round(spatial(yy * 8 + xx) + 128.0).toInt
+                plane(rowOff + xx) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // assemble RGB24: grayscale (1 comp), YCbCr (3 comps, JFIF matrix),
+    // nearest-neighbor chroma upsampling via integer index math
+    val rgb = new Array[Byte](w * h * 3)
+    def sample(ci: Int, x: Int, y: Int): Int = {
+      val c = comps(ci)
+      val sx = x * c.h / hMax; val sy = y * c.v / vMax
+      planes(ci)(sy * planeW(ci) + sx) & 0xff
+    }
+    var y = 0
+    if (comps.length >= 3) {
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = sample(0, x, y).toDouble
+          val cb = sample(1, x, y) - 128.0
+          val cr = sample(2, x, y) - 128.0
+          def cl(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * w + x) * 3
+          rgb(o) = cl(yv + 1.402 * cr)
+          rgb(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = cl(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = sample(0, x, y).toByte
+          val o = (y * w + x) * 3
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(GifCodec.Frame(w, h, rgb))
+  }
+}

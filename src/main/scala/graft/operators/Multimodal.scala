@@ -395,12 +395,11 @@ object Multimodal {
 
   /** The capacity-PLANNING tier of the resize path: emits the resize
     * geometry (dims parsed from real bytes, fit arithmetic, output byte
-    * estimate) for EVERY container format — including the
-    * entropy-coded ones (PNG deflate, JPEG DCT) whose pixel decode
-    * genuinely needs codec libraries this container doesn't ship. A
-    * planner sizes the output shuffle from this tier; the formats whose
-    * compression IS pure-JVM-feasible then run the real pixel tier
-    * ([[PixelResizeKernel]] — GIF via [[GifCodec]], raw RGB). Batch-
+    * estimate) for EVERY container format. Since r8 every baseline
+    * format also has a real pixel tier ([[PixelResizeKernel]] — GIF,
+    * PNG, baseline JPEG, raw RGB); only progressive/arithmetic JPEG
+    * (SOF2+) stops here, and a planner still sizes the output shuffle
+    * from this tier before paying for pixel decode. Batch-
     * shaped like [[HeaderDecoder]] so the shuffle stays byte-volume-
     * sized via [[decodeBatched]]. Unparseable payloads drop here (the
     * metadata pass already routed them to the quarantine lane).
@@ -456,11 +455,10 @@ object Multimodal {
     * pixel decode + nearest-neighbor resample for the formats whose
     * compression is pure-JVM-implementable — GIF (every frame, LZW via
     * [[GifCodec]]), PNG (DEFLATE via the JVM's Inflater + full scanline
-    * defiltering, [[PngCodec]]), and raw RGB. JPEG (DCT) remains a
-    * documented capability boundary of THIS kernel, not a stub: it flows
-    * through [[ResizePlanKernel]] for capacity planning and would join
-    * here the day a codec dependency is permitted — the batch plumbing,
-    * fit arithmetic, and checksum are format-agnostic.
+    * defiltering, [[PngCodec]]), baseline JPEG (Huffman + dequant +
+    * exact IDCT + YCbCr→RGB via [[JpegCodec]] — the last r7 boundary,
+    * erased in r8), and raw RGB. Only progressive/arithmetic JPEG still
+    * stops at the capacity-planning tier ([[ResizePlanKernel]]).
     *
     * Nearest-neighbor index map is pure integer math — src_x =
     * ⌊x·w/out_w⌋ — so the resample is exactly reproducible by an oracle
@@ -509,6 +507,8 @@ object Multimodal {
           else None
         } else if (b.length >= 2 && (b(0) & 0xff) == 0x89 && b(1) == 'P')
           PngCodec.decode(b).map(f => ("png", f.w, f.h, Vector(f)))
+        else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+          JpegCodec.decode(b).map(f => ("jpeg", f.w, f.h, Vector(f)))
         else GifCodec.decode(b).map { fs =>
           // container dims = logical screen; per-frame dims drive resample
           ("gif", (b(6) & 0xff) | ((b(7) & 0xff) << 8),
@@ -637,6 +637,75 @@ object Multimodal {
         concat(unhex(gifHex), encode(col("text"), "UTF-8")))
         .when(id % 3L === 1L, unhex(rawHex))
         .otherwise(unhex(pngHex)).as("media"))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** Pixel-decodable synthetic BASELINE JPEGs — the r8 lane that puts
+    * [[JpegCodec]] under the exact oracle the way the PNG stored-deflate
+    * lane did for [[PngCodec]]: column expressions assemble complete,
+    * spec-valid JPEG interchange streams whose DECODED pixels are a
+    * closed-form function of doc_id, so DuckDB can recompute the
+    * resampled checksum with integer math.
+    *
+    * The trick that makes a lossy-codec lane exactly oracle-able: every
+    * 8×8 block is DC-only (all AC coefficients EOB'd away), so the IDCT
+    * output is perfectly flat — pixel = 128 + DC·q₀/8, and with q₀ = 8
+    * simply 128 + DC, integral and clamp-free. The entropy layer is
+    * still REAL work for the decoder (canonical Huffman DC/AC tables it
+    * must build from DHT, category+extend decoding, per-component DC
+    * prediction, interleaved MCUs): the stream uses a custom DC table
+    * (categories 0-7 at 3 bits) and AC table (EOB at 1 bit) chosen so
+    * each Y block encodes to EXACTLY one byte — [cat=4 "100"][4 diff
+    * bits][EOB "0"] — letting Spark assemble the scan as hex. DC diffs
+    * alternate +k,−k (k = 8 + (7·id + 13·j) % 8 at even block j), so
+    * block j is flat at 128+k for even j and 128 for odd j, and no scan
+    * byte can be 0xFF (no stuffing needed: bytes are 0x80-0x9E).
+    *
+    *  - doc_id even → grayscale (1 component): scan = one byte per block.
+    *  - doc_id odd  → color 4:4:4 (3 components, same tables): Cb and Cr
+    *    code DC diff 0 (cat 0 "000" + EOB "0" = a zero nibble each), so
+    *    each MCU is the Y byte then 0x00, and Cb=Cr=128 makes the JFIF
+    *    matrix collapse to R=G=B=Y exactly — the color path (interleaved
+    *    3-component MCUs, chroma planes, matrix) runs for real with an
+    *    integer-exact answer.
+    *
+    * Dims: bw = 1+id%3, bh = 1+(id/3)%3 blocks → 8..24 px a side; the
+    * document text rides after EOI as junk the decoder must not read.
+    */
+  def syntheticJpegMedia(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("long")
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val bw = lit(1L) + id % 3L
+    val bh = lit(1L) + idiv(id, lit(3L)) % 3L
+    val w = bw * 8L
+    val h = bh * 8L
+    val nb = bw * bh
+    // DC magnitude at even block j (diff +k there, -k at j+1)
+    def kOf(j: Column): Column = lit(8L) + (lit(7L) * id + lit(13L) * j) % 8L
+    def blockByte(j: Column): Column = when(j % 2L === 0L,
+        lit(0x80L) + kOf(j) * 2L) // [100][k:8..15][0]
+      .otherwise(lit(0x80L) + (lit(15L) - kOf(j - 1L)) * 2L) // [100][15-k][0]
+    val isColor = id % 2L === 1L
+    val scanHex = array_join(transform(sequence(lit(0L), nb - 1L), j =>
+      concat(lpad(hex(blockByte(j)), 2, "0"),
+        when(isColor, lit("00")).otherwise(lit("")))), "")
+    val dqt = "FFDB" + "0043" + "00" + "08" * 64 // q = 8 everywhere
+    val dhtDc = "FFC4" + "001B" + "00" + // DC table 0: cats 0-7 at 3 bits
+      "000008" + "00" * 13 + "0001020304050607"
+    val dhtAc = "FFC4" + "0014" + "10" + // AC table 0: EOB at 1 bit
+      "01" + "00" * 15 + "00"
+    val dims = concat(lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"))
+    val sof = when(isColor,
+        concat(lit("FFC0" + "0011" + "08"), dims,
+          lit("03" + "011100" + "021100" + "031100")))
+      .otherwise(concat(lit("FFC0" + "000B" + "08"), dims, lit("01" + "011100")))
+    val sos = when(isColor, lit("FFDA" + "000C" + "03" + "0100" + "0200" + "0300" + "003F00"))
+      .otherwise(lit("FFDA" + "0008" + "01" + "0100" + "003F00"))
+    val jpegHex = concat(lit("FFD8" + dqt + dhtDc + dhtAc), sof, sos,
+      scanHex, lit("FFD9"))
+    docs.select(
+      id.as("media_id"), lit("jpeg").as("kind"),
+      concat(unhex(jpegHex), encode(col("text"), "UTF-8")).as("media"))
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
   }
 }

@@ -371,4 +371,33 @@ class MultimodalSpec extends SparkSuite {
     }.sum
     assert(row.getLong(7) == ref)
   }
+
+  test("synthetic JPEG lane: the kernel decodes real entropy-coded streams to the id formula") {
+    import spark.implicits._
+    // ids 0..17 cover every (bw, bh) pair in both gray and color variants
+    val jdocs = (0L to 17L).map(i => (i, s"junk text $i")).toDF("doc_id", "text")
+    val out = Multimodal.resizePixels(Multimodal.syntheticJpegMedia(jdocs), 12, 12)
+      .orderBy("media_id").collect()
+    assert(out.length == 18, "every payload must decode (none quarantined)")
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val bw = 1 + (id % 3).toInt; val bh = 1 + ((id / 3) % 3).toInt
+      val w = 8 * bw; val h = 8 * bh
+      val sc = math.min(math.min(12.0 / w, 12.0 / h), 1.0)
+      val ow = math.max(math.floor(w * sc).toInt, 1)
+      val oh = math.max(math.floor(h * sc).toInt, 1)
+      assert(row.getString(1) == "jpeg")
+      assert(row.getLong(2) == w && row.getLong(3) == h)
+      assert(row.getLong(4) == ow && row.getLong(5) == oh)
+      assert(row.getLong(6) == 1L && row.getLong(7) == ow.toLong * oh * 3)
+      var want = 0L; var pos = 0L
+      for (y <- 0 until oh; x <- 0 until ow; _ <- 0 until 3) {
+        val sx = x * w / ow; val sy = y * h / oh
+        val blk = (sy / 8) * bw + (sx / 8)
+        val v = 128L + (if (blk % 2 == 0) 8 + (7 * id + 13 * blk) % 8 else 0L)
+        want += v * (1 + pos % 97); pos += 1
+      }
+      assert(row.getLong(8) == want, s"pix_sum mismatch for id=$id")
+    }
+  }
 }
