@@ -632,13 +632,15 @@ object SparkEntry {
           Multimodal.syntheticPixelMedia(Canon.documents(s, d)), 4, 4)
         .orderBy("media_id")),
     "q_multimodal_jpeg" -> ((s, d) =>
-      // the baseline-JPEG lane (r8 — the last codec boundary erased):
-      // Spark assembles complete spec-valid JPEG interchange streams
-      // (custom canonical Huffman tables, DC-only 8x8 blocks, gray AND
-      // interleaved 4:4:4 color), JpegCodec runs the full baseline
-      // decode (DHT table build, category/extend entropy decode, DC
-      // prediction, dequant, exact IDCT, YCbCr->RGB), and the oracle
-      // recomputes the resampled checksum from the same id arithmetic
+      // the JPEG lane (r8 — the last codec boundary erased): Spark
+      // assembles complete spec-valid JPEG interchange streams (custom
+      // canonical Huffman tables, DC-only 8x8 blocks; three variants:
+      // baseline gray, baseline interleaved 4:4:4 color, and a
+      // two-scan PROGRESSIVE gray), JpegCodec runs the full decode
+      // (DHT table build, category/extend entropy decode, DC
+      // prediction, SOF2 multi-scan coefficient accumulation, dequant,
+      // exact IDCT, YCbCr->RGB), and the oracle recomputes the
+      // resampled checksum from the same id arithmetic
       Multimodal.resizePixels(
           Multimodal.syntheticJpegMedia(Canon.documents(s, d)), 12, 12)
         .orderBy("media_id")),

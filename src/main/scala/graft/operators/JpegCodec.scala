@@ -1,25 +1,29 @@
 package graft.operators
 
-/** Pure-JVM baseline JPEG decoder (ITU-T T.81 sequential DCT, Huffman
-  * entropy coding) — the last multimodal capability boundary from r7
-  * (`VERDICT.md` item 3) erased: the pixel tier now covers GIF (LZW),
-  * PNG (DEFLATE), raw RGB, WAV (PCM16) **and** baseline JPEG, all
-  * without a codec dependency. The reference engine treats media as
-  * opaque bytes; this decoder exists for the beyond-parity multimodal
-  * lane (`Multimodal.PixelResizeKernel`), so a training-data pipeline
-  * can decode/resize real images inside the engine.
+/** Pure-JVM JPEG decoder (ITU-T T.81) — the r7 multimodal capability
+  * boundary erased in r8: the pixel tier now covers GIF (LZW), PNG
+  * (DEFLATE), raw RGB, WAV (PCM16) **and** JPEG, without a codec
+  * dependency. The reference engine treats media as opaque bytes; this
+  * decoder exists for the beyond-parity multimodal lane
+  * (`Multimodal.PixelResizeKernel`), so a training-data pipeline can
+  * decode/resize real images inside the engine.
   *
-  * Scope — everything a *baseline* (SOF0) stream can carry:
-  *   - 8-bit precision, 1–4 components, sampling factors 1–4 each
-  *     (4:4:4, 4:2:2, 4:2:0, ... all fall out of the generic MCU walk);
-  *   - multiple DQT/DHT segments, table redefinition between scans'
-  *     tables, APPn/COM skipped by length;
-  *   - restart markers (DRI interval, RST0–7 with predictor reset and
-  *     bit-alignment), 0xFF00 byte-unstuffing;
-  *   - single interleaved scan (the only scan layout SOF0 baseline with
-  *     one scan produces; non-interleaved single-component scans are the
-  *     degenerate case of the same loop).
-  * Progressive (SOF2) and arithmetic coding remain out of scope and flow
+  * Scope:
+  *   - **baseline/extended sequential** (SOF0/SOF1): 8-bit, 1-4
+  *     components, sampling factors 1-4 each (4:4:4, 4:2:2, 4:2:0, ...
+  *     all fall out of the generic MCU walk), single interleaved scan;
+  *   - **progressive** (SOF2, r8): the full successive-approximation
+  *     protocol — interleaved or per-component DC first/refine scans
+  *     (point transform Al, `|= bit<<Al` refinement), per-component AC
+  *     scans with spectral selection bands, EOB-run coding (EOBn), ZRL
+  *     in refinement, correction-bit decoding per T.81 G.1.2.3 (the
+  *     public libjpeg algorithm), coefficients accumulated across scans
+  *     and IDCT'd once at EOI;
+  *   - multiple DQT/DHT segments, table redefinition between scans,
+  *     APPn/COM skipped by length, restart markers (DRI/RSTn with
+  *     predictor + EOB-run reset and bit realignment), 0xFF00
+  *     unstuffing.
+  * Arithmetic coding and 12-bit precision remain out of scope and flow
   * through the capacity-planning tier (`Multimodal.ResizePlanKernel`).
   *
   * Decode math: coefficients dequantize to Int, the IDCT is the exact
@@ -88,7 +92,7 @@ object JpegCodec {
     def bit(): Int = {
       if (nbits == 0) {
         require(pos < b.length, "entropy data exhausted")
-        var v = b(pos) & 0xff; pos += 1
+        val v = b(pos) & 0xff; pos += 1
         if (v == 0xff) {
           require(pos < b.length, "truncated stuffing")
           val m = b(pos) & 0xff
@@ -179,8 +183,8 @@ object JpegCodec {
   private case class Comp(id: Int, h: Int, v: Int, tq: Int,
                           var td: Int = 0, var ta: Int = 0)
 
-  /** Decode a baseline JPEG to one RGB24 frame; None on anything
-    * malformed or out of scope (progressive, arithmetic, 12-bit, ...).
+  /** Decode a baseline or progressive JPEG to one RGB24 frame; None on
+    * anything malformed or out of scope (arithmetic, 12-bit, ...).
     */
   def decode(b: Array[Byte]): Option[GifCodec.Frame] =
     try decodeOrThrow(b) catch { case _: Throwable => None }
@@ -197,10 +201,187 @@ object JpegCodec {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    // frame geometry, set at SOF
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+    // progressive: per-comp coefficient grids (flat, blocksW·blocksH·64,
+    // natural order within each block), accumulated across scans
+    var grids: Array[Array[Int]] = null
+    var progScans = 0
 
-    var sosPos = -1
+    def parseSof(prog: Boolean): Unit = {
+      val len = r.u16()
+      require(r.u8() == 8, "only 8-bit precision")
+      h = r.u16(); w = r.u16()
+      val nc = r.u8()
+      require(len == 8 + 3 * nc, "SOF length mismatch")
+      require(nc >= 1 && nc <= 4, "1-4 components")
+      require(w > 0 && h > 0 && w.toLong * h <= MaxPixels, "dims out of range")
+      comps = Array.fill(nc) {
+        val id = r.u8(); val hv = r.u8(); val tq = r.u8()
+        val ch = hv >> 4; val cv = hv & 15
+        require(ch >= 1 && ch <= 4 && cv >= 1 && cv <= 4, "sampling out of range")
+        Comp(id, ch, cv, tq)
+      }
+      // a single-component frame is coded non-interleaved (T.81 A.2.2):
+      // the component covers the full frame in plain 8x8 blocks, so its
+      // declared sampling factors are irrelevant — normalize them
+      if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+      progressive = prog
+      hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
+      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      blocksW = comps.map(c => mcusX * c.h)
+      blocksH = comps.map(c => mcusY * c.v)
+    }
+
+    /** One progressive scan (T.81 G.2): decode entropy data starting at
+      * r.pos into the coefficient grids, return the position after it.
+      */
+    def progScan(scanIdx: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val br = new BitReader(b, r.pos)
+      val pred = new Array[Int](comps.length)
+      var eobrun = 0
+      var rstIdx = 0
+      var unit = 0 // MCU counter (interleaved) or block counter (single-comp)
+
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(pred, 0); eobrun = 0
+        }
+
+      // refinement correction bits for nonzero-history coefficients in
+      // band positions [from..se] of one block (T.81 G.1.2.3 / the
+      // public libjpeg decode_mcu_AC_refine tail)
+      def refineTail(g: Array[Int], off: Int, from: Int, p1: Int, m1: Int): Unit = {
+        var k = from
+        while (k <= se) {
+          val z = off + zigzag(k)
+          if (g(z) != 0 && br.bit() == 1 && (g(z) & p1) == 0)
+            g(z) += (if (g(z) >= 0) p1 else m1)
+          k += 1
+        }
+      }
+
+      def decodeBlock(ci: Int, off: Int): Unit = {
+        val c = comps(ci)
+        val g = grids(ci)
+        if (ss == 0) { // DC scan (se == 0 enforced at SOS parse)
+          if (ah == 0) {
+            val dc = dcTab(c.td); require(dc != null, "missing DC table")
+            val t = br.decode(dc); require(t <= 11, "DC category out of range")
+            pred(ci) += extend(br.bits(t), t)
+            g(off) = pred(ci) << al
+          } else if (br.bit() == 1) g(off) |= (1 << al)
+        } else if (ah == 0) { // AC first scan for this band
+          if (eobrun > 0) { eobrun -= 1; return }
+          val ac = acTab(c.ta); require(ac != null, "missing AC table")
+          var k = ss
+          while (k <= se) {
+            val rs = br.decode(ac); val run = rs >> 4; val s = rs & 15
+            if (s == 0) {
+              if (run < 15) { // EOBn: run extra bits give the run length
+                eobrun = (1 << run) - 1 + (if (run > 0) br.bits(run) else 0)
+                return
+              }
+              k += 16 // ZRL
+            } else {
+              k += run
+              require(k <= se, "AC index out of band")
+              g(off + zigzag(k)) = extend(br.bits(s), s) << al
+              k += 1
+            }
+          }
+        } else { // AC refinement scan
+          val ac = acTab(c.ta); require(ac != null, "missing AC table")
+          val p1 = 1 << al; val m1 = -1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var inBand = true
+            while (inBand && k <= se) {
+              val rs = br.decode(ac); var run = rs >> 4; val s = rs & 15
+              var newval = 0
+              if (s == 0) {
+                if (run < 15) {
+                  eobrun = (1 << run) - 1 + (if (run > 0) br.bits(run) else 0)
+                  refineTail(g, off, k, p1, m1)
+                  inBand = false
+                }
+                // run == 15: ZRL — pass 16 zero-history coefficients
+              } else {
+                require(s == 1, "refinement magnitude must be 1")
+                newval = if (br.bit() == 1) p1 else m1
+              }
+              if (inBand) {
+                // advance over `run` zero-history positions, correcting
+                // every nonzero-history coefficient passed; place newval
+                // at the terminating zero-history position
+                var placed = false
+                while (!placed && k <= se) {
+                  val z = off + zigzag(k)
+                  if (g(z) != 0) {
+                    if (br.bit() == 1 && (g(z) & p1) == 0)
+                      g(z) += (if (g(z) >= 0) p1 else m1)
+                  } else if (run == 0) {
+                    if (newval != 0) g(z) = newval
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+              }
+            }
+          } else {
+            refineTail(g, off, k, p1, m1)
+            eobrun -= 1
+          }
+        }
+      }
+
+      if (scanIdx.length == 1) {
+        // non-interleaved: blocks of this comp at its EFFECTIVE
+        // resolution (ceil(w·h_i/Hmax) etc.), raster order
+        val ci = scanIdx(0); val c = comps(ci)
+        val nbx = ((w * c.h + 8 * hMax - 1) / (8 * hMax)).max(1)
+        val nby = ((h * c.v + 8 * vMax - 1) / (8 * vMax)).max(1)
+        val total = nbx * nby
+        while (unit < total) {
+          maybeRestart()
+          decodeBlock(ci, ((unit / nbx) * blocksW(ci) + unit % nbx) * 64)
+          unit += 1
+        }
+      } else {
+        require(ss == 0, "interleaved progressive scans are DC-only")
+        val total = mcusX * mcusY
+        while (unit < total) {
+          maybeRestart()
+          val mx = unit % mcusX; val my = unit / mcusX
+          var i = 0
+          while (i < scanIdx.length) {
+            val ci = scanIdx(i); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(ci,
+                  ((my * c.v + by) * blocksW(ci) + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          unit += 1
+        }
+      }
+      br.pos
+    }
+
+    var sosPos = -1 // baseline: entropy start; loop exits when set
     var scanComps: Array[Comp] = null
-    while (sosPos < 0) {
+    var finished = false // progressive: EOI seen
+    while (sosPos < 0 && !finished) {
       require(r.remaining >= 2, "truncated before SOS")
       require(r.u8() == 0xff, "marker desync")
       var m = r.u8()
@@ -226,123 +407,141 @@ object JpegCodec {
             if ((tc >> 4) == 0) dcTab(tc & 3) = t else acTab(tc & 3) = t
           }
           require(r.pos == end, "DHT length mismatch")
-        case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential shares the layout)
-          val len = r.u16()
-          require(r.u8() == 8, "only 8-bit precision")
-          h = r.u16(); w = r.u16()
-          val nc = r.u8()
-          require(len == 8 + 3 * nc, "SOF length mismatch")
-          require(nc >= 1 && nc <= 4, "1-4 components")
-          require(w > 0 && h > 0 && w.toLong * h <= MaxPixels, "dims out of range")
-          comps = Array.fill(nc) {
-            val id = r.u8(); val hv = r.u8(); val tq = r.u8()
-            val ch = hv >> 4; val cv = hv & 15
-            require(ch >= 1 && ch <= 4 && cv >= 1 && cv <= 4, "sampling out of range")
-            Comp(id, ch, cv, tq)
-          }
-          // a single-component scan is non-interleaved (T.81 A.2.2): the
-          // component covers the full frame in plain 8x8 blocks, so its
-          // declared sampling factors are irrelevant — normalize them
-          if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive/lossless/arithmetic: planning tier only
+        case 0xc0 | 0xc1 => parseSof(prog = false)
+        case 0xc2 => parseSof(prog = true)
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // lossless/arithmetic/hierarchical: planning tier only
         case 0xdd => require(r.u16() == 4); restartInterval = r.u16()
         case 0xda => // SOS
           require(comps != null, "SOS before SOF")
           r.u16()
           val ns = r.u8()
-          require(ns == comps.length, "only single interleaved scan")
-          scanComps = Array.fill(ns) {
+          val sc = Array.fill(ns) {
             val cs = r.u8()
             val c = comps.find(_.id == cs).getOrElse(sys.error(s"unknown comp $cs"))
             val tt = r.u8(); c.td = tt >> 4; c.ta = tt & 15
             c
           }
-          val ss = r.u8(); val se = r.u8(); r.u8()
-          require(ss == 0 && se == 63, "baseline spectral selection only")
-          sosPos = r.pos
-        case 0xd9 => return None // EOI before any scan
+          val ss = r.u8(); val se = r.u8()
+          val aa = r.u8(); val ah = aa >> 4; val al = aa & 15
+          if (!progressive) {
+            require(ns == comps.length, "baseline: one interleaved scan")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "baseline spectral selection only")
+            scanComps = sc
+            sosPos = r.pos
+          } else {
+            require(ss <= se && se <= 63, "bad spectral band")
+            require(if (ss == 0) se == 0 else ns == 1,
+              "DC band is [0,0]; AC scans are single-component")
+            require(ah == 0 || ah == al + 1, "successive approximation chain")
+            if (grids == null)
+              grids = comps.indices.toArray.map(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64))
+            r.pos = progScan(sc.map(c => comps.indexWhere(_.id == c.id)), ss, se, ah, al)
+            progScans += 1
+          }
+        case 0xd9 => // EOI
+          if (progressive && progScans > 0) finished = true
+          else return None
         case _ => r.skip(r.u16() - 2) // APPn, COM, DNL, anything skippable
       }
     }
-
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcuW = 8 * hMax; val mcuH = 8 * vMax
-    val mcusX = (w + mcuW - 1) / mcuW
-    val mcusY = (h + mcuH - 1) / mcuH
 
     // per-component plane at its own resolution (MCU-padded)
     val planes = comps.map { c =>
       new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8)
     }
     val planeW = comps.map(c => mcusX * c.h * 8)
-
-    val br = new BitReader(b, sosPos)
-    val pred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val spatial = new Array[Double](64)
-    var mcu = 0
-    val nMcus = mcusX * mcusY
-    var rstIdx = 0
-    while (mcu < nMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        br.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
-        java.util.Arrays.fill(pred, 0)
+
+    def writeBlock(ci: Int, bx: Int, by: Int): Unit = {
+      idct(coef, spatial)
+      val px = bx * 8; val py = by * 8
+      val pw = planeW(ci); val plane = planes(ci)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        val rowOff = (py + yy) * pw + px
+        while (xx < 8) {
+          val v = math.round(spatial(yy * 8 + xx) + 128.0).toInt
+          plane(rowOff + xx) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          xx += 1
+        }
+        yy += 1
       }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      var ci = 0
-      while (ci < scanComps.length) {
-        val c = scanComps(ci)
-        val cIdx = comps.indexWhere(_.id == c.id)
-        val q = qtab(c.tq); require(q != null, "missing qtable")
-        val dc = dcTab(c.td); val ac = acTab(c.ta)
-        require(dc != null && ac != null, "missing Huffman table")
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            java.util.Arrays.fill(coef, 0)
-            val t = br.decode(dc)
-            require(t <= 11, "DC category out of range")
-            pred(cIdx) += extend(br.bits(t), t)
-            coef(0) = pred(cIdx) * q(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = br.decode(ac)
-              val run = rs >> 4; val size = rs & 15
-              if (size == 0) {
-                if (run == 15) k += 16 // ZRL
-                else eob = true
-              } else {
-                k += run
-                require(k < 64, "AC index overflow")
-                coef(zigzag(k)) = extend(br.bits(size), size) * q(zigzag(k))
-                k += 1
+    }
+
+    if (!progressive) {
+      // baseline: stream-decode the single interleaved scan
+      val br = new BitReader(b, sosPos)
+      val pred = new Array[Int](comps.length)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      var rstIdx = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          val cIdx = comps.indexWhere(_.id == c.id)
+          val q = qtab(c.tq); require(q != null, "missing qtable")
+          val dc = dcTab(c.td); val ac = acTab(c.ta)
+          require(dc != null && ac != null, "missing Huffman table")
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              val t = br.decode(dc)
+              require(t <= 11, "DC category out of range")
+              pred(cIdx) += extend(br.bits(t), t)
+              coef(0) = pred(cIdx) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decode(ac)
+                val run = rs >> 4; val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  require(k < 64, "AC index overflow")
+                  coef(zigzag(k)) = extend(br.bits(size), size) * q(zigzag(k))
+                  k += 1
+                }
               }
+              writeBlock(cIdx, mx * c.h + bx, my * c.v + by)
+              bx += 1
             }
-            idct(coef, spatial)
-            val px = (mx * c.h + bx) * 8; val py = (my * c.v + by) * 8
-            val pw = planeW(cIdx); val plane = planes(cIdx)
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              val rowOff = (py + yy) * pw + px
-              while (xx < 8) {
-                val v = math.round(spatial(yy * 8 + xx) + 128.0).toInt
-                plane(rowOff + xx) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-                xx += 1
-              }
-              yy += 1
-            }
-            bx += 1
+            by += 1
           }
-          by += 1
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // progressive: dequantize the accumulated grids, IDCT every block
+      var ci = 0
+      while (ci < comps.length) {
+        val q = qtab(comps(ci).tq); require(q != null, "missing qtable")
+        val g = grids(ci)
+        var blk = 0
+        val nBlk = blocksW(ci) * blocksH(ci)
+        while (blk < nBlk) {
+          var i = 0
+          while (i < 64) { coef(i) = g(blk * 64 + i) * q(i); i += 1 }
+          writeBlock(ci, blk % blocksW(ci), blk / blocksW(ci))
+          blk += 1
         }
         ci += 1
       }
-      mcu += 1
     }
 
     // assemble RGB24: grayscale (1 comp), YCbCr (3 comps, JFIF matrix),

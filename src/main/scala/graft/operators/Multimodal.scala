@@ -395,11 +395,12 @@ object Multimodal {
 
   /** The capacity-PLANNING tier of the resize path: emits the resize
     * geometry (dims parsed from real bytes, fit arithmetic, output byte
-    * estimate) for EVERY container format. Since r8 every baseline
-    * format also has a real pixel tier ([[PixelResizeKernel]] — GIF,
-    * PNG, baseline JPEG, raw RGB); only progressive/arithmetic JPEG
-    * (SOF2+) stops here, and a planner still sizes the output shuffle
-    * from this tier before paying for pixel decode. Batch-
+    * estimate) for EVERY container format. Since r8 every Huffman JPEG
+    * family also has a real pixel tier ([[PixelResizeKernel]] — GIF,
+    * PNG, baseline AND progressive JPEG, raw RGB); only
+    * arithmetic-coded/lossless JPEG stops here, and a planner still
+    * sizes the output shuffle from this tier before paying for pixel
+    * decode. Batch-
     * shaped like [[HeaderDecoder]] so the shuffle stays byte-volume-
     * sized via [[decodeBatched]]. Unparseable payloads drop here (the
     * metadata pass already routed them to the quarantine lane).
@@ -455,10 +456,11 @@ object Multimodal {
     * pixel decode + nearest-neighbor resample for the formats whose
     * compression is pure-JVM-implementable — GIF (every frame, LZW via
     * [[GifCodec]]), PNG (DEFLATE via the JVM's Inflater + full scanline
-    * defiltering, [[PngCodec]]), baseline JPEG (Huffman + dequant +
-    * exact IDCT + YCbCr→RGB via [[JpegCodec]] — the last r7 boundary,
-    * erased in r8), and raw RGB. Only progressive/arithmetic JPEG still
-    * stops at the capacity-planning tier ([[ResizePlanKernel]]).
+    * defiltering, [[PngCodec]]), baseline AND progressive JPEG
+    * (Huffman + successive approximation + dequant + exact IDCT +
+    * YCbCr→RGB via [[JpegCodec]] — the last r7 boundary, erased in r8),
+    * and raw RGB. Only arithmetic-coded/lossless JPEG still stops at
+    * the capacity-planning tier ([[ResizePlanKernel]]).
     *
     * Nearest-neighbor index map is pure integer math — src_x =
     * ⌊x·w/out_w⌋ — so the resample is exactly reproducible by an oracle
@@ -661,14 +663,25 @@ object Multimodal {
     * block j is flat at 128+k for even j and 128 for odd j, and no scan
     * byte can be 0xFF (no stuffing needed: bytes are 0x80-0x9E).
     *
-    *  - doc_id even → grayscale (1 component): scan = one byte per block.
-    *  - doc_id odd  → color 4:4:4 (3 components, same tables): Cb and Cr
-    *    code DC diff 0 (cat 0 "000" + EOB "0" = a zero nibble each), so
-    *    each MCU is the Y byte then 0x00, and Cb=Cr=128 makes the JFIF
-    *    matrix collapse to R=G=B=Y exactly — the color path (interleaved
-    *    3-component MCUs, chroma planes, matrix) runs for real with an
-    *    integer-exact answer.
+    *  - doc_id ≡ 0 (mod 3) → BASELINE grayscale (1 component): scan =
+    *    one byte per block.
+    *  - doc_id ≡ 1 (mod 3) → BASELINE color 4:4:4 (3 components, same
+    *    tables): Cb and Cr code DC diff 0 (cat 0 "000" + EOB "0" = a
+    *    zero nibble each), so each MCU is the Y byte then 0x00, and
+    *    Cb=Cr=128 makes the JFIF matrix collapse to R=G=B=Y exactly —
+    *    the color path (interleaved 3-component MCUs, chroma planes,
+    *    matrix) runs for real with an integer-exact answer.
+    *  - doc_id ≡ 2 (mod 3) → PROGRESSIVE grayscale (SOF2, r8): two
+    *    scans — a DC scan (Ss=Se=0) under a 4-bit-category DC table so
+    *    each block is again exactly one byte ([cat=4 "0100"][4 diff
+    *    bits]), then an AC scan (Ss=1,Se=63) that EOBs every block
+    *    (nb zero bits, 1-padded to the byte) — so the multi-scan
+    *    machinery (SOF2 dispatch, coefficient grids, per-scan tables,
+    *    EOB handling, final IDCT pass) runs under the exact oracle, not
+    *    just the spec fuzz.
     *
+    * All three variants decode to the SAME pixel formula, so the oracle
+    * is one closed form over doc_id regardless of container/coding.
     * Dims: bw = 1+id%3, bh = 1+(id/3)%3 blocks → 8..24 px a side; the
     * document text rides after EOI as junk the decoder must not read.
     */
@@ -685,7 +698,8 @@ object Multimodal {
     def blockByte(j: Column): Column = when(j % 2L === 0L,
         lit(0x80L) + kOf(j) * 2L) // [100][k:8..15][0]
       .otherwise(lit(0x80L) + (lit(15L) - kOf(j - 1L)) * 2L) // [100][15-k][0]
-    val isColor = id % 2L === 1L
+    val variant = id % 3L // 0 gray baseline, 1 color baseline, 2 progressive
+    val isColor = variant === 1L
     val scanHex = array_join(transform(sequence(lit(0L), nb - 1L), j =>
       concat(lpad(hex(blockByte(j)), 2, "0"),
         when(isColor, lit("00")).otherwise(lit("")))), "")
@@ -701,8 +715,27 @@ object Multimodal {
       .otherwise(concat(lit("FFC0" + "000B" + "08"), dims, lit("01" + "011100")))
     val sos = when(isColor, lit("FFDA" + "000C" + "03" + "0100" + "0200" + "0300" + "003F00"))
       .otherwise(lit("FFDA" + "0008" + "01" + "0100" + "003F00"))
-    val jpegHex = concat(lit("FFD8" + dqt + dhtDc + dhtAc), sof, sos,
+    val baselineHex = concat(lit("FFD8" + dqt), lit(dhtDc + dhtAc), sof, sos,
       scanHex, lit("FFD9"))
+    // progressive variant: 4-bit DC categories 0-11 (canonical: cat i =
+    // code i at 4 bits), so a DC-scan block is [0100][4 diff bits] = one
+    // byte, 0x40-0x4F — never 0xFF
+    val dhtDcProg = "FFC4" + "001F" + "00" +
+      "000000" + "0C" + "00" * 12 + "000102030405060708090A0B"
+    val scanDcProg = array_join(transform(sequence(lit(0L), nb - 1L), j =>
+      lpad(hex(when(j % 2L === 0L, lit(0x40L) + kOf(j))
+        .otherwise(lit(0x40L) + lit(15L) - kOf(j - 1L))), 2, "0")), "")
+    // AC scan: every block EOBs via the 1-bit "0" code — nb zero bits,
+    // 1-padded to the byte boundary (nb = bw*bh <= 9)
+    val scanAcProg = when(nb <= 8L,
+        lpad(hex(pow(lit(2.0), (lit(8L) - nb).cast("double")).cast("long") - 1L), 2, "0"))
+      .otherwise(lit("007F"))
+    val progHex = concat(lit("FFD8" + dqt), lit(dhtDcProg + dhtAc),
+      concat(lit("FFC2" + "000B" + "08"), dims, lit("01" + "011100")),
+      lit("FFDA" + "0008" + "01" + "0100" + "000000"), scanDcProg,
+      lit("FFDA" + "0008" + "01" + "0100" + "013F00"), scanAcProg,
+      lit("FFD9"))
+    val jpegHex = when(variant === 2L, progHex).otherwise(baselineHex)
     docs.select(
       id.as("media_id"), lit("jpeg").as("kind"),
       concat(unhex(jpegHex), encode(col("text"), "UTF-8")).as("media"))

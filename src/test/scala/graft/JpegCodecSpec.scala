@@ -46,11 +46,13 @@ class JpegCodecSpec extends AnyFunSuite {
     m.toMap
   }
 
-  // general flat tables: DC cats 0-11 at 4 bits, all 162 AC symbols at 8
+  // general flat tables: DC cats 0-11 at 4 bits; AC gets every run/size
+  // symbol PLUS all 15 EOBn symbols (progressive EOB-run lengths) at 8
   private val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val dcVals = (0 to 11).toArray
   private val acSyms: Array[Int] =
-    (Array(0x00, 0xF0) ++ (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).sorted
+    ((0 to 14).map(_ << 4) ++ Seq(0xF0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).sorted.toArray
   private val acBits = Array(0, 0, 0, 0, 0, 0, 0, acSyms.length, 0, 0, 0, 0, 0, 0, 0, 0)
   private val dcCode = codes(dcBits, dcVals)
   private val acCode = codes(acBits, acSyms)
@@ -127,6 +129,159 @@ class JpegCodecSpec extends AnyFunSuite {
     bw.out.toArray
   }
 
+  // ---- progressive encoder (T.81 G.1.2, the jcphuff dual) ----
+
+  /** One progressive scan descriptor: `comps` (multiple ⇒ interleaved,
+    * DC only), spectral band [ss,se], successive approximation ah→al.
+    */
+  private case class Scan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+  /** The standard scan script: DC first+refine interleaved, then per
+    * component split AC bands at Al=2 refined twice down to Al=0.
+    */
+  private def stdScript(nc: Int): Seq[Scan] = {
+    val all = 0 until nc
+    Seq(Scan(all, 0, 0, 0, 1), Scan(all, 0, 0, 1, 0)) ++
+      all.flatMap(c => Seq(
+        Scan(Seq(c), 1, 5, 0, 2), Scan(Seq(c), 6, 63, 0, 2),
+        Scan(Seq(c), 1, 63, 2, 1), Scan(Seq(c), 1, 63, 1, 0)))
+  }
+
+  /** Assemble a progressive (SOF2) JPEG from quantized coefficient
+    * blocks. `blocks(comp)` is indexed in the MCU-padded grid's
+    * row-major order (blocksW = mcusX·h_c), matching the decoder grid.
+    */
+  private def encodeProg(w: Int, h: Int, samp: Seq[(Int, Int)], q: Array[Int],
+                         blocks: Seq[Seq[Array[Int]]],
+                         scans: Seq[Scan], restart: Int = 0): Array[Byte] = {
+    val bw = new BitWriter
+    bw.raw(0xff); bw.raw(0xd8)
+    seg(bw, 0xdb, 0 +: (0 until 64).map(i => q(zig(i))).toArray)
+    seg(bw, 0xc4, 0x00 +: (dcBits ++ dcVals))
+    seg(bw, 0xc4, 0x10 +: (acBits ++ acSyms))
+    if (restart > 0) seg(bw, 0xdd, Array(restart >> 8, restart & 0xff))
+    val nc = samp.length
+    seg(bw, 0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
+      samp.zipWithIndex.flatMap { case ((sh, sv), i) => Seq(i + 1, (sh << 4) | sv, 0) })
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val blocksW = samp.map(_._1 * mcusX)
+
+    for (scan <- scans) {
+      seg(bw, 0xda, Array(scan.comps.length) ++
+        scan.comps.flatMap(c => Seq(c + 1, 0x00)) ++
+        Seq(scan.ss, scan.se, (scan.ah << 4) | scan.al))
+      var eobrun = 0
+      val eobBits = scala.collection.mutable.ArrayBuffer[Int]()
+      def emitEobrun(): Unit = {
+        if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (c, l) = acCode(nb << 4); bw.bits(c, l)
+          if (nb > 0) bw.bits(eobrun & ((1 << nb) - 1), nb)
+          eobrun = 0
+        }
+        eobBits.foreach(bw.bits(_, 1)); eobBits.clear()
+      }
+      val pred = new Array[Int](nc)
+
+      def dcFirst(ci: Int, v: Int): Unit = {
+        val value = v >> scan.al // arithmetic shift per G.1.2.1
+        val diff = value - pred(ci); pred(ci) = value
+        val t = cat(diff)
+        val (c, l) = dcCode(t); bw.bits(c, l)
+        if (t > 0) bw.bits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      }
+
+      def acFirst(coefs: Array[Int]): Unit = {
+        var r = 0
+        for (k <- scan.ss to scan.se) {
+          val t = coefs(zig(k)) / (1 << scan.al) // truncate toward zero
+          if (t == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { val (zc, zl) = acCode(0xF0); bw.bits(zc, zl); r -= 16 }
+            val s = cat(t)
+            val (c, l) = acCode((r << 4) | s); bw.bits(c, l)
+            bw.bits(if (t >= 0) t else t + (1 << s) - 1, s)
+            r = 0
+          }
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+      }
+
+      def acRefine(coefs: Array[Int]): Unit = {
+        val band = (scan.ss to scan.se).toArray
+        val t = band.map(k => math.abs(coefs(zig(k))) >> scan.al)
+        val eobPos = band.indices.reverse.find(i => t(i) == 1).getOrElse(-1)
+        var r = 0
+        val pending = scala.collection.mutable.ArrayBuffer[Int]()
+        for (i <- band.indices) {
+          if (t(i) == 0) r += 1
+          else {
+            while (r > 15 && i <= eobPos) {
+              emitEobrun()
+              val (zc, zl) = acCode(0xF0); bw.bits(zc, zl); r -= 16
+              pending.foreach(bw.bits(_, 1)); pending.clear()
+            }
+            if (t(i) > 1) pending += (t(i) & 1) // already significant
+            else { // newly significant (t == 1)
+              emitEobrun()
+              val (c, l) = acCode((r << 4) | 1); bw.bits(c, l)
+              bw.bits(if (coefs(zig(band(i))) >= 0) 1 else 0, 1)
+              pending.foreach(bw.bits(_, 1)); pending.clear()
+              r = 0
+            }
+          }
+        }
+        if (r > 0 || pending.nonEmpty) {
+          eobrun += 1; eobBits ++= pending
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+
+      def encodeBlock(ci: Int, coefs: Array[Int]): Unit =
+        if (scan.ss == 0) {
+          if (scan.ah == 0) dcFirst(ci, coefs(0))
+          else bw.bits((coefs(0) >> scan.al) & 1, 1)
+        } else if (scan.ah == 0) acFirst(coefs)
+        else acRefine(coefs)
+
+      var rst = 0; var unit = 0
+      def maybeRestart(): Unit =
+        if (restart > 0 && unit > 0 && unit % restart == 0) {
+          emitEobrun(); bw.align()
+          bw.raw(0xff); bw.raw(0xd0 + rst); rst = (rst + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+
+      if (scan.comps.length == 1) {
+        val ci = scan.comps.head
+        val (sh, sv) = samp(ci)
+        val nbx = math.max((w * sh + 8 * hMax - 1) / (8 * hMax), 1)
+        val nby = math.max((h * sv + 8 * vMax - 1) / (8 * vMax), 1)
+        while (unit < nbx * nby) {
+          maybeRestart()
+          encodeBlock(ci, blocks(ci)((unit / nbx) * blocksW(ci) + unit % nbx))
+          unit += 1
+        }
+      } else {
+        while (unit < mcusX * mcusY) {
+          maybeRestart()
+          val mx = unit % mcusX; val my = unit / mcusX
+          for (ci <- scan.comps; by <- 0 until samp(ci)._2; bx <- 0 until samp(ci)._1)
+            encodeBlock(ci, blocks(ci)((my * samp(ci)._2 + by) * blocksW(ci) +
+              mx * samp(ci)._1 + bx))
+          unit += 1
+        }
+      }
+      emitEobrun()
+      bw.align()
+    }
+    bw.raw(0xff); bw.raw(0xd9)
+    bw.out.toArray
+  }
+
   // ---- independent reference decode ----
 
   /** Textbook direct (non-separable) IDCT of dequantized coefficients. */
@@ -193,6 +348,40 @@ class JpegCodecSpec extends AnyFunSuite {
         planes(c)((py + yy) * planeWs(c) + px + xx) = sp(yy * 8 + xx)
     }
     (planes, planeWs)
+  }
+
+  /** Reference planes for GRID-ordered blocks (the progressive layout:
+    * index = row·blocksW + col in the MCU-padded grid).
+    */
+  private def buildPlanesGrid(w: Int, h: Int, samp: Seq[(Int, Int)], q: Array[Int],
+                              blocks: Seq[Seq[Array[Int]]]): (Seq[Array[Int]], Seq[Int]) = {
+    val hMax = samp.map(_._1).max; val vMax = samp.map(_._2).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeWs = samp.map { case (sh, _) => mcusX * sh * 8 }
+    val planes = samp.zip(planeWs).map { case ((_, sv), pw) => new Array[Int](pw * mcusY * sv * 8) }
+    for (c <- samp.indices) {
+      val bwid = mcusX * samp(c)._1
+      for (i <- blocks(c).indices) {
+        val sp = refIdct(blocks(c)(i), q)
+        val px = (i % bwid) * 8; val py = (i / bwid) * 8
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          planes(c)((py + yy) * planeWs(c) + px + xx) = sp(yy * 8 + xx)
+      }
+    }
+    (planes, planeWs)
+  }
+
+  private def checkProg(w: Int, h: Int, samp: Seq[(Int, Int)], q: Array[Int],
+                        blocks: Seq[Seq[Array[Int]]], scans: Seq[Scan],
+                        restart: Int = 0): Unit = {
+    val jpeg = encodeProg(w, h, samp, q, blocks, scans, restart)
+    val got = JpegCodec.decodeOrThrow(jpeg).getOrElse(fail("progressive decode returned None"))
+    assert(got.w == w && got.h == h)
+    val (planes, planeWs) = buildPlanesGrid(w, h, samp, q, blocks)
+    val want = refRgb(w, h, samp, planes, planeWs)
+    val bad = got.rgb.zip(want).zipWithIndex.filter { case ((a, b), _) => a != b }
+    assert(bad.isEmpty, s"${bad.length} byte mismatches, first at ${bad.headOption.map(_._2)}")
   }
 
   private def randomBlocks(rnd: scala.util.Random, n: Int, dense: Boolean): Seq[Array[Int]] =
@@ -274,6 +463,67 @@ class JpegCodecSpec extends AnyFunSuite {
       Seq(randomBlocks(rnd, nBlocks(w, h, samp, 0), dense = true)), restart = 4)
   }
 
+  private def sparseBlocks(rnd: scala.util.Random, n: Int): Seq[Array[Int]] =
+    Seq.fill(n) {
+      val b = new Array[Int](64)
+      rnd.nextInt(4) match {
+        case 0 => // all-zero: pure EOB-run fodder
+        case 1 => b(0) = rnd.nextInt(201) - 100 // DC only
+        case 2 => // DC + one high-frequency coef (long ZRL runs)
+          b(0) = rnd.nextInt(201) - 100
+          b(1 + rnd.nextInt(63)) = rnd.nextInt(25) - 12
+        case _ =>
+          b(0) = rnd.nextInt(201) - 100
+          for (_ <- 0 until 8) b(1 + rnd.nextInt(63)) = rnd.nextInt(25) - 12
+      }
+      b
+    }
+
+  test("progressive grayscale: spectral selection + successive approximation exact") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 6) {
+      val (w, h) = (8 * (1 + rnd.nextInt(4)), 8 * (1 + rnd.nextInt(4)))
+      val samp = Seq((1, 1))
+      val blocks = Seq(
+        if (trial % 2 == 0) randomBlocks(rnd, nBlocks(w, h, samp, 0), dense = true)
+        else sparseBlocks(rnd, nBlocks(w, h, samp, 0)))
+      checkProg(w, h, samp, qReal, blocks, stdScript(1))
+    }
+  }
+
+  test("progressive EOB runs span blocks with buffered correction bits") {
+    val rnd = new scala.util.Random(31)
+    val samp = Seq((1, 1))
+    val (w, h) = (64, 40) // 40 blocks: long EOB runs across blocks
+    checkProg(w, h, samp, qReal, Seq(sparseBlocks(rnd, nBlocks(w, h, samp, 0))),
+      stdScript(1))
+  }
+
+  test("progressive color 4:2:0: per-component AC scans, interleaved DC") {
+    val rnd = new scala.util.Random(37)
+    val samp = Seq((2, 2), (1, 1), (1, 1))
+    val (w, h) = (32, 16)
+    checkProg(w, h, samp, qReal, samp.indices.map(c =>
+      if (c == 0) randomBlocks(rnd, nBlocks(w, h, samp, c), dense = true)
+      else sparseBlocks(rnd, nBlocks(w, h, samp, c))), stdScript(3))
+  }
+
+  test("progressive 4:4:4 with MCU padding dims") {
+    val rnd = new scala.util.Random(41)
+    val samp = Seq((1, 1), (1, 1), (1, 1))
+    val (w, h) = (20, 12)
+    checkProg(w, h, samp, qReal, samp.indices.map(_ =>
+      randomBlocks(rnd, nBlocks(w, h, samp, 0), dense = true)), stdScript(3))
+  }
+
+  test("progressive restart markers reset predictors and EOB runs") {
+    val rnd = new scala.util.Random(43)
+    val samp = Seq((1, 1))
+    val (w, h) = (48, 24) // 18 blocks, restart every 5
+    checkProg(w, h, samp, qReal, Seq(sparseBlocks(rnd, nBlocks(w, h, samp, 0))),
+      stdScript(1), restart = 5)
+  }
+
   test("garbage quarantines: truncated, progressive, oversized, non-JPEG") {
     val rnd = new scala.util.Random(23)
     val samp = Seq((1, 1))
@@ -286,12 +536,17 @@ class JpegCodecSpec extends AnyFunSuite {
     // a missing EOI after a complete scan still decodes (standard
     // decoder leniency — the entropy data proved itself)
     assert(JpegCodec.decode(good.dropRight(2)).isDefined)
-    // progressive marker (SOF2) routes to the planning tier
+    // a baseline stream relabeled SOF2 is MALFORMED progressive (its one
+    // scan claims the full band interleaved) — quarantined, not decoded
     val prog = good.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(JpegCodec.decode(prog).isEmpty)
+    // lossless (SOF3) stays out of scope entirely
+    val lossless = good.clone()
+    lossless(sofAt + 1) = 0xc3.toByte
+    assert(JpegCodec.decode(lossless).isEmpty)
     // hostile dims: 65535x65535 would be 12 GiB of planes
     val big = good.clone()
     big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte
