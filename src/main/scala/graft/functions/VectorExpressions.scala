@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for vector math.
   *
@@ -100,9 +100,86 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** The `nprobe` nearest centroids of `child` by inner-product score
+    * (argmax v·c − ‖c‖²/2 ≡ argmin Euclidean), descending score, ties to
+    * the smaller cell id — ONE expression node regardless of k.
+    *
+    * Why this exists (r8): the original formulation built one
+    * struct(score, idx) sub-expression PER centroid and took
+    * `greatest(...)` — fine at the bench's k=8/16, but a k=800 IVF
+    * (the honest cell count for a 500k-vector corpus at constant cell
+    * size) produced an 800-term tree with 800 inline array literals
+    * that pinned the DRIVER in Catalyst transforms for tens of minutes
+    * before a single task ran (measured by the ×100 probe). Here the
+    * centroid matrix rides the plan as a single reference object:
+    * tree size O(1), per-row cost the inherent O(k·d) flops, codegen'd.
+    */
+  case class NearestCells(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_cells"
+
+    @transient private lazy val mat: Array[Array[Double]] = cents.map(_.toArray).toArray
+    @transient private lazy val halves: Array[Double] =
+      mat.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s / 2.0 })
+
+    /** Shared by eval and the generated code (via reference object):
+      * top-np selection over the k scores, insertion into fixed arrays.
+      */
+    private[functions] def select(v: ArrayData): Array[Int] =
+      NearestCells.run(v, mat, halves, nprobe)
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(select(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nearestCells", this,
+        classOf[NearestCells].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($self.select($v));")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object NearestCells {
+    private[functions] def run(v: ArrayData, mat: Array[Array[Double]],
+                               halves: Array[Double], nprobe: Int): Array[Int] = {
+      val d = v.numElements()
+      val k = mat.length
+      val np = math.min(nprobe, k)
+      val bestScore = Array.fill(np)(Double.NegativeInfinity)
+      val bestIdx = Array.fill(np)(Int.MaxValue)
+      var c = 0
+      while (c < k) {
+        val cent = mat(c)
+        val n = math.min(d, cent.length)
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += v.getDouble(i) * cent(i); i += 1 }
+        val score = dot - halves(c)
+        var pos = np
+        while (pos > 0 && (score > bestScore(pos - 1) ||
+          (score == bestScore(pos - 1) && c < bestIdx(pos - 1)))) pos -= 1
+        if (pos < np) {
+          var j = np - 1
+          while (j > pos) { bestScore(j) = bestScore(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1 }
+          bestScore(pos) = score; bestIdx(pos) = c
+        }
+        c += 1
+      }
+      bestIdx
+    }
+  }
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearest_cells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
+      cents.map(_.toSeq).toSeq, nprobe))
 }

@@ -369,32 +369,23 @@ object Similarity {
     })
   }
 
-  /** Nearest-centroid cell id for a vector column — an argmin over k
-    * Euclidean distances computed as k native dot products
-    * (argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2); the ‖c‖²/2 terms are
-    * precomputed literals, so assignment is one codegen'd map, no shuffle,
-    * no UDF). Ties break to the smallest cell id.
+  /** Nearest-centroid cell id for a vector column — argmin ‖v−c‖² =
+    * argmax (v·c − ‖c‖²/2), ties to the smallest cell id. One native
+    * [[graft.functions.VectorExpressions.NearestCells]] node carrying
+    * the centroid matrix as a reference object: assignment is a
+    * codegen'd map with O(1) plan size in k (r8 — the previous
+    * expression-per-centroid formulation pinned the driver in Catalyst
+    * at the k≈800 an honest ×100 IVF needs; see the expression's
+    * scaladoc), no shuffle, no UDF.
     */
-  def cellOf(vec: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x * x).sum / 2.0
-      val score = graft.functions.VectorExpressions.dot_product(vec, array(c.map(lit): _*)) - lit(half)
-      struct(score.as("score"), lit(-i).as("negidx"))
-    }
-    (greatest(scored: _*).getField("negidx") * -1).cast("int")
-  }
+  def cellOf(vec: Column, cents: Array[Array[Double]]): Column =
+    element_at(graft.functions.VectorExpressions.nearest_cells(vec, cents, 1), 1)
 
-  /** Each query's `nprobe` nearest cells, exploded to (vector, cell) probe
-    * rows: per-centroid scores sorted descending, top nprobe kept.
+  /** Each query's `nprobe` nearest cell ids, descending score (same
+    * native node; explode for (vector, cell) probe rows).
     */
-  private def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x * x).sum / 2.0
-      val score = graft.functions.VectorExpressions.dot_product(vec, array(c.map(lit): _*)) - lit(half)
-      struct(score.as("score"), lit(-i).as("negidx"))
-    }
-    slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
-  }
+  private def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    graft.functions.VectorExpressions.nearest_cells(vec, cents, nprobe)
 
   /** Embedding near-duplicate pairs via trained-IVF cells — the SemDeDup
     * shape (Abbas et al. 2023, arXiv:2303.09540: k-means-cluster the
@@ -421,8 +412,7 @@ object Similarity {
     val assigned =
       if (nassign <= 1) base.withColumn("cell", cellOf(col("v"), cents))
       else base
-        .select(col("id"), col("v"), explode(probeCells(col("v"), cents, nassign)).as("p"))
-        .select(col("id"), col("v"), (col("p.negidx") * -1).cast("int").as("cell"))
+        .select(col("id"), col("v"), explode(probeCells(col("v"), cents, nassign)).as("cell"))
     val left = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val right = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     left.join(right, Seq("cell")).filter(col("id_a") < col("id_b"))
@@ -455,8 +445,7 @@ object Similarity {
       .withColumn("cell", cellOf(col("v"), cents))
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(probeCells(col("v"), cents, nprobe)).as("probe"))
-      .select(col("qid"), col("qv"), (col("probe.negidx") * -1).cast("int").as("cell"))
+        explode(probeCells(col("v"), cents, nprobe)).as("cell"))
     val scored = corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *    Replicas sharing a rotation (100/26 ≈ 4 of each) stay exact
   *    copies: a bounded band of true pairs proves the path still FINDS
   *    duplicates.
+  *  - **containment + IVF clusters** (r8, r7 VERDICT item 4): the same
+  *    distinct-content discipline applied to `containmentPairs` (cipher
+  *    corpus) and `semanticClustersIvf` (per-replica dimension shift on
+  *    the embeddings — norm-preserving, cosine-decorrelating), so both
+  *    families' ×100 rows measure their joins, not self-dup output.
   *  - **two-pass windowing** (`sessionizeScalable` under total skew —
   *    all extra events on ONE user — and `withPrevious` on a 5-key
   *    timeline): the range-partition + boundary-stitch machinery whose
@@ -38,6 +43,10 @@ import org.apache.spark.sql.functions._
 object Scale100Probe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(100)
+    // optional 2nd arg: comma-separated family filter (rerun one family
+    // without paying for the rest)
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.exists(name.contains))
     // fewer concurrent tasks than the bench default: the pool constraint
     // divides across RUNNING tasks, and a 32-way local run under a
     // fraction-capped 4 GB heap leaves tasks under Spark's per-task page
@@ -82,7 +91,7 @@ object Scale100Probe {
     }).reduce(_ unionByName _)
 
     var failed = false
-    def probe(name: String)(f: => Long): Unit = {
+    def probe(name: String)(f: => Long): Unit = if (wanted(name)) {
       val m0 = memSpilled; val d0 = diskSpilled
       val t0 = System.nanoTime()
       try {
@@ -99,6 +108,35 @@ object Scale100Probe {
 
     probe("dedup_pairs_x100") {
       Dedup.ngramJaccardPairs(docsBig, 3, 0.6).count()
+    }
+    // r8 (r7 VERDICT item 4): the same distinct-content discipline for
+    // the two families whose ×10 headline ratios were driven by the
+    // self-dup corpus artifact (×13 ivf, ×5.9 containment), so their
+    // ×100 rows measure the JOIN, not the quadratic report.
+    probe("containment_x100") {
+      Dedup.containmentPairs(docsBig, 0.8).count()
+    }
+    // embeddings analog of the substitution cipher: a per-replica
+    // circular shift of the dimensions (norm-preserving, cosine to other
+    // shifts ~random), so replicas carry DISTINCT vectors; replicas
+    // sharing a shift (mult/dim of each) stay exact copies — the bounded
+    // true-duplicate band that proves the path still finds near-dups.
+    val emb = Canon.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embBig: DataFrame = (0 until mult).map { i =>
+      val k = i % dim
+      val shifted = if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding", shifted)
+    }.reduce(_ unionByName _)
+    // cells GROW with the corpus (constant ~625-vector cells — the
+    // documented SemDeDup sizing): candidates stay Θ(n·cellsize), not
+    // Θ(n²/8). The default cells=8 is the sf0.1 bench sizing; reusing it
+    // at ×100 would be a 3e10-candidate self-inflicted quadratic.
+    probe("ivf_clusters_x100") {
+      Dedup.semanticClustersIvf(embBig, tau = 0.4, cells = 8 * mult).count()
     }
     probe("sessionize_skew") {
       Events.sessionizeScalable(evrSkew, gapUs = 1800000000L).count()

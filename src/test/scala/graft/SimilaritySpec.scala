@@ -216,4 +216,32 @@ class SimilaritySpec extends SparkSuite {
     // wins over norm
     assert(top.forall(v => v % 2 == 0 && v != 99L), top.mkString(","))
   }
+
+  test("nearest_cells: one-node assignment matches a naive argsort at any k, incl. ties") {
+    import graft.functions.VectorExpressions.nearest_cells
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    // k = 400: the regime where the old expression-per-centroid tree
+    // pinned the driver — plan must stay O(1) and agree with the naive
+    val k = 400
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    cents(7) = cents(3).clone() // exact duplicate centroids force ties
+    val vecs = (0L until 50L).map(i => (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq))
+    val df = vecs.toDF("vec_id", "v")
+    val got = df.select($"vec_id", nearest_cells($"v", cents, 5).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    def naive(v: Seq[Double]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (x, y) => x * y }.sum - c.map(x => x * x).sum / 2.0, i)
+      }.sortBy { case (s, i) => (-s, i) }.take(5).map(_._2).toSeq
+    vecs.foreach { case (id, v) => assert(got(id) == naive(v), s"vec $id") }
+    // nprobe > k caps at k
+    val all = df.limit(1).select(nearest_cells($"v", cents.take(3), 9).as("c"))
+      .as[Seq[Int]].head()
+    assert(all.length == 3)
+    // and cellOf (nprobe=1) picks the tie's smaller id
+    val tied = Seq((0L, cents(3).toSeq)).toDF("vec_id", "v")
+      .select(Similarity.cellOf($"v", cents).as("cell")).as[Int].head()
+    assert(tied == 3)
+  }
 }
