@@ -453,6 +453,10 @@ object SparkEntry {
       TextOps.heavyHitters(Canon.documents(s, d), capacity = 4096, k = 20)),
     "q_drift" -> ((s, d) => // per-source KL vs corpus blend over capped vocab + OOV bucket
       TextOps.driftReport(Canon.documents(s, d), vocabSize = 24)),
+    "q_drift_psi" -> ((s, d) => // PSI variant: symmetric (p−q)·ln(p/q), same capped matrix
+      TextOps.driftReportMetric(Canon.documents(s, d), "psi", vocabSize = 24)),
+    "q_drift_jsd" -> ((s, d) => // Jensen-Shannon variant: bounded by ln 2, comparable across sources
+      TextOps.driftReportMetric(Canon.documents(s, d), "jsd", vocabSize = 24)),
     "q_text_bm25" -> ((s, d) => // BM25 top-50 for a fixed query (Lucene
       // formulation); corpus stats reduce to driver literals, top-k is
       // TakeOrderedAndProject — no full sort, no shuffle but k rows
@@ -505,6 +509,9 @@ object SparkEntry {
       Dedup.containmentPairs(Canon.documents(s, d), t = 0.8)),
     "q_dedup_minhash" -> ((s, d) => // LSH candidates + exact verify; rows-only check
       Dedup.minhashLshPairs(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
+    "q_dedup_keepers_lsh" -> ((s, d) => // keeper election over the LSH pair tier
+      // (the 100 TB dedup shape: banded buckets, never all-pairs)
+      Dedup.qualityKeepersLsh(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
     "q_dedup_simhash" -> ((s, d) => // hash-valued; rows-only check
       Dedup.simhashPairs(Canon.documents(s, d), maxHamming = 3)),
     "q_decontaminate" -> ((s, d) => // eval-set n-gram overlap report
@@ -1047,8 +1054,8 @@ object SparkEntry {
     * any value/schema change.
     */
   private[graft] val goldenBases = Seq(
-    "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_minhash",
-    "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
+    "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_keepers_lsh",
+    "q_dedup_minhash", "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
     "q_sim_ivf_trained", "q_sim_pq", "q_text_bpe", "q_text_bpe_encode",
     "q_text_winnowing")
 
@@ -1337,6 +1344,7 @@ object SparkEntry {
   private val goldenHashes = Map(
     "q_agg_quantiles_approx" -> "7257906444385557258",
     "q_approx_distinct_users" -> "23586929313420085341",
+    "q_dedup_keepers_lsh" -> "31246756955863980271",
     "q_dedup_minhash" -> "-26197323762737149848",
     "q_dedup_simhash" -> "-10740014342736616752",
     "q_sim_ann" -> "62831741413356666920",
@@ -1367,6 +1375,44 @@ object SparkEntry {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val LTOKS =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  /** DuckDB mirror of [[TextOps.driftReportMetric]] for the psi/jsd
+    * variants — the same CTE skeleton as the handwritten `q_drift` KL
+    * oracle, with the per-bucket contribution swapped to textually match
+    * the Scala expression tree (same operand order, so the IEEE doubles
+    * agree bit-for-bit before the nano rounding).
+    */
+  private def driftOracleSql(metric: String): String = {
+    val p = "(cst+1)/(ns+25.0)"
+    val q = "(ct+1)/((SELECT n FROM tot)+25.0)"
+    val op = "(ns-intop+1)/(ns+25.0)"
+    val oq = "((SELECT n FROM tot)-(SELECT ts FROM tops)+1)/((SELECT n FROM tot)+25.0)"
+    def contrib(pp: String, qq: String): String = metric match {
+      case "psi" => s"($pp - $qq) * ln(($pp) / ($qq))"
+      case "jsd" =>
+        val m = s"(($pp + $qq)/2.0)"
+        s"(($pp) * ln(($pp) / $m) + ($qq) * ln(($qq) / $m)) / 2.0"
+    }
+    s"""WITH tk AS (SELECT source, unnest($LTOKS) AS term FROM documents),
+       |cnt AS (SELECT source AS src, term, count(*) AS c FROM tk GROUP BY 1,2),
+       |corpus AS (SELECT term, sum(c) AS ct FROM cnt GROUP BY 1),
+       |top AS (SELECT term, ct FROM corpus ORDER BY ct DESC, term ASC LIMIT 24),
+       |tot AS (SELECT sum(c) AS n FROM cnt),
+       |tops AS (SELECT sum(ct) AS ts FROM top),
+       |st AS (SELECT src, sum(c) AS ns FROM cnt GROUP BY 1),
+       |mat AS (SELECT s.src, s.ns, t.term, t.ct, coalesce(c.c, 0) AS cst
+       |        FROM st s CROSS JOIN top t LEFT JOIN cnt c ON c.src = s.src AND c.term = t.term),
+       |invoc AS (SELECT src, ns,
+       |    sum(CAST(round((${contrib(p, q)}) * 1e9, 0) AS BIGINT)) AS in_nano,
+       |    sum(cst) AS intop
+       |  FROM mat GROUP BY 1,2),
+       |fin AS (SELECT src, ns, ns - intop AS oov, in_nano,
+       |    CAST(round((${contrib(op, oq)}) * 1e9, 0) AS BIGINT) AS oov_nano
+       |  FROM invoc)
+       |SELECT src AS source, CAST(ns AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS oov_tokens,
+       |       round((in_nano + oov_nano)/1e9, 6) AS $metric
+       |FROM fin ORDER BY source""".stripMargin
+  }
+
   private val SHINGLES = // distinct word 3-grams, empty when < 3 tokens
     s"""list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))""".stripMargin
@@ -1475,6 +1521,10 @@ object SparkEntry {
          |SELECT src AS source, CAST(ns AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS oov_tokens,
          |       round((in_nano + oov_nano)/1e9, 6) AS kl
          |FROM fin ORDER BY source""".stripMargin,
+    // PSI / Jensen-Shannon drift variants: the same skeleton with the
+    // per-bucket contribution swapped (see driftOracleSql)
+    "q_drift_psi" -> driftOracleSql("psi"),
+    "q_drift_jsd" -> driftOracleSql("jsd"),
     // positional word 3-grams on the STRING form (the engine hashes them
     // to longs — grouping by hash equals grouping by string absent a
     // 64-bit collision, the novelty/commonness equivalence); covered

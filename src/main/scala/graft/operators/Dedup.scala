@@ -285,9 +285,35 @@ object Dedup {
     * rank parallelizes and no single task sees more than one cluster.
     */
   def qualityKeepers(df: DataFrame, n: Int = 3, tau: Double = 0.6,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    keepersFromClusters(df, duplicateClusters(df, n, tau, textCol, idCol),
+      textCol, idCol)
+
+  /** Keeper election over the MinHash-LSH candidate tier — the shape a
+    * 100 TB dedup actually runs: LSH pairs (banded bucket join, never
+    * all-pairs) → connected components → quality argmax, instead of the
+    * exact PPJoin pair tier [[qualityKeepers]] elects over. Approximate
+    * exactly where the pair tier is (LSH recall < 1 on the banding
+    * curve); equivalence-unit-tested against the exact tier on corpora
+    * whose duplicate structure LSH recalls fully, golden-pinned in
+    * CORRECTNESS.
+    */
+  def qualityKeepersLsh(df: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                        tau: Double = 0.5,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    keepersFromClusters(df,
+      clustersFromPairs(minhashLshPairs(df, n, k, bands, tau, textCol, idCol),
+        outIdCol = "doc_id"),
+      textCol, idCol)
+
+  /** Shared election: rejoin a component labeling (`doc_id`, `keep_id`)
+    * with the per-doc quality score and elect argmax(quality, tie → min
+    * id) per component — see [[qualityKeepers]] for the scale rationale.
+    */
+  private def keepersFromClusters(df: DataFrame, clustersIn: DataFrame,
+                                  textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = duplicateClusters(df, n, tau, textCol, idCol)
+    val clusters = clustersIn
       .withColumnRenamed("doc_id", idCol).withColumnRenamed("keep_id", "cluster_id")
     val scores = TextOps.qualityScore(df, textCol, idCol)
     val j = clusters.hint("shuffle_hash").join(scores, Seq(idCol))

@@ -493,9 +493,26 @@ object TextOps {
     * literals (the BM25 stats pattern — two 1-row collects).
     */
   def driftReport(df: DataFrame, vocabSize: Int = 24,
-                  textCol: String = "text", groupCol: String = "source"): DataFrame = {
+                  textCol: String = "text", groupCol: String = "source"): DataFrame =
+    driftReportMetric(df, "kl", vocabSize, textCol, groupCol)
+
+  /** [[driftReport]] generalized over the divergence: the same capped-
+    * vocab + OOV smoothed matrix, with the per-bucket contribution picked
+    * by `metric` —
+    *  - `kl`:  p·ln(p/q)            (asymmetric; the default report)
+    *  - `psi`: (p−q)·ln(p/q)        (population stability index — the
+    *           model-monitoring standard; symmetric in p,q)
+    *  - `jsd`: ½·(p·ln(p/m)+q·ln(q/m)), m=(p+q)/2  (Jensen-Shannon;
+    *           symmetric AND bounded by ln 2 — comparable across sources)
+    * All three share the nano-unit LONG-sum determinism discipline, so
+    * each sits under the same exact DuckDB oracle shape as `kl`.
+    */
+  def driftReportMetric(df: DataFrame, metric: String, vocabSize: Int = 24,
+                        textCol: String = "text", groupCol: String = "source"): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
-    require(!Set("n_tokens", "oov_tokens", "kl").contains(groupCol),
+    require(Set("kl", "psi", "jsd").contains(metric),
+      s"unknown drift metric '$metric' (kl | psi | jsd)")
+    require(!Set("n_tokens", "oov_tokens", metric).contains(groupCol),
       s"groupCol '$groupCol' collides with a driftReport output column")
     val cnt = df
       .select(col(groupCol).as("src"), explode(tokens(lower(col(textCol)))).as("term"))
@@ -522,7 +539,14 @@ object TextOps {
     def nano(sc: Column, ns: Column, cc: Column): Column = {
       val p = (sc + lit(1L)).cast("double") / (ns + lit(b.toLong))
       val q = (cc + lit(1L)).cast("double") / lit((nTotal + b).toDouble)
-      round(p * log(p / q) * lit(1e9), 0).cast("long")
+      val contrib = metric match {
+        case "kl"  => p * log(p / q)
+        case "psi" => (p - q) * log(p / q)
+        case "jsd" =>
+          val m = (p + q) / lit(2.0)
+          (p * log(p / m) + q * log(q / m)) / lit(2.0)
+      }
+      round(contrib * lit(1e9), 0).cast("long")
     }
     val matrix = st.crossJoin(top)
       .join(cnt.hint("shuffle_hash").withColumnRenamed("c", "cst"),
@@ -537,7 +561,7 @@ object TextOps {
         (col("ns") - col("intop")).as("oov_tokens"),
         round((col("in_nano") +
           nano(col("ns") - col("intop"), col("ns"), lit(nTotal - topSum)))
-          .cast("double") / lit(1e9), 6).as("kl"))
+          .cast("double") / lit(1e9), 6).as(metric))
       .orderBy(groupCol)
   }
 

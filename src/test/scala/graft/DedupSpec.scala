@@ -124,6 +124,28 @@ class DedupSpec extends SparkSuite {
     assert(out == Seq((10L, 10L, 20L), (20L, 10L, 20L))) // cluster label min, keeper argmax
   }
 
+  test("LSH-tier keeper election equals the exact tier where LSH recall is 1") {
+    // exact duplicates collide in EVERY band (identical signatures), so
+    // the LSH tier recalls the full duplicate structure and the two
+    // elections must agree row-for-row — including the quality argmax
+    val docs = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (20L, "a b c d e f g h i j k l"), // exact dup of 10: identical signature
+      (21L, "a b c d e f g h i j k l the and of"), // J = 10/13 vs 10 — on the
+      // 16-band/r=4 curve a 0.77-Jaccard pair collides w.p. ~0.999, and the
+      // fixed xxhash64 makes the outcome deterministic, not probabilistic
+      (30L, "totally different standalone text body right here"),
+      (31L, "totally different standalone text body right here"), // dup of 30
+      (40L, "a lone unrelated document that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "cluster_id", "keeper_id").as[(Long, Long, Long)].collect().toSet
+    val exact = norm(Dedup.qualityKeepers(docs, n = 3, tau = 0.3))
+    val lsh = norm(Dedup.qualityKeepersLsh(docs, n = 3, k = 64, bands = 16, tau = 0.3))
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(exact.map(_._1) == Set(10L, 20L, 21L, 30L, 31L), exact.toString)
+  }
+
   test("clusters on an edgeless graph: empty result with the right schema, both tiers") {
     val lonely = Seq(
       (1L, "completely distinct first document body here"),

@@ -351,8 +351,9 @@ class PlanAuditSpec extends SparkSuite {
     // intended shape for the exact scoring pass); q_drift crosses two
     // aggregate-derived tables BOUNDED BY CONFIGURATION (#sources ×
     // top-V vocab) — the sanctioned model-matrix cartesian
-    val allowedBnlj = Set("q_sim_topk", "q_sim_filtered", "q_drift")
-    val allowedCartesian = Set("q_drift")
+    val allowedBnlj =
+      Set("q_sim_topk", "q_sim_filtered", "q_drift", "q_drift_psi", "q_drift_jsd")
+    val allowedCartesian = Set("q_drift", "q_drift_psi", "q_drift_jsd")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = plan(SparkEntry.queries(n)(spark, sf))
       if (!allowedCartesian(n))

@@ -308,6 +308,30 @@ class TextOpsSpec extends SparkSuite {
     assert(out("src_same") < 0.06 && out("src_other") < 0.06, out.toString)
   }
 
+  test("drift metrics: psi symmetric-signal, jsd bounded by ln 2, both ~0 on a conforming source") {
+    val docs = (Seq.fill(50)(("src_same", "a b")) ++
+      Seq.fill(25)(("src_skew", "a a")) ++ Seq.fill(25)(("src_other", "a b")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    for (metric <- Seq("psi", "jsd")) {
+      val out = TextOps.driftReportMetric(docs, metric, vocabSize = 8)
+      assert(out.columns.toSeq == Seq("source", "n_tokens", "oov_tokens", metric))
+      val m = out.as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r._4).toMap
+      m.values.foreach(v => assert(v >= -1e-6, s"negative $metric: $m"))
+      assert(m("src_skew") > m("src_same") * 3, s"$metric no signal: $m")
+      // smoothing noise floor differs per metric ((p−q) weighting inflates
+      // PSI's baseline vs KL's); the conforming sources still sit an order
+      // of magnitude under the skewed one
+      assert(m("src_same") < 0.1 && m("src_other") < 0.1, m.toString)
+      if (metric == "jsd") // JSD <= ln 2 always, however skewed
+        m.values.foreach(v => assert(v <= math.log(2) + 1e-6, m.toString))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.driftReportMetric(docs, "hellinger")
+    }
+  }
+
   test("drift report: OOV bucket carries the tail when the cap engages") {
     val docs = Seq((0L, "x x x x rare1 rare2", "s0"), (1L, "x x x x rare3 rare4", "s1"))
       .toDF("doc_id", "text", "source")
