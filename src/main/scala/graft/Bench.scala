@@ -123,7 +123,9 @@ object Bench {
                                 sfDir: String, partial: Boolean,
                                 dp: Int = 1,
                                 medians: Option[Map[String, Double]] = None,
-                                shortKeys: Boolean = false): String = {
+                                shortKeys: Boolean = false,
+                                overflow: Int = 0,
+                                totalOverride: Option[Double] = None): String = {
     val abbrev = if (shortKeys) abbrevFor(ts.map(_._1) ++ failed) else famAbbrev
     def key(n: String): String = if (!shortKeys) n else {
       val bare = n.stripPrefix("q_")
@@ -139,34 +141,49 @@ object Bench {
       ts.map { case (k, _) => "\"" + key(k) + "\":" + fmt(m.getOrElse(k, 0.0), dp) }
         .mkString(",\"queries_median\":{", ",", "}")
     }
-    val total = fmt(ts.map(_._2).sum, 2)
+    val total = fmt(totalOverride.getOrElse(ts.map(_._2).sum), 2)
+    val ovf = if (overflow > 0) s""","q_overflow":$overflow""" else ""
     val pf = s""","partial":$partial""" +
       failed.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$med,"sf":"$sfDir"$pf}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$ovf$med,"sf":"$sfDir"$pf}"""
   }
 
-  /** The stdout emission with the budget guard (r8): the 1dp short-key
-    * line when it fits the driver's ~1925-char tail window, else a
-    * minimal always-parseable fallback — contract fields intact, the
-    * per-query object emptied (the sidecar keeps every per-query number
-    * at 2dp regardless), and `q_overflow` naming how many were elided.
-    * Losing per-query stdout detail is strictly better than losing the
-    * whole round's parse to a truncated line head.
+  /** The stdout emission with the budget guard (r8, middle tier added
+    * when the 118-query roster outgrew even short keys): the 1dp
+    * short-key line when it fits the driver's ~1925-char tail window;
+    * otherwise the SLOWEST-K per-query detail that fits (K found by
+    * binary search — the slow queries are the ones a perf reader needs;
+    * the sidecar keeps every per-query number at 2dp regardless) with
+    * `q_overflow` naming how many fast ones were elided and `value`
+    * still the FULL roster total; in extremis a minimal always-parseable
+    * fallback. Losing fast-query stdout detail is strictly better than
+    * losing the whole round's parse to a truncated line head.
     */
   private[graft] val stdoutBudget = 1895
   private[graft] def stdoutLine(snap: Seq[(String, Double)], failed: Seq[String],
                                 sfBase: String, partial: Boolean): String = {
     val full = formatLine(snap, failed, sfBase, partial, shortKeys = true)
-    if (full.length <= stdoutBudget) full
+    if (full.length <= stdoutBudget) return full
+    val total = snap.map(_._2).sum
+    val byTime = snap.sortBy { case (n, v) => (-v, n) }
+    def lineFor(k: Int): String =
+      formatLine(byTime.take(k).sortBy(_._1), failed, sfBase, partial,
+        shortKeys = true, overflow = snap.size - k, totalOverride = Some(total))
+    // largest k whose line fits (monotone in k)
+    var lo = 0; var hi = snap.size
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (lineFor(mid).length <= stdoutBudget) lo = mid else hi = mid - 1
+    }
+    if (lo > 0) lineFor(lo)
     else {
-      val total = fmt(snap.map(_._2).sum, 2)
       val pf = s""","partial":$partial""" +
         failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      val fb = s"""{"metric":"total","value":$total,"unit":"sec","q":{},""" +
+      val fb = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","q":{},""" +
         s""""q_overflow":${snap.size},"sf":"$sfBase"$pf}"""
       // a huge failed list could overflow even the fallback: count instead
       if (fb.length <= stdoutBudget) fb
-      else s"""{"metric":"total","value":$total,"unit":"sec","q":{},""" +
+      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","q":{},""" +
         s""""q_overflow":${snap.size},"sf":"$sfBase","partial":$partial,""" +
         s""""failed":[],"failed_count":${failed.size}}"""
     }

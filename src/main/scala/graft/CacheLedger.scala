@@ -36,17 +36,17 @@ import scala.collection.mutable
 object CacheLedger {
 
   final class Scope private[CacheLedger] () {
-    private val frames = mutable.ListBuffer.empty[DataFrame]
-    private[CacheLedger] def add(df: DataFrame): Unit =
-      frames.synchronized { frames += df }
+    private val actions = mutable.ListBuffer.empty[() => Unit]
+    private[CacheLedger] def add(a: () => Unit): Unit =
+      actions.synchronized { actions += a }
     def release(): Unit = {
-      val fs = frames.synchronized { val v = frames.toList; frames.clear(); v }
+      val as = actions.synchronized { val v = actions.toList; actions.clear(); v }
       // unpersist of an already-released/cleared frame is a no-op, so the
       // manual mid-operator unpersists (Dedup.clustersFromPairs) and a
       // concurrent clearCache() stay safe; fatal VM errors propagate and
       // a thread interrupt mid-release keeps its flag
-      fs.foreach { df =>
-        try df.unpersist(blocking = false)
+      as.foreach { a =>
+        try a()
         catch {
           case _: InterruptedException => Thread.currentThread().interrupt()
           case scala.util.control.NonFatal(_) => ()
@@ -64,9 +64,24 @@ object CacheLedger {
     * on this thread (or the session ledger when none is open).
     */
   def register(df: DataFrame): DataFrame = {
-    (stack.get() match { case s :: _ => s; case Nil => session }).add(df)
+    current.add(() => df.unpersist(blocking = false))
     df
   }
+
+  /** Register an eager `localCheckpoint` frame: its blocks belong to the
+    * underlying RDD, not the SQL CacheManager, so scope exit must release
+    * through [[org.apache.spark.sql.graft.CheckpointBridge]] — same
+    * consume-inside-the-scope contract as [[register]], with the same
+    * loud post-release failure mode (checkpoint block not found).
+    */
+  def registerCheckpoint(df: DataFrame): DataFrame = {
+    current.add(() =>
+      org.apache.spark.sql.graft.CheckpointBridge.releaseCheckpoint(df))
+    df
+  }
+
+  private def current: Scope =
+    stack.get() match { case s :: _ => s; case Nil => session }
 
   /** Run `f` with a fresh scope; unpersist everything registered on this
     * thread inside it when the block exits (normally or not).

@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // plan STRINGS must stay bounded however large a composed plan
+      // grows (wide unions, literal-bearing model tables): the default is
+      // effectively unbounded and building a cache name / explain dump
+      // for a pathological plan can OOM the driver before any task runs.
+      // 8 MB keeps every legitimate dump (PLANS.md's largest is ~100 KB)
+      // and truncates the pathological case instead of crashing.
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

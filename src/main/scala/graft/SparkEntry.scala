@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{AsofJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{AsofJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sampling, Similarity, TableProfile, TextOps, TimeSeries => TS}
 import graft.sources.{JsonIngest, TieredStore, VersionedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -512,6 +512,18 @@ object SparkEntry {
     "q_dedup_keepers_lsh" -> ((s, d) => // keeper election over the LSH pair tier
       // (the 100 TB dedup shape: banded buckets, never all-pairs)
       Dedup.qualityKeepersLsh(Canon.documents(s, d), n = 3, k = 64, bands = 16, tau = 0.6)),
+    "q_dedup_incremental" -> ((s, d) => { // nightly-crawl shape: new batch vs seen-store
+      val docs = Canon.documents(s, d)
+      Dedup.incrementalNew(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0).select(md5(col("text")).as("content_hash")))
+    }),
+    "q_profile_docs" -> ((s, d) => // ANALYZE-shaped per-column corpus profile
+      TableProfile.profile(Canon.documents(s, d))),
+    "q_dedup_cross_lsh" -> ((s, d) => { // near-dups of the new batch vs the old corpus only
+      val docs = Canon.documents(s, d)
+      Dedup.crossCorpusLshPairs(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), n = 3, k = 64, bands = 16, tau = 0.6)
+    }),
     "q_dedup_simhash" -> ((s, d) => // hash-valued; rows-only check
       Dedup.simhashPairs(Canon.documents(s, d), maxHamming = 3)),
     "q_decontaminate" -> ((s, d) => // eval-set n-gram overlap report
@@ -1054,7 +1066,8 @@ object SparkEntry {
     * any value/schema change.
     */
   private[graft] val goldenBases = Seq(
-    "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_keepers_lsh",
+    "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_cross_lsh",
+    "q_dedup_keepers_lsh",
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
     "q_sim_ivf_trained", "q_sim_pq", "q_text_bpe", "q_text_bpe_encode",
     "q_text_winnowing")
@@ -1344,6 +1357,7 @@ object SparkEntry {
   private val goldenHashes = Map(
     "q_agg_quantiles_approx" -> "7257906444385557258",
     "q_approx_distinct_users" -> "23586929313420085341",
+    "q_dedup_cross_lsh" -> "-9307677585411723457",
     "q_dedup_keepers_lsh" -> "31246756955863980271",
     "q_dedup_minhash" -> "-26197323762737149848",
     "q_dedup_simhash" -> "-10740014342736616752",
@@ -1525,6 +1539,28 @@ object SparkEntry {
     // per-bucket contribution swapped (see driftOracleSql)
     "q_drift_psi" -> driftOracleSql("psi"),
     "q_drift_jsd" -> driftOracleSql("jsd"),
+    // per-column profile: one SELECT per column (count/nulls/distinct/
+    // typed min-max cast to VARCHAR), stitched by UNION ALL — textually
+    // mirrors TableProfile's wide aggregate + melt
+    "q_profile_docs" ->
+      (Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+    // incremental dedup: anti-join vs the seen hashes, then first-in-batch
+    "q_dedup_incremental" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |newb AS (SELECT doc_id, md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |u AS (SELECT n.doc_id, n.content_hash FROM newb n
+        |  LEFT JOIN seen s USING (content_hash) WHERE s.content_hash IS NULL),
+        |r AS (SELECT doc_id, content_hash, row_number() OVER (
+        |    PARTITION BY content_hash ORDER BY doc_id ASC) AS rn FROM u)
+        |SELECT doc_id, content_hash FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // positional word 3-grams on the STRING form (the engine hashes them
     // to longs — grouping by hash equals grouping by string absent a
     // 64-bit collision, the novelty/commonness equivalence); covered

@@ -114,13 +114,37 @@ object VectorExpressions {
     * centroid matrix rides the plan as a single reference object:
     * tree size O(1), per-row cost the inherent O(k·d) flops, codegen'd.
     */
-  case class NearestCells(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
+  /** Opaque value-semantics holder for a centroid matrix carried INSIDE
+    * an expression. A raw `Seq[Seq[Double]]` case-class field renders all
+    * k×dim doubles (~1 MB at k=800) through EVERY string path —
+    * `Expression.toString`'s `flatArguments`, TreeNode's `argString`,
+    * cache names, explain — and plan strings repeat expressions across
+    * nodes: at the ×100 probe scale that burned 10+ driver-CPU-minutes
+    * (and pre-cap, OOM'd) building `CachedRDDBuilder.cachedName` before
+    * any task ran. The holder prints its SHAPE only; equality/hashCode
+    * are deep value semantics so expression canonicalization and
+    * semanticEquals still work.
+    */
+  final class CentroidMatrix(val rows: Array[Array[Double]]) extends Serializable {
+    override def toString: String =
+      s"centroids[${rows.length}x${rows.headOption.map(_.length).getOrElse(0)}]"
+    override def equals(o: Any): Boolean = o match {
+      case c: CentroidMatrix =>
+        java.util.Arrays.deepEquals(rows.asInstanceOf[Array[AnyRef]],
+          c.rows.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode: Int =
+      java.util.Arrays.deepHashCode(rows.asInstanceOf[Array[AnyRef]])
+  }
+
+  case class NearestCells(child: Expression, cents: CentroidMatrix, nprobe: Int)
       extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "nearest_cells"
 
-    @transient private lazy val mat: Array[Array[Double]] = cents.map(_.toArray).toArray
+    @transient private lazy val mat: Array[Array[Double]] = cents.rows
     @transient private lazy val halves: Array[Double] =
       mat.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s / 2.0 })
 
@@ -181,5 +205,5 @@ object VectorExpressions {
 
   def nearest_cells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
-      cents.map(_.toSeq).toSeq, nprobe))
+      new CentroidMatrix(cents.map(_.clone())), nprobe))
 }

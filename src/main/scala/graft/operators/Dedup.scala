@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLedger
 import graft.CacheLedger.Tracked
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -410,24 +411,33 @@ object Dedup {
     // joins shuffle normally. The algorithm is identical either way.
     val smallGraph = pairs.count() < 5000000L
     def maybeB(d: DataFrame): DataFrame = if (smallGraph) broadcast(d) else d
+    // Per-round frames are EAGER LOCAL CHECKPOINTS, not caches: a cached
+    // round's plan embeds the previous round's InMemoryRelation, and plan
+    // RENDERING (cache names, explain) re-expands every nested level —
+    // with AQE printing each nested adaptive plan twice, the rendered
+    // tree doubles per round and the ×100 probe burned unbounded driver
+    // CPU before any task ran. The checkpoint truncates each round to a
+    // LogicalRDD leaf: plan size is CONSTANT in the round count (the
+    // SCALE.md two-pass discipline), blocks release deterministically via
+    // the ledger/CheckpointBridge.
+    import org.apache.spark.sql.graft.CheckpointBridge
     // init fuses round one: every node starts at min(self, direct
     // neighbors) — one aggregation replaces the distinct plus the first
     // propagation round, and clique-shaped components converge immediately
     var labels = edges.groupBy(col("id_a"))
       .agg(min(col("id_b")).as("mn"))
       .select(col("id_a").as("id"), least(col("id_a"), col("mn")).as("lbl"))
-      .trackedCache
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    var prevRound: DataFrame = null
     // pointer jumping converges in O(log diameter) rounds; 64 bounds any
     // graph that fits in storage and the require below turns a
     // non-converged exit into an error instead of silently wrong keep_ids
     while (changed > 0 && rounds < 64) {
       val nbrMin = edges.join(maybeB(labels), edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("nid")).agg(min("lbl").as("nlbl"))
-      // pointer jump: the label of my label (labels is cached from the
-      // previous round, so both scans of it read the same blocks). lbl is
+      // pointer jump: the label of my label (labels is checkpointed from
+      // the previous round, so both reads hit the same blocks). lbl is
       // always itself a node id, so the left join matches except transiently.
       val jump = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
       val updated = labels.join(maybeB(nbrMin), labels("id") === nbrMin("nid"), "left")
@@ -436,21 +446,18 @@ object Dedup {
           least(labels("lbl"),
             coalesce(col("nlbl"), labels("lbl")),
             coalesce(col("jlbl"), labels("lbl"))).as("lbl2"))
-        .trackedCache
-      // ONE action per round: the aggregate materializes the cache and
-      // yields the convergence signal together (coalesce: empty graph → 0)
+        .localCheckpoint(true) // the round's one materializing action
       changed = updated
         .agg(coalesce(sum(when(col("lbl2") < col("lbl"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
-      if (rounds == 0) labels.unpersist(blocking = false)
-      if (prevRound != null) prevRound.unpersist(blocking = false)
-      prevRound = updated
-      labels = updated.select(col("id"), col("lbl2").as("lbl")) // reads updated's cache
+      CheckpointBridge.releaseCheckpoint(labels) // superseded round
+      labels = updated.select(col("id"), col("lbl2").as("lbl")) // reads updated's blocks
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    // the final round's cache backs the returned frame; the intermediates
-    // can go (recompute only under eviction pressure)
+    // the final round's checkpoint backs the returned frame — release at
+    // ledger-scope exit like every operator-internal cache
+    CacheLedger.registerCheckpoint(labels)
     pairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     labels.select(col("id").as(outIdCol), col("lbl").as("keep_id"))
@@ -667,6 +674,74 @@ object Dedup {
       .filter(!graft.functions.BloomExpressions.bloom_contains_any(
         graft.functions.SketchExpressions.hashed_shingles(col(textCol), n),
         words, logM, kHashes))
+  }
+
+  /** Incremental exact dedup — the nightly-crawl shape: of the NEW batch,
+    * keep only docs whose content hash is (a) absent from the seen-store
+    * (every prior snapshot's hashes, corpus-scale) and (b) first within
+    * the batch (min id). One anti-join plus one within-batch first, both
+    * hash-shuffles on the content hash — no driver state, and the
+    * seen-store side is pinned to the spillable sort-merge join because
+    * it GROWS with corpus history (a broadcast elected from bench-scale
+    * stats would OOM at the 100 TB store).
+    *
+    * Output `(doc_id, content_hash)` of the survivors — the rows a
+    * pipeline appends back to the seen-store to close the loop.
+    */
+  def incrementalNew(df: DataFrame, seenHashes: DataFrame,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     hashCol: String = "content_hash"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(idCol), md5(col(textCol)).as(hashCol))
+    val unseen = hashed.hint("merge")
+      .join(seenHashes.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
+    // content hash is high-cardinality: the per-hash window parallelizes
+    // (each task holds one hash's few copies), no hot key possible
+    val w = Window.partitionBy(hashCol).orderBy(col(idCol).asc)
+    unseen.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(hashCol))
+      .orderBy(idCol)
+  }
+
+  /** Cross-corpus MinHash-LSH near-dup pairs: candidates of the NEW batch
+    * against the OLD corpus only (the incremental analog of
+    * [[minhashLshPairs]]'s self-join) — band signatures on both sides,
+    * equi-join new bands to old bands per (band, bucket), verify with
+    * exact shingle Jaccard. Never all-pairs, never new×new (the batch
+    * self-dedup is [[minhashLshPairs]]/[[incrementalNew]]'s job); both
+    * sides corpus-scale → spillable sort-merge throughout.
+    */
+  def crossCorpusLshPairs(newDf: DataFrame, oldDf: DataFrame,
+                          n: Int = 3, k: Int = 64, bands: Int = 16,
+                          tau: Double = 0.5,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def shingled(d: DataFrame) = d.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.hashed_shingles(col(textCol), n).as("sh"))
+    def banded(sh: DataFrame) = sh
+      .select(col("id"), graft.functions.SketchExpressions.minhash_sig(col("sh"), k).as("sig"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(slice(col("sig"), bnd * lit(r) + 1, lit(r))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val shNew = shingled(newDf); val shOld = shingled(oldDf)
+    val cand = banded(shNew).as("x")
+      .join(banded(shOld).hint("merge").as("y"), Seq("band", "bucket"))
+      .select(col("x.id").as("new_id"), col("y.id").as("old_id"))
+      .distinct()
+    cand.hint("merge")
+      .join(shNew.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .hint("merge")
+      .join(shOld.select(col("id").as("old_id"), col("sh").as("sh_b")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        graft.functions.ArrayExpressions
+          .sorted_intersect_count(col("sh_a"), col("sh_b")).as("c"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("new_id"), col("old_id"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .trackedCache // small pair list cached before the global sort (see minhashLshPairs)
+      .orderBy("new_id", "old_id")
   }
 
   /** Near-dup pairs = hamming(simhash) <= maxHamming, found via the

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level data profiling — the `ANALYZE`-shaped corpus monitoring
+  * report a pipeline runs on every new snapshot before trusting it:
+  * per column, row count, null count, exact distinct count, and typed
+  * min/max (rendered as strings so the report has one schema).
+  *
+  * Shape, for 100 TB:
+  *  - nulls + typed min/max ride ONE wide aggregate — partial (map-side)
+  *    aggregation reduces every partition to a single row of 3×#cols
+  *    cells, so the shuffle is #partitions rows regardless of data size;
+  *    the 1-row result is collected as model parameters (the BM25/
+  *    centroid pattern) and re-enters as a literal-backed frame.
+  *  - exact distincts go through a melt (`explode` of per-column
+  *    (column, value) structs) → two-level aggregate: the first
+  *    `(column, value)` distinct is keyed by VALUE, so it parallelizes
+  *    over the value space (never 5 hot column-name keys); the second
+  *    collapses to #cols rows. One scan, map-side-combined.
+  * A `count(DISTINCT x)` formulation per column would instead expand the
+  * scan #cols× through Spark's Expand operator on one aggregate — the
+  * melt does the same work with explicit, skew-safe keys.
+  *
+  * Only atomic-typed columns are profiled (string-cast distinctness is
+  * not injective for arrays/structs); pass `columns` to override.
+  */
+object TableProfile {
+
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType | _: StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val targets =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filter(f => atomic(f.dataType)).map(_.name).toSeq
+    require(targets.nonEmpty, "no atomic columns to profile")
+    require(targets.forall(df.columns.contains), s"unknown column in $targets")
+
+    val aggs = count(lit(1)).as("n_rows") +: targets.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),
+      min(col(c)).cast("string").as(s"min__$c"),
+      max(col(c)).cast("string").as(s"max__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row by construction
+    val nRows = row.getLong(row.fieldIndex("n_rows"))
+
+    val kvs = array(targets.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)
+    val distincts = df.select(explode(kvs).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("column", "value").agg(count(lit(1))) // distinct, value-keyed
+      .groupBy("column").agg(count(lit(1)).as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // <= #cols rows
+
+    // both jobs reduce to model parameters (<= 3×#cols + #cols values);
+    // the report assembles driver-side as a LocalTableScan — a join of
+    // two aggregate tails would instead invite AQE to broadcast a
+    // subtree CONTAINING the corpus scan (the plan-gate shape), for a
+    // #cols-row result
+    val session = df.sparkSession
+    import session.implicits._
+    targets.map { c =>
+      (c, nRows, row.getLong(row.fieldIndex(s"nulls__$c")),
+        distincts.getOrElse(c, 0L),
+        Option(row.getString(row.fieldIndex(s"min__$c"))),
+        Option(row.getString(row.fieldIndex(s"max__$c"))))
+    }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      .orderBy("column")
+  }
+}

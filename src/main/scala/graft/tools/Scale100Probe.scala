@@ -102,6 +102,9 @@ object Scale100Probe {
         if (rows <= 0) { println(s"[x100] FAIL $name: no rows"); failed = true }
       } catch { case e: Throwable =>
         println(s"[x100] FAIL $name: ${e.getClass.getSimpleName} ${e.getMessage}")
+        e.printStackTrace()
+        var c = e.getCause
+        while (c != null) { println(s"[x100] caused by: $c"); c.getStackTrace.take(8).foreach(f => println(s"    at $f")); c = c.getCause }
         failed = true
       }
     }
@@ -123,6 +126,15 @@ object Scale100Probe {
     // true-duplicate band that proves the path still finds near-dups.
     val emb = Canon.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // localCheckpoint: a PRODUCTION ×100 corpus is one parquet scan leaf;
+    // this synthetic one is a 100-way expression union, and the IVF
+    // pipeline references its corpus several times (both join sides, the
+    // verify rejoin, union-find rounds) — a logical plan rendered as a
+    // TREE re-expands the shared scaffold at every reference, and cache
+    // naming/explain WALK that tree: at ×100 the walk alone burned
+    // minutes of driver CPU. Materializing the scaffold to a LogicalRDD
+    // leaf (~110 MB) makes the probe measure the OPERATOR, exactly as a
+    // parquet-backed corpus would.
     val embBig: DataFrame = (0 until mult).map { i =>
       val k = i % dim
       val shifted = if (k == 0) col("embedding")
@@ -130,7 +142,7 @@ object Scale100Probe {
           slice(col("embedding"), 1, k))
       emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
         .withColumn("embedding", shifted)
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint(true)
     // cells GROW with the corpus (constant ~625-vector cells — the
     // documented SemDeDup sizing): candidates stay Θ(n·cellsize), not
     // Θ(n²/8). The default cells=8 is the sf0.1 bench sizing; reusing it

@@ -146,6 +146,41 @@ class DedupSpec extends SparkSuite {
     assert(exact.map(_._1) == Set(10L, 20L, 21L, 30L, 31L), exact.toString)
   }
 
+  test("incremental dedup: seen hashes filtered, within-batch first kept") {
+    val seen = Seq("already stored body one", "already stored body two")
+      .toDF("text").select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    val batch = Seq(
+      (1L, "already stored body one"),   // in the store → dropped
+      (2L, "fresh body alpha"),
+      (5L, "fresh body alpha"),          // batch dup of 2 → dropped
+      (3L, "fresh body beta"),
+      (9L, "already stored body two")    // in the store → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(batch, seen)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L, 3L))
+    // empty store: pure within-batch dedup (min id per content)
+    val empty = seen.filter($"content_hash" === "")
+    assert(Dedup.incrementalNew(batch, empty).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 9L))
+  }
+
+  test("cross-corpus LSH pairs: old-vs-new only, recall 1 on exact cross dups") {
+    val old = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "an entirely different old document body with other words")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // = 100
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // = 100, AND = doc 1
+      (3L, "no overlap with anything in the old corpus whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusLshPairs(fresh, old, n = 3, k = 64, bands = 16, tau = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // both exact cross-dups found; the new×new pair (1,2) must NOT appear
+    assert(got == Set((1L, 100L), (2L, 100L)), got.toString)
+  }
+
   test("clusters on an edgeless graph: empty result with the right schema, both tiers") {
     val lonely = Seq(
       (1L, "completely distinct first document body here"),

@@ -243,5 +243,14 @@ class SimilaritySpec extends SparkSuite {
     val tied = Seq((0L, cents(3).toSeq)).toDF("vec_id", "v")
       .select(Similarity.cellOf($"v", cents).as("cell")).as[Int].head()
     assert(tied == 3)
+    // the centroid matrix must never render into plan/expression strings:
+    // k×dim doubles per occurrence made ×100-scale cache names a
+    // 10-driver-minute (pre-cap: OOM) string build. Both string paths —
+    // Expression.toString (flatArguments) and treeString (argString) —
+    // must print the shape marker only.
+    val proj = df.select(nearest_cells($"v", cents, 5).as("cells"))
+    val exprStr = proj.queryExecution.analyzed.expressions.map(_.toString).mkString
+    assert(exprStr.length < 2000 && exprStr.contains(s"centroids[${k}x$dim]"), exprStr.take(300))
+    assert(proj.queryExecution.analyzed.treeString.length < 4000)
   }
 }
