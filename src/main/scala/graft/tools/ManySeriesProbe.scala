@@ -37,7 +37,7 @@ object ManySeriesProbe {
       spark.range(rows).select(
         concat(lit("s"), col("id") % nSeries).as(SERIES),
         (lit(1700000000000000L) + col("id")).as(TS_US),
-        lit(null).cast("string").as(TAG),
+        lit(null).cast(tagType).as(TAG),
         (col("id") % 1000).cast("double").as(VALUE),
         col("id").as(RID),
         col("id").as(TieredStore.SEQ))
@@ -74,7 +74,7 @@ object ManySeriesProbe {
     val diskRows = spark.range(5000).select(
       concat(lit("d"), col("id")).as(SERIES),
       (lit(1700000000000000L) + col("id")).as(TS_US),
-      lit(null).cast("string").as(TAG),
+      lit(null).cast(tagType).as(TAG),
       col("id").cast("double").as(VALUE),
       col("id").as(RID))
     val t1 = System.nanoTime()

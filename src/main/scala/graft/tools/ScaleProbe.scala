@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{Bpe, Dedup, Layout, Multimodal, Similarity, TextOps, TimeSeries => TS}
+import graft.operators.{Bpe, Dedup, Layout, Multimodal, Similarity, TableProfile, TextOps, TimeSeries => TS}
 import graft.GraftSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -244,6 +244,30 @@ object ScaleProbe {
         Seq("user_id", "ts_us"), 12, 64).count(),
       Layout.zorderStats(evr10.select("user_id", "ts_us"),
         Seq("user_id", "ts_us"), 12, 64).count())
+
+    // --- r8 operators ---
+    // incremental: the seen-store is the constant 1× corpus's hashes; the
+    // NEW batch grows ×mult — anti-join + in-batch first, both hash
+    // shuffles, expect ~linear
+    val seen1 = doc1.select(md5(col("text")).as("content_hash"))
+    probe("dedup_incremental",
+      Dedup.incrementalNew(doc1, seen1).count(),
+      Dedup.incrementalNew(doc10, seen1).count())
+    // cross-corpus LSH: new side grows ×mult vs a constant old corpus;
+    // banded join fan-in per bucket, expect ~linear in candidates
+    probe("dedup_cross_lsh",
+      Dedup.crossCorpusLshPairs(doc1, doc1, tau = 0.6).count(),
+      Dedup.crossCorpusLshPairs(doc10, doc1, tau = 0.6).count())
+    probe("dedup_keepers_lsh",
+      Dedup.qualityKeepersLsh(doc1, tau = 0.6).count(),
+      Dedup.qualityKeepersLsh(doc10, tau = 0.6).count())
+    // profile: one wide agg + one melt agg, both map-side combined
+    probe("profile",
+      TableProfile.profile(doc1).count(), TableProfile.profile(doc10).count())
+    // drift variants: same matrix as kl — constant vocab, per-source sums
+    probe("drift_psi",
+      TextOps.driftReportMetric(doc1, "psi").count(),
+      TextOps.driftReportMetric(doc10, "psi").count())
 
     // --- dual-tier reads (M1): a hot-tail last-n that the buffer can
     // satisfy answers from the buffer ALONE — its cost must be
