@@ -978,6 +978,47 @@ object SparkEntry {
       java.nio.file.Files.deleteIfExists(inDir)
       s.read.parquet(outDir).select("content_hash").orderBy("content_hash")
     }),
+    // streaming corpus monitor e2e (fourth streaming strategy: running
+    // aggregation state in complete mode): per-(source, term) counts
+    // accumulate across micro-batches (the corpus is staged as TWO files
+    // with maxFilesPerTrigger=1, so state genuinely carries between
+    // triggers); the FINAL running table feeds the same capped-vocab
+    // drift matrix as q_drift — counts are exact integers however the
+    // stream batched them, so the oracle is q_drift's, verbatim.
+    "q_stream_drift" -> ((s, d) => {
+      val src = s"$d/documents.parquet"
+      val inDir = java.nio.file.Files.createTempDirectory("q_streamdrift_in_")
+      // split the corpus into two PLAIN parquet files: >= 2 micro-batches
+      // of genuinely accumulated state under maxFilesPerTrigger=1
+      val docs = s.read.parquet(src)
+      for ((pred, name) <- Seq(
+        (col("doc_id") % 2 === 0, "documents_even.parquet"),
+        (col("doc_id") % 2 =!= 0, "documents_odd.parquet"))) {
+        val tmp = java.nio.file.Files.createTempDirectory("q_streamdrift_split_")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, inDir.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val outDir = StreamScratch.dir("q_stream_drift")
+      val raw = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val counts = streaming.CorpusMonitor.runningTermCounts(raw)
+      val q = counts.writeStream
+        .outputMode("complete") // each trigger emits the full running table
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000L)
+      q.stop()
+      require(finished, "q_stream_drift: stream did not terminate in 300s")
+      org.apache.commons.io.FileUtils.deleteDirectory(inDir.toFile)
+      TextOps.driftFromTermCounts(s.read.parquet(outDir), "kl", vocabSize = 24)
+    }),
     // ordered conversion funnel + weekly cohort retention — see
     // operators.Events for the per-user join shapes
     "q_funnel" -> ((s, d) =>
@@ -1000,6 +1041,14 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // cube: every grouping-set combination in one pass (Expand + one
+    // shuffle) — the corpus-slicing report (per lang, per source, per
+    // pair, grand total) a curation dashboard reads
+    "q_agg_cube" -> ((s, d) =>
+      Canon.documents(s, d)
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
     // as-of join: for each click, the user's latest prior purchase value
     "q_asof_join" -> ((s, d) => {
       val e = Canon.eventsRaw(s, d)
@@ -1389,6 +1438,31 @@ object SparkEntry {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val LTOKS =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  /** The KL drift oracle — shared by `q_drift` (batch) and
+    * `q_stream_drift` (the streaming corpus monitor: exact integer
+    * counts make the two paths bit-identical).
+    */
+  private def driftKlSql: String =
+    s"""WITH tk AS (SELECT source, unnest($LTOKS) AS term FROM documents),
+       |cnt AS (SELECT source AS src, term, count(*) AS c FROM tk GROUP BY 1,2),
+       |corpus AS (SELECT term, sum(c) AS ct FROM cnt GROUP BY 1),
+       |top AS (SELECT term, ct FROM corpus ORDER BY ct DESC, term ASC LIMIT 24),
+       |tot AS (SELECT sum(c) AS n FROM cnt),
+       |tops AS (SELECT sum(ct) AS ts FROM top),
+       |st AS (SELECT src, sum(c) AS ns FROM cnt GROUP BY 1),
+       |mat AS (SELECT s.src, s.ns, t.term, t.ct, coalesce(c.c, 0) AS cst
+       |        FROM st s CROSS JOIN top t LEFT JOIN cnt c ON c.src = s.src AND c.term = t.term),
+       |invoc AS (SELECT src, ns,
+       |    sum(CAST(round((cst+1)/(ns+25.0) * ln(((cst+1)/(ns+25.0)) / ((ct+1)/((SELECT n FROM tot)+25.0))) * 1e9, 0) AS BIGINT)) AS in_nano,
+       |    sum(cst) AS intop
+       |  FROM mat GROUP BY 1,2),
+       |fin AS (SELECT src, ns, ns - intop AS oov, in_nano,
+       |    CAST(round((ns-intop+1)/(ns+25.0) * ln(((ns-intop+1)/(ns+25.0)) / (((SELECT n FROM tot)-(SELECT ts FROM tops)+1)/((SELECT n FROM tot)+25.0))) * 1e9, 0) AS BIGINT) AS oov_nano
+       |  FROM invoc)
+       |SELECT src AS source, CAST(ns AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS oov_tokens,
+       |       round((in_nano + oov_nano)/1e9, 6) AS kl
+       |FROM fin ORDER BY source""".stripMargin
+
   /** DuckDB mirror of [[TextOps.driftReportMetric]] for the psi/jsd
     * variants — the same CTE skeleton as the handwritten `q_drift` KL
     * oracle, with the per-bucket contribution swapped to textually match
@@ -1515,26 +1589,11 @@ object SparkEntry {
     // KL drift: identical expression tree on both engines — per-bucket
     // p·ln(p/q) rounded to nano-units and summed as BIGINTs (float sum
     // order cannot matter), add-one smoothing over top-24 vocab + OOV
-    "q_drift" ->
-      s"""WITH tk AS (SELECT source, unnest($LTOKS) AS term FROM documents),
-         |cnt AS (SELECT source AS src, term, count(*) AS c FROM tk GROUP BY 1,2),
-         |corpus AS (SELECT term, sum(c) AS ct FROM cnt GROUP BY 1),
-         |top AS (SELECT term, ct FROM corpus ORDER BY ct DESC, term ASC LIMIT 24),
-         |tot AS (SELECT sum(c) AS n FROM cnt),
-         |tops AS (SELECT sum(ct) AS ts FROM top),
-         |st AS (SELECT src, sum(c) AS ns FROM cnt GROUP BY 1),
-         |mat AS (SELECT s.src, s.ns, t.term, t.ct, coalesce(c.c, 0) AS cst
-         |        FROM st s CROSS JOIN top t LEFT JOIN cnt c ON c.src = s.src AND c.term = t.term),
-         |invoc AS (SELECT src, ns,
-         |    sum(CAST(round((cst+1)/(ns+25.0) * ln(((cst+1)/(ns+25.0)) / ((ct+1)/((SELECT n FROM tot)+25.0))) * 1e9, 0) AS BIGINT)) AS in_nano,
-         |    sum(cst) AS intop
-         |  FROM mat GROUP BY 1,2),
-         |fin AS (SELECT src, ns, ns - intop AS oov, in_nano,
-         |    CAST(round((ns-intop+1)/(ns+25.0) * ln(((ns-intop+1)/(ns+25.0)) / (((SELECT n FROM tot)-(SELECT ts FROM tops)+1)/((SELECT n FROM tot)+25.0))) * 1e9, 0) AS BIGINT) AS oov_nano
-         |  FROM invoc)
-         |SELECT src AS source, CAST(ns AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS oov_tokens,
-         |       round((in_nano + oov_nano)/1e9, 6) AS kl
-         |FROM fin ORDER BY source""".stripMargin,
+    "q_drift" -> driftKlSql,
+    // the STREAMING corpus monitor accumulates the same (src, term)
+    // counts as streaming state; counts are exact integers however the
+    // stream batches them, so the final report is bit-identical
+    "q_stream_drift" -> driftKlSql,
     // PSI / Jensen-Shannon drift variants: the same skeleton with the
     // per-bucket contribution swapped (see driftOracleSql)
     "q_drift_psi" -> driftOracleSql("psi"),
@@ -2291,6 +2350,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events),
         |c AS (SELECT user_id, ts_us, event_id, value FROM e WHERE event_type = 'click'),

@@ -508,15 +508,33 @@ object TextOps {
     * each sits under the same exact DuckDB oracle shape as `kl`.
     */
   def driftReportMetric(df: DataFrame, metric: String, vocabSize: Int = 24,
-                        textCol: String = "text", groupCol: String = "source"): DataFrame = {
+                        textCol: String = "text", groupCol: String = "source"): DataFrame =
+    driftFromTermCounts(
+      df.select(col(groupCol).as("src"), explode(tokens(lower(col(textCol)))).as("term"))
+        .groupBy("src", "term").agg(count(lit(1)).as("c")),
+      metric, vocabSize, groupCol)
+
+  /** The drift matrix from an ALREADY-AGGREGATED `(src, term, c)` counts
+    * frame — the entry point the STREAMING corpus monitor feeds (running
+    * counts accumulated as streaming state land here at termination);
+    * [[driftReportMetric]] is the batch wrapper that builds the counts
+    * from raw text. Counts are exact integers however the stream batched
+    * them, so the output is bit-identical to the batch path.
+    */
+  def driftFromTermCounts(counts: DataFrame, metric: String, vocabSize: Int = 24,
+                          groupCol: String = "source"): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
     require(Set("kl", "psi", "jsd").contains(metric),
       s"unknown drift metric '$metric' (kl | psi | jsd)")
     require(!Set("n_tokens", "oov_tokens", metric).contains(groupCol),
       s"groupCol '$groupCol' collides with a driftReport output column")
-    val cnt = df
-      .select(col(groupCol).as("src"), explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy("src", "term").agg(count(lit(1)).as("c"))
+    // idempotent re-aggregation: (a) tolerates partial/duplicated count
+    // rows, (b) normalizes ANY input (memory-sink table, parquet
+    // read-back) to the Aggregate-topped shape the downstream self-joins
+    // resolve against — a bare relation leaf here trips Spark's
+    // conflicting-reference resolution in the matrix join
+    val cnt = counts
+      .groupBy("src", "term").agg(sum("c").as("c"))
       .trackedCache // feeds corpus agg, source totals AND the matrix probe
     // the reference vocabulary is a MODEL TABLE: <= vocabSize rows by
     // construction, collected to the driver so the matrix cross
@@ -530,7 +548,7 @@ object TextOps {
     val b = topRows.size + 1
     val nTotal = cnt.agg(sum("c")).collect()(0).getLong(0) // 1-row collect
     val topSum = topRows.map(_._2).sum
-    val session = df.sparkSession
+    val session = counts.sparkSession
     import session.implicits._
     val top = topRows.toDF("term", "ct")
     val st = cnt.groupBy("src").agg(sum("c").as("ns"))

@@ -352,8 +352,10 @@ class PlanAuditSpec extends SparkSuite {
     // aggregate-derived tables BOUNDED BY CONFIGURATION (#sources ×
     // top-V vocab) — the sanctioned model-matrix cartesian
     val allowedBnlj =
-      Set("q_sim_topk", "q_sim_filtered", "q_drift", "q_drift_psi", "q_drift_jsd")
-    val allowedCartesian = Set("q_drift", "q_drift_psi", "q_drift_jsd")
+      Set("q_sim_topk", "q_sim_filtered",
+        "q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift")
+    val allowedCartesian =
+      Set("q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = plan(SparkEntry.queries(n)(spark, sf))
       if (!allowedCartesian(n))
