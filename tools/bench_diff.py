@@ -32,10 +32,19 @@ import json
 import sys
 
 
-# inverse of Bench.famAbbrev (the late-r7 stdout key rename)
+# inverse of Bench.famAbbrev (the late-r7 stdout key rename, extended r8
+# with the full seeded map — a missing entry silently shrinks the
+# "common" roster by failing to restore that family's keys).
+# Auto-assigned chars (digits etc.) can't be known statically; the
+# sidecar carries full names, so diff against bench_out.json when a
+# driver capture contains unrecognized single-char families.
 FAM_EXPAND = {"a": "agg", "d": "dedup", "f": "filter", "m": "multimodal",
               "p": "sample", "s": "sim", "w": "stream", "t": "text",
-              "h": "tpch"}
+              "h": "tpch", "i": "tier",
+              "z": "sessionize", "e": "delete", "o": "store", "x": "index",
+              "g": "ingest", "l": "layout", "b": "approx", "u": "window",
+              "n": "moving", "c": "pivot", "k": "ntile", "v": "vec",
+              "y": "ts", "r": "range", "j": "join"}
 
 
 def load(path):
