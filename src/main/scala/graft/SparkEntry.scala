@@ -519,6 +519,8 @@ object SparkEntry {
     }),
     "q_profile_docs" -> ((s, d) => // ANALYZE-shaped per-column corpus profile
       TableProfile.profile(Canon.documents(s, d))),
+    "q_profile_docs_approx" -> ((s, d) => // wide-table tier: ONE aggregate, HLL distincts
+      TableProfile.profileApprox(Canon.documents(s, d))),
     "q_dedup_cross_lsh" -> ((s, d) => { // near-dups of the new batch vs the old corpus only
       val docs = Canon.documents(s, d)
       Dedup.crossCorpusLshPairs(docs.filter(col("doc_id") % 3 =!= 0),
@@ -1116,7 +1118,7 @@ object SparkEntry {
     */
   private[graft] val goldenBases = Seq(
     "q_agg_quantiles_approx", "q_approx_distinct_users", "q_dedup_cross_lsh",
-    "q_dedup_keepers_lsh",
+    "q_dedup_keepers_lsh", "q_profile_docs_approx",
     "q_dedup_minhash", "q_dedup_simhash", "q_sim_ann", "q_sim_clusters_ivf",
     "q_sim_ivf_trained", "q_sim_pq", "q_text_bpe", "q_text_bpe_encode",
     "q_text_winnowing")
@@ -1408,6 +1410,7 @@ object SparkEntry {
     "q_approx_distinct_users" -> "23586929313420085341",
     "q_dedup_cross_lsh" -> "-9307677585411723457",
     "q_dedup_keepers_lsh" -> "31246756955863980271",
+    "q_profile_docs_approx" -> "-16246895841021856459",
     "q_dedup_minhash" -> "-26197323762737149848",
     "q_dedup_simhash" -> "-10740014342736616752",
     "q_sim_ann" -> "62831741413356666920",

@@ -29,7 +29,37 @@ import org.apache.spark.sql.types._
   */
 object TableProfile {
 
-  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+  /** The WIDE-TABLE tier: everything in ONE wide aggregate — nulls,
+    * typed min/max AND HyperLogLog distinct estimates
+    * (`approx_count_distinct`, default 5% rsd) — so a 500-column table
+    * costs one scan and one #partitions-row shuffle, with no melt (the
+    * exact tier's melt multiplies the scan by #cols through the partial
+    * aggregate; fine at 5 columns, not at 500). Deterministic for a
+    * given input (HLL is hash-based, not sampled) — golden-pinned, with
+    * an rsd-window unit vs the exact tier.
+    */
+  def profileApprox(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val targets = resolveTargets(df, columns)
+    val aggs = count(lit(1)).as("n_rows") +: targets.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),
+      approx_count_distinct(col(c)).as(s"dist__$c"),
+      min(col(c)).cast("string").as(s"min__$c"),
+      max(col(c)).cast("string").as(s"max__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row by construction
+    val nRows = row.getLong(row.fieldIndex("n_rows"))
+    val session = df.sparkSession
+    import session.implicits._
+    targets.map { c =>
+      (c, nRows, row.getLong(row.fieldIndex(s"nulls__$c")),
+        row.getLong(row.fieldIndex(s"dist__$c")),
+        Option(row.getString(row.fieldIndex(s"min__$c"))),
+        Option(row.getString(row.fieldIndex(s"max__$c"))))
+    }.toDF("column", "n_rows", "n_nulls", "n_distinct_approx", "min_val", "max_val")
+      .orderBy("column")
+  }
+
+  private def resolveTargets(df: DataFrame, columns: Seq[String]): Seq[String] = {
     def atomic(dt: DataType): Boolean = dt match {
       case _: NumericType | _: StringType | BooleanType | DateType |
            TimestampType | TimestampNTZType => true
@@ -40,7 +70,11 @@ object TableProfile {
       else df.schema.fields.filter(f => atomic(f.dataType)).map(_.name).toSeq
     require(targets.nonEmpty, "no atomic columns to profile")
     require(targets.forall(df.columns.contains), s"unknown column in $targets")
+    targets
+  }
 
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val targets = resolveTargets(df, columns)
     val aggs = count(lit(1)).as("n_rows") +: targets.flatMap { c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"),
       min(col(c)).cast("string").as(s"min__$c"),

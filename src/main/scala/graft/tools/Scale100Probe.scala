@@ -150,6 +150,17 @@ object Scale100Probe {
     probe("ivf_clusters_x100") {
       Dedup.semanticClustersIvf(embBig, tau = 0.4, cells = 8 * mult).count()
     }
+    // r8: the DISTRIBUTED union-find tier (pointer-jumping label
+    // propagation, eager-localCheckpoint rounds) forced over the full
+    // ×100 pair graph — the driver tier would normally absorb this edge
+    // count, so localEdges=0 makes the loop itself carry the ×100 load:
+    // per-round plan size must stay constant (the r8 checkpoint fix) and
+    // the rounds must converge. ~819k verified pairs → 1.6M directed
+    // edges through O(log diameter) join+aggregate rounds.
+    probe("clusters_dist_x100") {
+      Dedup.clustersFromPairs(Dedup.ngramJaccardPairs(docsBig, 3, 0.6),
+        localEdges = 0L).count()
+    }
     probe("sessionize_skew") {
       Events.sessionizeScalable(evrSkew, gapUs = 1800000000L).count()
     }

@@ -32,6 +32,26 @@ class TableProfileSpec extends SparkSuite {
     }
   }
 
+  test("profileApprox: one-pass wide tier tracks the exact tier within HLL rsd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TableProfile.profile(docs)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = TableProfile.profileApprox(docs)
+    assert(approx.columns.toSeq == Seq("column", "n_rows", "n_nulls",
+      "n_distinct_approx", "min_val", "max_val"))
+    approx.select("column", "n_distinct_approx").as[(String, Long)].collect()
+      .foreach { case (c, est) =>
+        val truth = exact(c).toDouble
+        // default rsd 5%; allow 4 sigma
+        assert(math.abs(est - truth) <= truth * 0.2 + 2, s"$c: est=$est truth=$truth")
+      }
+    // nulls and min/max come from the same wide aggregate — identical to exact
+    val em = TableProfile.profile(docs)
+      .select("column", "n_nulls", "min_val", "max_val").collect().toSeq
+    val am = approx.select("column", "n_nulls", "min_val", "max_val").collect().toSeq
+    assert(em == am)
+  }
+
   test("profile: all-null column has null min/max and zero distincts") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
     val s = TableProfile.profile(df).filter($"column" === "s")
