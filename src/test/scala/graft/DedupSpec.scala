@@ -222,10 +222,21 @@ class DedupSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val local = Dedup.duplicateClusters(chain, n = 3, tau = 0.3)
       .as[(Long, Long)].collect().toMap
-    val dist = Dedup.duplicateClusters(chain, n = 3, tau = 0.3, localEdges = 0L)
-      .as[(Long, Long)].collect().toMap
+    val dist = CacheLedger.scoped {
+      Dedup.duplicateClusters(chain, n = 3, tau = 0.3, localEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+    }
     assert(dist == local)
     assert(dist == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+    // the loop's round checkpoints (LogicalRDD-backed blocks, NOT under
+    // the SQL CacheManager) must release at ledger scope exit — poll
+    // briefly: unpersist is blocking=false
+    val deadline = System.nanoTime() + 30000000000L
+    var stored = spark.sparkContext.getRDDStorageInfo.length
+    while (stored != 0 && System.nanoTime() < deadline) {
+      Thread.sleep(200); stored = spark.sparkContext.getRDDStorageInfo.length
+    }
+    assert(stored == 0, s"$stored RDDs still stored after scope exit")
   }
 
   test("duplicated spans: overlapping cross-doc 3-grams cover positions once") {
