@@ -125,8 +125,15 @@ object Bench {
                                 medians: Option[Map[String, Double]] = None,
                                 shortKeys: Boolean = false,
                                 overflow: Int = 0,
-                                totalOverride: Option[Double] = None): String = {
-    val abbrev = if (shortKeys) abbrevFor(ts.map(_._1) ++ failed) else famAbbrev
+                                totalOverride: Option[Double] = None,
+                                abbrevOverride: Option[Map[String, String]] = None): String = {
+    // abbrevOverride: the middle tier prints a SUBSET of the roster, and
+    // auto-assignment is population-ordered — recomputing it over the
+    // subset could assign different chars than the full roster (breaking
+    // cross-round key matching in tools/bench_diff.py), so stdoutLine
+    // computes the assignment ONCE over the full roster and passes it in
+    val abbrev = abbrevOverride.getOrElse(
+      if (shortKeys) abbrevFor(ts.map(_._1) ++ failed) else famAbbrev)
     def key(n: String): String = if (!shortKeys) n else {
       val bare = n.stripPrefix("q_")
       val cut = bare.indexOf('_')
@@ -162,13 +169,16 @@ object Bench {
   private[graft] val stdoutBudget = 1895
   private[graft] def stdoutLine(snap: Seq[(String, Double)], failed: Seq[String],
                                 sfBase: String, partial: Boolean): String = {
-    val full = formatLine(snap, failed, sfBase, partial, shortKeys = true)
+    val fullAbbrev = abbrevFor(snap.map(_._1) ++ failed)
+    val full = formatLine(snap, failed, sfBase, partial, shortKeys = true,
+      abbrevOverride = Some(fullAbbrev))
     if (full.length <= stdoutBudget) return full
     val total = snap.map(_._2).sum
     val byTime = snap.sortBy { case (n, v) => (-v, n) }
     def lineFor(k: Int): String =
       formatLine(byTime.take(k).sortBy(_._1), failed, sfBase, partial,
-        shortKeys = true, overflow = snap.size - k, totalOverride = Some(total))
+        shortKeys = true, overflow = snap.size - k, totalOverride = Some(total),
+        abbrevOverride = Some(fullAbbrev))
     // largest k whose line fits (monotone in k)
     var lo = 0; var hi = snap.size
     while (lo < hi) {

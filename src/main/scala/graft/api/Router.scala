@@ -92,7 +92,13 @@ object Router {
             pipe(TS.readRange(df, series, t1.toLong, t2.toLong), xargs)
           case "length" :: Nil => TS.length(df, series)
           case "index" :: "length" :: Nil => TS.indexLength(df, series)
-          case "index" :: Nil => TS.index(df, ids)
+          // per-series index (reference get_index is single-id): a comma
+          // list must fail LOUDLY — passing the raw segment through would
+          // filter for a series literally named "a,b" and return a
+          // plausible-looking empty index instead of an error
+          case "index" :: Nil if series.size == 1 => TS.index(df, series.head)
+          case "index" :: Nil => throw new IllegalArgumentException(
+            s"index takes exactly one series, got ${series.size}: $route")
           case _ => throw new IllegalArgumentException(s"unknown path: $route")
         }
       case _ => throw new IllegalArgumentException(s"unknown path: $route")

@@ -193,6 +193,25 @@ object VectorExpressions {
         }
         c += 1
       }
+      // NaN scores never pass either insertion predicate, so a vector
+      // with a NaN component (corrupt embedding) would otherwise emit the
+      // Int.MaxValue sentinel — a PHANTOM cell that collects every
+      // corrupt row into one self-joining bucket (and an out-of-range
+      // codebook index in the PQ encode path). Fill unfilled slots with
+      // the smallest real cell ids not already selected: corrupt vectors
+      // land in real cells, where the exact-rescore's NaN cosine fails
+      // every tau filter and they drop out downstream.
+      if (bestIdx(np - 1) == Int.MaxValue) {
+        var fill = 0
+        var j = 0
+        while (j < np) {
+          if (bestIdx(j) == Int.MaxValue) {
+            while (fill < k && bestIdx.indexOf(fill) >= 0) fill += 1
+            bestIdx(j) = if (fill < k) fill else k - 1
+          }
+          j += 1
+        }
+      }
       bestIdx
     }
   }

@@ -430,6 +430,12 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    // any abnormal exit (non-convergence, mid-round task failure) must
+    // release the LIVE round's checkpoint blocks before rethrowing —
+    // they are not under the SQL CacheManager, so the ledger scope
+    // cannot reclaim an unregistered one (only the FINAL round is
+    // registered, below)
+    try {
     // pointer jumping converges in O(log diameter) rounds; 64 bounds any
     // graph that fits in storage and the require below turns a
     // non-converged exit into an error instead of silently wrong keep_ids
@@ -447,14 +453,24 @@ object Dedup {
             coalesce(col("nlbl"), labels("lbl")),
             coalesce(col("jlbl"), labels("lbl"))).as("lbl2"))
         .localCheckpoint(true) // the round's one materializing action
+      // advance the live pointer BEFORE anything else can throw, so the
+      // catch below always releases the one live checkpoint (a throw in
+      // the convergence aggregate would otherwise leak `updated`)
+      val prev = labels
+      labels = updated.select(col("id"), col("lbl2").as("lbl")) // reads updated's blocks
+      CheckpointBridge.releaseCheckpoint(prev) // superseded round
       changed = updated
         .agg(coalesce(sum(when(col("lbl2") < col("lbl"), 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
-      CheckpointBridge.releaseCheckpoint(labels) // superseded round
-      labels = updated.select(col("id"), col("lbl2").as("lbl")) // reads updated's blocks
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    } catch { case t: Throwable =>
+      scala.util.Try(CheckpointBridge.releaseCheckpoint(labels))
+      pairs.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      throw t
+    }
     // the final round's checkpoint backs the returned frame — release at
     // ledger-scope exit like every operator-internal cache
     CacheLedger.registerCheckpoint(labels)

@@ -185,9 +185,19 @@ object JpegCodec {
 
   /** Decode a baseline or progressive JPEG to one RGB24 frame; None on
     * anything malformed or out of scope (arithmetic, 12-bit, ...).
+    * The quarantine catch is PARSE-SHAPED only (the GIF/PNG sibling
+    * discipline): a fatal VM error (OOM mid-IDCT, stack overflow) or a
+    * task-kill interrupt must fail the task so Spark retries/surfaces
+    * it — swallowing those as "malformed payload" would silently drop
+    * valid rows from the pixel tier.
     */
   def decode(b: Array[Byte]): Option[GifCodec.Frame] =
-    try decodeOrThrow(b) catch { case _: Throwable => None }
+    try decodeOrThrow(b) catch {
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+           _: NegativeArraySizeException | _: ArithmeticException |
+           _: NumberFormatException | _: UnsupportedOperationException |
+           _: NoSuchElementException => None
+    }
 
   /** The throwing body behind [[decode]] — test-visible so a spec
     * failure names the actual parse error instead of a bare None.

@@ -102,11 +102,14 @@ final class TieredStore(spark: SparkSession, val root: String,
   private def swapMem(plan: DataFrame): Unit = {
     val old = mem
     mem = plan.localCheckpoint(eager = true)
-    if (!memEmpty) {
-      retiredFrames.enqueue(old)
-      while (retiredFrames.size > RetireDepth)
-        CheckpointBridge.releaseCheckpoint(retiredFrames.dequeue())
-    }
+    // ALWAYS retire the superseded frame: a drained buffer's empty
+    // checkpoint is still a checkpoint (skipping it when memEmpty leaked
+    // one persisted-RDD registration per drain cycle); releasing the
+    // pristine initial emptyMem frame is a harmless no-op (its RDD was
+    // never persisted).
+    retiredFrames.enqueue(old)
+    while (retiredFrames.size > RetireDepth)
+      CheckpointBridge.releaseCheckpoint(retiredFrames.dequeue())
   }
 
   /** Direct-to-disk append (the batch ingest path). */
@@ -132,12 +135,22 @@ final class TieredStore(spark: SparkSession, val root: String,
   /** S6 `ctl/ts/sync` (reference `src/main.re:188`, `timeseries_sync` →
     * `Timeseries.flush`): flush EVERY buffered series to disk. Idempotent —
     * a second sync on an empty buffer is a no-op.
+    *
+    * Flush-all is its OWN path, not `flush(allIds)`: collecting every
+    * buffered series name to the driver and planning two `isin(<N
+    * literals>)` filters is exactly the Catalyst plan-size pathology the
+    * many-series probe exists to rule out (1M series → a
+    * hundreds-of-MB expression tree pinning the driver). The whole
+    * buffer moves as one unfiltered write; bounds update from the same
+    * aggregate updateBounds always runs.
     */
   def sync(): Unit = this.synchronized {
     if (!memEmpty) {
-      val ids = mem.select(SERIES).distinct()
-        .collect().map(_.getString(0)).toSeq // bounded by buffered series count
-      if (ids.nonEmpty) flushLocked(ids)
+      val moving = canonSel(mem)
+      ShardStore.append(moving, root)
+      updateBounds(moving)
+      swapMem(emptyMem(spark))
+      memEmpty = true
     }
   }
 

@@ -77,9 +77,6 @@ object VersionedStore {
       }
   }
 
-  private def nextVersion(spark: SparkSession, root: String): Int =
-    versions(spark, root).lastOption.map(_.version).getOrElse(0) + 1
-
   private[graft] def commitAt(spark: SparkSession, root: String, v: Int,
                               op: String, dirs: Seq[String]): Int = {
     val fs = fsOf(spark, root)
@@ -167,21 +164,41 @@ object VersionedStore {
 
   /** D1 delete as a version: rewrite survivors into one fresh dir; the
     * deleted rows remain readable at every earlier version.
+    *
+    * Optimistic concurrency requires tying the commit to the SNAPSHOT the
+    * survivors were computed from: the commit lands at
+    * `expectedVersion + 1`, so the manifest CAS rejects ANY interleaved
+    * commit since that read — the Delta/Iceberg read-set check collapsed
+    * to whole-store granularity (a rewrite's read set IS the store).
+    * Without it, a concurrent append between the caller's read and this
+    * commit would silently vanish from the new tip (lost update, no
+    * error). Callers that computed `survivors` from `readAt(v)` /
+    * `read()` earlier must pass that `v`; the default snapshots the tip
+    * at entry, which is correct only when the survivors frame was built
+    * immediately beforehand under the same thread.
     */
-  def deleteRewrite(survivors: DataFrame, root: String): Int = {
+  def deleteRewrite(survivors: DataFrame, root: String,
+                    expectedVersion: Option[Int] = None): Int = {
     val spark = survivors.sparkSession
-    val v = nextVersion(spark, root)
+    val v = expectedVersion.getOrElse(
+      versions(spark, root).lastOption.map(_.version).getOrElse(0)) + 1
     val d = writeData(survivors, root, v, "delete")
     commitAt(spark, root, v, "delete", d.toSeq)
   }
 
   /** File-hygiene compaction as a version: collapse the live dir set to
     * one (repartitioned by series), bit-identical content, history intact.
+    * One chain snapshot feeds BOTH the data read and the version number
+    * (the [[append]] discipline), so the committed content can never be a
+    * different writer's tip than the version claims.
     */
   def compact(spark: SparkSession, root: String): Int = {
-    val v = nextVersion(spark, root)
-    val d = writeData(read(spark, root).repartition(col(SERIES)), root, v, "compact")
-    commitAt(spark, root, v, "compact", d.toSeq)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val tip = vs.last.version
+    val d = writeData(readAt(spark, root, tip).repartition(col(SERIES)),
+      root, tip + 1, "compact")
+    commitAt(spark, root, tip + 1, "compact", d.toSeq)
   }
 
   /** Read the store at its latest version. */

@@ -222,21 +222,30 @@ class DedupSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val local = Dedup.duplicateClusters(chain, n = 3, tau = 0.3)
       .as[(Long, Long)].collect().toMap
+    def storedIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = storedIds
+    var during = Set.empty[Int]
     val dist = CacheLedger.scoped {
-      Dedup.duplicateClusters(chain, n = 3, tau = 0.3, localEdges = 0L)
+      val m = Dedup.duplicateClusters(chain, n = 3, tau = 0.3, localEdges = 0L)
         .as[(Long, Long)].collect().toMap
+      during = storedIds
+      m
     }
     assert(dist == local)
     assert(dist == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
-    // the loop's round checkpoints (LogicalRDD-backed blocks, NOT under
-    // the SQL CacheManager) must release at ledger scope exit — poll
-    // briefly: unpersist is blocking=false
+    // THIS query's round checkpoints (LogicalRDD-backed blocks, NOT under
+    // the SQL CacheManager) must release at ledger scope exit — tracked
+    // by id: suites share the SparkContext and run in parallel, so a
+    // global storage==0 assertion would race sibling suites' caches.
+    // Poll briefly: unpersist is blocking=false.
+    val mine = during -- before
+    assert(mine.nonEmpty, "expected the distributed tier to checkpoint rounds")
     val deadline = System.nanoTime() + 30000000000L
-    var stored = spark.sparkContext.getRDDStorageInfo.length
-    while (stored != 0 && System.nanoTime() < deadline) {
-      Thread.sleep(200); stored = spark.sparkContext.getRDDStorageInfo.length
+    var leaked = storedIds intersect mine
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200); leaked = storedIds intersect mine
     }
-    assert(stored == 0, s"$stored RDDs still stored after scope exit")
+    assert(leaked.isEmpty, s"round checkpoints still stored after scope exit: $leaked")
   }
 
   test("duplicated spans: overlapping cross-doc 3-grams cover positions once") {

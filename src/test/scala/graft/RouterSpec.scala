@@ -57,6 +57,9 @@ class RouterSpec extends SparkSuite {
       .select("shard_day_us", "min_ts_us", "max_ts_us", "length")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(shards == Seq((0L, 100L, 100L, 1L), (day, day + 500L, day + 500L, 1L)))
+    // a comma list on the single-id index route must REJECT, not filter
+    // for a series literally named "s1,s2" (plausible-looking empty frame)
+    intercept[IllegalArgumentException] { Router.run(idx, "s1,s2/index") }
     assert(Router.run(idx, "info/ts/names").as[String].collect().toSeq == Seq("s1", "s2"))
     assert(Router.run(idx, "info/ts/stats").select("series", "length")
       .as[(String, Long)].collect().toSeq == Seq(("s1", 2L), ("s2", 1L)))

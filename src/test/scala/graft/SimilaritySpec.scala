@@ -243,6 +243,15 @@ class SimilaritySpec extends SparkSuite {
     val tied = Seq((0L, cents(3).toSeq)).toDF("vec_id", "v")
       .select(Similarity.cellOf($"v", cents).as("cell")).as[Int].head()
     assert(tied == 3)
+    // a NaN-poisoned vector must land in REAL cells (smallest ids), not
+    // the Int.MaxValue phantom bucket that would collect every corrupt
+    // row into one self-joining cell (and emit out-of-range PQ codes)
+    val nan = Seq((0L, Seq(Double.NaN) ++ Seq.fill(dim - 1)(0.5)))
+      .toDF("vec_id", "v")
+    val nanCells = nan.select(nearest_cells($"v", cents, 3).as("c")).as[Seq[Int]].head()
+    assert(nanCells == Seq(0, 1, 2), nanCells.toString)
+    assert(Seq((0L, Seq.fill(dim)(Double.NaN))).toDF("vec_id", "v")
+      .select(Similarity.cellOf($"v", cents).as("cell")).as[Int].head() == 0)
     // the centroid matrix must never render into plan/expression strings:
     // k×dim doubles per occurrence made ×100-scale cache names a
     // 10-driver-minute (pre-cap: OOM) string build. Both string paths —

@@ -102,6 +102,36 @@ class VersionedStoreSpec extends SparkSuite {
     assert(fp(VersionedStore.readAt(spark, root, 2)) == fp(src))
   }
 
+  test("deleteRewrite vs interleaved append: stale snapshot conflicts, never a lost update") {
+    val root = tmpDir("vstore_lostupdate")
+    val src = Canon.events(spark, "/root/testdata/sf0.001").limit(20)
+    VersionedStore.append(src.filter(col("rid") % 2 === 0), root) // v1
+    // writer A snapshots the tip (v1) and computes its survivors from it
+    val snapA = VersionedStore.versions(spark, root).last.version
+    val survivorsA = VersionedStore.readAt(spark, root, snapA)
+      .filter(col("series") =!= "click")
+    // writer B appends v2 BETWEEN A's read and A's commit
+    assert(VersionedStore.append(src.filter(col("rid") % 2 =!= 0), root) == 2)
+    // A's rewrite carries expectedVersion = its snapshot → the CAS at
+    // snapA+1 collides with B and A gets a clean conflict instead of
+    // silently erasing B's rows from the new tip
+    intercept[VersionedStore.ConcurrentCommitException] {
+      VersionedStore.deleteRewrite(survivorsA, root, Some(snapA))
+    }
+    // B's append is intact; A retries from the new tip and succeeds
+    val tip = VersionedStore.versions(spark, root).last.version
+    assert(tip == 2)
+    val v3 = VersionedStore.deleteRewrite(
+      VersionedStore.readAt(spark, root, tip).filter(col("series") =!= "click"),
+      root, Some(tip))
+    assert(v3 == 3)
+    val after = VersionedStore.readAt(spark, root, 3)
+    assert(after.filter(col("series") === "click").count() == 0)
+    // rows from BOTH appends survive (minus the delete) — no lost update
+    assert(after.count() ==
+      src.filter(col("series") =!= "click").count())
+  }
+
   test("8 racing appenders: every commit lands once, chain linear, union exact") {
     val root = tmpDir("vstore_threads")
     val src = Canon.events(spark, "/root/testdata/sf0.001").limit(64).cache()
