@@ -56,6 +56,25 @@ object ManySeriesProbe {
         s"tracked_bounds=${st.lifecycleStats._2}")
       val want = 4 * math.min(rows / n, 50L) // per-series rows shrink as n grows
       if (cnt != want) { println(s"[mseries] FAIL: expected $want rows, got $cnt"); failed = true }
+      // sync() — the r8 flush-all path plans NO per-series isin (the old
+      // path collected every series name and built isin(<n literals>),
+      // the Catalyst plan-size pathology at high cardinality). The plan
+      // fix is cardinality-independent by construction; the WRITE cost
+      // is not — ShardStore's series=/day= layout creates one dir per
+      // series (36s for 1k dirs on this box), a documented store-layout
+      // bound outside the reference's handful-of-series envelope. So the
+      // full sync is measured at the realistic cardinality only; the
+      // 100k/1M rows above keep proving READS stay flat.
+      if (n == 1000L) {
+        val t1 = System.nanoTime()
+        st.sync()
+        val syncWall = (System.nanoTime() - t1) / 1e9
+        val split = st.lengthSplit(Seq("s0")).select("disk_len")
+          .collect()(0).getLong(0)
+        println(f"[mseries] series=$n%8d sync_wall=$syncWall%6.1fs " +
+          s"(s0 disk_len=$split, bounds=${st.lifecycleStats._2} capped at ${st.maxTrackedSeries})")
+        if (split != rows / n) { println(s"[mseries] FAIL: sync lost rows"); failed = true }
+      }
       wall
     }
     // flatness: 1M series may cost at most 3x the 1k-series read (the
