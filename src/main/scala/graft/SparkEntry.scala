@@ -131,16 +131,7 @@ object SparkEntry {
         val in = StreamScratch.dir(s"e2e_in_$tagId")
         val ckpt = StreamScratch.dir(s"e2e_ckpt_$tagId")
         val st = new TieredStore(s, StreamScratch.dir(s"e2e_store_$tagId"))
-        // wire lines: tag entries with null values dropped (props without
-        // a k key), tag omitted when empty — the reference's optional-tag
-        // shapes; to_json emits timestamp/tag/value in wire key order
-        val tagClean = filter(col("tag"), e => e.getField("value").isNotNull)
-        val point = to_json(struct(
-          col("ts_us").as("timestamp"),
-          transform(
-            when(size(tagClean) > 0, tagClean).otherwise(lit(null).cast(Canon.tagType)),
-            e => map(e.getField("name"), e.getField("value"))).as("tag"),
-          col("value").as("value")))
+        val point = wirePointJson
         e2eUnique(ev(s, d))
           .select(concat(lit("{\"series\":\""), col("series"),
             lit("\",\"point\":"), point, lit("}")).as("value"))
@@ -158,6 +149,43 @@ object SparkEntry {
   /** Events deduped to one row per (series, ts_us), lowest rid kept — the
     * e2e corpus whose last-n reads don't depend on the rid tiebreak.
     */
+  /** One canonical row as a reference wire point object: tag entries
+    * with null values dropped (props without a k key), tag omitted when
+    * empty — the reference's optional-tag shapes; to_json emits
+    * timestamp/tag/value in wire key order.
+    */
+  private def wirePointJson: org.apache.spark.sql.Column = {
+    val tagClean = filter(col("tag"), e => e.getField("value").isNotNull)
+    to_json(struct(
+      col("ts_us").as("timestamp"),
+      transform(
+        when(size(tagClean) > 0, tagClean).otherwise(lit(null).cast(Canon.tagType)),
+        e => map(e.getField("name"), e.getField("value"))).as("tag"),
+      col("value").as("value")))
+  }
+
+  /** Store behind q_post_lifecycle: the first 500 unique-ts signup
+    * points POSTed as ONE reference-shaped array body (the `A(lis)`
+    * batch branch) through [[graft.api.Router.runPost]], spilling at 200
+    * so the buffer→disk path engages mid-batch. Cached per process like
+    * [[e2eStore]].
+    */
+  private val postStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
+  private def postStore(s: SparkSession, d: String): TieredStore =
+    postStores.synchronized {
+      postStores.getOrElseUpdate(d, {
+        val st = new TieredStore(s,
+          StreamScratch.dir("post_store_" + Integer.toHexString(d.hashCode)))
+        val pts = e2eUnique(ev(s, d)).filter(col("series") === "signup")
+          .orderBy("ts_us").limit(500)
+          .select(wirePointJson.as("p")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect() // bounded: 500 wire objects
+        val body = pts.mkString("[", ",", "]")
+        graft.api.Router.runPost(st, "ts/signup", body, spillThreshold = 200L)
+        st
+      })
+    }
+
   private def e2eUnique(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("series"), col("ts_us")).orderBy(col("rid"))
@@ -351,6 +379,16 @@ object SparkEntry {
         "ts/click,error/last/200/filter/u/equals/3/sum")
       graft.api.Wire.aggToJson(agg).select(
         round(get_json_object(col("json"), "$.sum").cast("double"), 4).as("sum"))
+    }),
+    // the POST third of the lifecycle: a reference client's exact POST
+    // body (JSON array of wire points) through Router.runPost into a
+    // fresh tiered store, answered back through the GET surface + wire —
+    // the full write path a reference user exercises, as one oracle row
+    "q_post_lifecycle" -> ((s, d) => {
+      val st = postStore(s, d)
+      val agg = graft.api.Router.run(st, "ts/signup/last/100/mean")
+      graft.api.Wire.aggToJson(agg).select(
+        round(get_json_object(col("json"), "$.mean").cast("double"), 6).as("mean"))
     }),
     // ----- beyond parity: group-by + time-window generalizations
     "q_agg_by_series" -> ((s, d) =>
@@ -1368,6 +1406,18 @@ object SparkEntry {
            |  QUALIFY row_number() OVER (PARTITION BY series ORDER BY ts_us DESC) <= 200
            |)
            |SELECT round(sum(value), 4) AS sum FROM l WHERE tag_u = '3'""".stripMargin,
+      // POST lifecycle: first 500 unique-ts signup points posted as one
+      // array body, then last-100 mean through the GET surface
+      "q_post_lifecycle" ->
+        s"""$CANON_SQL, u AS (
+           |  SELECT * FROM c WHERE series = 'signup'
+           |  QUALIFY row_number() OVER (PARTITION BY ts_us ORDER BY rid) = 1
+           |), p AS (
+           |  SELECT * FROM u QUALIFY row_number() OVER (ORDER BY ts_us ASC) <= 500
+           |), l AS (
+           |  SELECT * FROM p QUALIFY row_number() OVER (ORDER BY ts_us DESC) <= 100
+           |)
+           |SELECT round(avg(value), 6) AS mean FROM l""".stripMargin,
       "q_agg_by_series" ->
         s"$CANON_SQL SELECT series, round(avg(value), 6) AS mean FROM c GROUP BY series ORDER BY series",
       "q_agg_quantiles" ->

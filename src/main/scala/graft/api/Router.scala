@@ -2,7 +2,9 @@ package graft.api
 
 import graft.functions.Tags
 import graft.operators.{TimeSeries => TS}
+import graft.sources.JsonIngest
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** The reference's query surface IS its URL path (SURVEY.md: "the query
   * plan is the URL path"). This interpreter maps a nibbledb route string to
@@ -67,6 +69,39 @@ object Router {
       case ids :: "disk" :: "length" :: Nil => tierLength("disk_len", ids)
       case _ => run(store.snapshot, route)
     }
+  }
+
+  /** POST `ts/<id>` (reference `src/main.re:60-74`): the body is ONE
+    * point object or an ARRAY of them ([[graft.sources.JsonIngest]]'s
+    * 4-shape grammar per element; the array branch mirrors the
+    * reference's `A(lis)` iteration through `explodeBatches`). Good
+    * elements buffer into the tiered store exactly like the streaming
+    * path — per-series spill at `spillThreshold` (the reference's
+    * `--shard-size` discipline); invalid elements are the 400 path,
+    * returned as a count so the caller can surface them. The returned
+    * one-row frame `(ingested, quarantined)` is the reference's "ok"
+    * reply, as data — completing the router's method triangle
+    * (GET [[run]], DELETE [[runDelete]], POST here).
+    */
+  def runPost(store: graft.sources.TieredStore, route: String, body: String,
+              ingestTimeUs: Long = 0L, spillThreshold: Long = 20000L): DataFrame = {
+    import graft.sources.TieredStore
+    val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
+    val id = parts match {
+      case "ts" :: i :: Nil if i.nonEmpty => i
+      case i :: Nil if i.nonEmpty => i
+      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+    }
+    val session = store.snapshot.sparkSession
+    import session.implicits._
+    val wire = JsonIngest.explodeBatches(Seq((id, body)).toDF("series", "json"))
+    val r = JsonIngest.ingest(wire, ingestTimeUs)
+    val good = r.good.withColumn(TieredStore.SEQ, col("rid"))
+    store.ingest(good, TieredStore.SEQ, spillThreshold)
+    val nBad = r.bad.count()
+    // count AFTER the ingest moved the rows: the buffered length is the
+    // truth the store now holds for this series
+    Seq((r.good.count(), nBad)).toDF("ingested", "quarantined")
   }
 
   def run(df: DataFrame, route: String): DataFrame = {

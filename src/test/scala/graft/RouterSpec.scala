@@ -96,6 +96,36 @@ class RouterSpec extends SparkSuite {
     assert(Router.run(st, "ctl/ts/sync").head().getString(0) == "ok")
   }
 
+  test("POST ts/<id>: single point, batch array, quarantine — read back through GET") {
+    import graft.sources.TieredStore
+    val st = new TieredStore(spark, tmpDir("router_post"))
+    // single object (reference post_req `O(_)` branch)
+    val r1 = Router.runPost(st, "ts/s1",
+      """{"timestamp": 1704067200000000, "value": 1.5}""")
+      .as[(Long, Long)].head()
+    assert(r1 == ((1L, 0L)))
+    // array body (the `A(lis)` branch) with one invalid element: good
+    // elements land, the bad one quarantines (count surfaced)
+    val r2 = Router.runPost(st, "ts/s1",
+      """[{"timestamp": 1704067200000001, "value": 2.5},
+        | {"nope": 1},
+        | {"timestamp": 1704067200000002, "tag": [{"loc": "x"}], "value": 3.5}]""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(r2 == ((2L, 1L)))
+    // the posted points answer through the GET surface, tier-invisibly
+    assert(Router.run(st, "ts/s1/length").as[Long].head() == 3L)
+    assert(Router.run(st, "ts/s1/last/1").select("value").as[Double].head() == 3.5)
+    assert(Router.run(st, "ts/s1/last/10/filter/loc/equals/x/count").as[Double].head() == 1.0)
+    // tiny spill threshold: the POST path spills per series like the
+    // streaming ingest (buffer drains to disk, answers unchanged)
+    val r3 = Router.runPost(st, "ts/s2",
+      """[{"timestamp": 1, "value": 1}, {"timestamp": 2, "value": 2}]""",
+      spillThreshold = 2L).as[(Long, Long)].head()
+    assert(r3 == ((2L, 0L)))
+    assert(Router.run(st, "ts/s2/disk/length").as[Long].head() == 2L)
+    intercept[IllegalArgumentException] { Router.runPost(st, "ts/a/b/c", "{}") }
+  }
+
   test("wire JSON: reference field order, tag omitted when absent") {
     val rows = Wire.toJsonRows(Router.run(df, "s1/first/3"))
       .as[String].collect()
