@@ -94,14 +94,19 @@ object Router {
     }
     val session = store.snapshot.sparkSession
     import session.implicits._
+    // cache the exploded wire for the request's lifetime: ingest, the
+    // good count and the bad count all read it — uncached, the per-
+    // element JSONPath explode + parse would run three times
     val wire = JsonIngest.explodeBatches(Seq((id, body)).toDF("series", "json"))
-    val r = JsonIngest.ingest(wire, ingestTimeUs)
-    val good = r.good.withColumn(TieredStore.SEQ, col("rid"))
-    store.ingest(good, TieredStore.SEQ, spillThreshold)
-    val nBad = r.bad.count()
-    // count AFTER the ingest moved the rows: the buffered length is the
-    // truth the store now holds for this series
-    Seq((r.good.count(), nBad)).toDF("ingested", "quarantined")
+      .cache()
+    try {
+      val r = JsonIngest.ingest(wire, ingestTimeUs)
+      val good = r.good.withColumn(TieredStore.SEQ, col("rid"))
+      store.ingest(good, TieredStore.SEQ, spillThreshold)
+      // counts AFTER the ingest moved the rows; the returned frame is a
+      // local literal, so releasing the wire cache cannot invalidate it
+      Seq((r.good.count(), r.bad.count())).toDF("ingested", "quarantined")
+    } finally wire.unpersist(blocking = false)
   }
 
   def run(df: DataFrame, route: String): DataFrame = {

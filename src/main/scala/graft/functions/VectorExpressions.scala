@@ -201,7 +201,7 @@ object VectorExpressions {
       // the smallest real cell ids not already selected: corrupt vectors
       // land in real cells, where the exact-rescore's NaN cosine fails
       // every tau filter and they drop out downstream.
-      if (bestIdx(np - 1) == Int.MaxValue) {
+      if (np > 0 && bestIdx(np - 1) == Int.MaxValue) {
         var fill = 0
         var j = 0
         while (j < np) {

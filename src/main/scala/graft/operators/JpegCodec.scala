@@ -428,7 +428,11 @@ object JpegCodec {
           val ns = r.u8()
           val sc = Array.fill(ns) {
             val cs = r.u8()
-            val c = comps.find(_.id == cs).getOrElse(sys.error(s"unknown comp $cs"))
+            // IllegalArgumentException: the ONE parse error here must stay
+            // inside decode()'s parse-shaped quarantine catch (a bare
+            // sys.error RuntimeException would escape it and kill the task)
+            val c = comps.find(_.id == cs).getOrElse(
+              throw new IllegalArgumentException(s"unknown comp $cs"))
             val tt = r.u8(); c.td = tt >> 4; c.ta = tt & 15
             c
           }

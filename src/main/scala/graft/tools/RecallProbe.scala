@@ -48,9 +48,13 @@ object RecallProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       if (name == "brute") { exact = sets
         println(f"[recall] $name%-12s wall=$wall%6.1fs (the exact baseline)")
+      } else if (exact.isEmpty) {
+        println(s"[recall] $name skipped: exact baseline found no query rows " +
+          "(query ids absent from this corpus?)")
       } else {
-        val rs = qids.flatMap(q => exact.get(q).map(e =>
-          sets.getOrElse(q, Set.empty).count(e.contains).toDouble / e.size))
+        val rs = exact.keys.toSeq.map(q =>
+          sets.getOrElse(q, Set.empty).count(exact(q).contains).toDouble
+            / exact(q).size)
         println(f"[recall] $name%-12s wall=$wall%6.1fs recall@$k " +
           f"mean=${rs.sum / rs.size}%.3f min=${rs.min}%.3f")
       }
@@ -84,11 +88,15 @@ object RecallProbe {
       (i, v.map(x => (x / nn).toFloat).toSeq, (i % 50).toInt)
     }.toDF("vec_id", "embedding", "label").cache()
     clustered.count()
-    run("brute") { Similarity.bruteForceTopK(clustered, qids, k) }
-    run("lsh_ann") { Similarity.annTopK(clustered, qids, k, dim) }
-    run("ivf_label") { Similarity.ivfTopK(clustered, qids, k) }
-    run("ivf_trained") { Similarity.ivfTopKTrained(clustered, qids, k, cells = 16, nprobe = 3) }
-    run("pq_adc") { Similarity.pqTopK(clustered, qids, k, refine = math.max(50, 5 * k)) }
+    // qids for THIS corpus come from ITS id space (0 until n by
+    // construction) — reusing the original corpus's harvested ids would
+    // silently miss every query on any corpus with non-contiguous ids
+    val qids2 = (0L until n by math.max(1L, n / nQ)).take(nQ).toSeq
+    run("brute") { Similarity.bruteForceTopK(clustered, qids2, k) }
+    run("lsh_ann") { Similarity.annTopK(clustered, qids2, k, dim) }
+    run("ivf_label") { Similarity.ivfTopK(clustered, qids2, k) }
+    run("ivf_trained") { Similarity.ivfTopKTrained(clustered, qids2, k, cells = 16, nprobe = 3) }
+    run("pq_adc") { Similarity.pqTopK(clustered, qids2, k, refine = math.max(50, 5 * k)) }
     spark.stop()
   }
 }

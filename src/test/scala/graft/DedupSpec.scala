@@ -222,7 +222,12 @@ class DedupSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val local = Dedup.duplicateClusters(chain, n = 3, tau = 0.3)
       .as[(Long, Long)].collect().toMap
-    def storedIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    // checkpoint RDDs carry the bare class name ('MapPartitionsRDD');
+    // SQL-cache RDDs carry a rendered PLAN string (spaces/newlines) —
+    // the discriminator that keeps this from racing a parallel sibling
+    // suite's suite-lifetime .cache() fixtures (suites share the context)
+    def storedIds = spark.sparkContext.getRDDStorageInfo
+      .filter(i => i.name == null || !i.name.trim.contains(" ")).map(_.id).toSet
     val before = storedIds
     var during = Set.empty[Int]
     val dist = CacheLedger.scoped {
@@ -234,9 +239,7 @@ class DedupSpec extends SparkSuite {
     assert(dist == local)
     assert(dist == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
     // THIS query's round checkpoints (LogicalRDD-backed blocks, NOT under
-    // the SQL CacheManager) must release at ledger scope exit — tracked
-    // by id: suites share the SparkContext and run in parallel, so a
-    // global storage==0 assertion would race sibling suites' caches.
+    // the SQL CacheManager) must release at ledger scope exit.
     // Poll briefly: unpersist is blocking=false.
     val mine = during -- before
     assert(mine.nonEmpty, "expected the distributed tier to checkpoint rounds")

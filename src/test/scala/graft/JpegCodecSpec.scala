@@ -554,5 +554,13 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(big).isEmpty)
     assert(JpegCodec.decode("not a jpeg at all".getBytes).isEmpty)
     assert(JpegCodec.decode(Array[Byte]()).isEmpty)
+    // SOS naming a component id absent from SOF: the one parse error
+    // raised by lookup (not require/array access) — must quarantine
+    // under the r8 narrowed catch, not escape as a RuntimeException
+    val badComp = good.clone()
+    val sosAt = (0 until badComp.length - 1).find(i =>
+      (badComp(i) & 0xff) == 0xff && (badComp(i + 1) & 0xff) == 0xda).get
+    badComp(sosAt + 5) = 9.toByte // first scan-component id -> unknown
+    assert(JpegCodec.decode(badComp).isEmpty)
   }
 }
