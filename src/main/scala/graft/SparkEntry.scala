@@ -170,6 +170,9 @@ object SparkEntry {
     * so the buffer→disk path engages mid-batch. Cached per process like
     * [[e2eStore]].
     */
+  /** Per-process memo of q_stream_drift's staged two-file input dirs. */
+  private val streamDriftIns = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val postStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
   private def postStore(s: SparkSession, d: String): TieredStore =
     postStores.synchronized {
@@ -1027,24 +1030,32 @@ object SparkEntry {
     // stream batched them, so the oracle is q_drift's, verbatim.
     "q_stream_drift" -> ((s, d) => {
       val src = s"$d/documents.parquet"
-      val inDir = java.nio.file.Files.createTempDirectory("q_streamdrift_in_")
-      // split the corpus into two PLAIN parquet files: >= 2 micro-batches
-      // of genuinely accumulated state under maxFilesPerTrigger=1
       val docs = s.read.parquet(src)
-      for ((pred, name) <- Seq(
-        (col("doc_id") % 2 === 0, "documents_even.parquet"),
-        (col("doc_id") % 2 =!= 0, "documents_odd.parquet"))) {
-        val tmp = java.nio.file.Files.createTempDirectory("q_streamdrift_split_")
-        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, inDir.resolve(name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      // split the corpus into two PLAIN parquet files: >= 2 micro-batches
+      // of genuinely accumulated state under maxFilesPerTrigger=1.
+      // Staged ONCE per process per sf dir (the e2eStore memo pattern:
+      // bench/verify invoke each query several times; the split content
+      // is a pure function of the source table)
+      val inDir = streamDriftIns.synchronized {
+        streamDriftIns.getOrElseUpdate(d, {
+          val dir = java.nio.file.Files.createTempDirectory("q_streamdrift_in_")
+          for ((pred, name) <- Seq(
+            (col("doc_id") % 2 === 0, "documents_even.parquet"),
+            (col("doc_id") % 2 =!= 0, "documents_odd.parquet"))) {
+            val tmp = java.nio.file.Files.createTempDirectory("q_streamdrift_split_")
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            java.nio.file.Files.move(part.toPath, dir.resolve(name),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          }
+          dir.toString
+        })
       }
       val outDir = StreamScratch.dir("q_stream_drift")
       val raw = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
       val counts = streaming.CorpusMonitor.runningTermCounts(raw)
       val q = counts.writeStream
         .outputMode("complete") // each trigger emits the full running table
@@ -1056,7 +1067,6 @@ object SparkEntry {
       val finished = q.awaitTermination(300000L)
       q.stop()
       require(finished, "q_stream_drift: stream did not terminate in 300s")
-      org.apache.commons.io.FileUtils.deleteDirectory(inDir.toFile)
       TextOps.driftFromTermCounts(s.read.parquet(outDir), "kl", vocabSize = 24)
     }),
     // ordered conversion funnel + weekly cohort retention — see
