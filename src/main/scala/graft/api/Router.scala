@@ -145,7 +145,36 @@ object Router {
     }
   }
 
-  /** Delete routes (HTTP DELETE verb in the reference): surviving rows. */
+  /** DELETE against the LIVE store (reference `src/main.re:97-118`): the
+    * route's matched rows are physically removed — touched membufs
+    * flushed first, affected shard partitions rewritten
+    * ([[graft.sources.TieredStore.delete]]) — so subsequent [[run]]
+    * reads through the same store see fewer points, exactly the
+    * reference's observable DELETE behavior. Returns `{"deleted": n}` as
+    * a one-row frame (the reference replies a bare ok; the count is this
+    * engine's observable ack, like [[runPost]]'s). Grammar
+    * (`main.re:196-202`): `<ids>/since/<t>[/filter/...]` |
+    * `<ids>/range/<t1>/<t2>[/filter/...]`; leading `ts/` accepted.
+    */
+  def runDelete(store: graft.sources.TieredStore, route: String): DataFrame = {
+    val session = store.session
+    import session.implicits._
+    def ack(n: Long): DataFrame = Seq(n).toDF("deleted")
+    val parts = route.stripPrefix("/").stripSuffix("/").split('/').toList
+    parts match {
+      case "ts" :: rest if rest.nonEmpty => runDelete(store, rest.mkString("/"))
+      case ids :: "since" :: t :: xargs =>
+        ack(store.delete(ids.split(',').toSeq, t.toLong, Long.MaxValue,
+          pipeGroups(xargs)))
+      case ids :: "range" :: t1 :: t2 :: xargs =>
+        ack(store.delete(ids.split(',').toSeq, t1.toLong, t2.toLong,
+          pipeGroups(xargs)))
+      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+    }
+  }
+
+  /** Delete routes over a flat frame (snapshot-functional form): the
+    * SURVIVING rows, for callers composing their own storage rewrite. */
   def runDelete(df: DataFrame, route: String): DataFrame = {
     val parts = route.stripPrefix("/").split('/').toList
     parts match {

@@ -1,8 +1,10 @@
 package graft.sources
 
+import graft.functions.Tags
 import graft.model.Canon
 import graft.model.Canon._
 import graft.operators.{TimeSeries => TS}
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -243,6 +245,83 @@ final class TieredStore(spark: SparkSession, val root: String,
       if (toFlush.isEmpty) None else Some(TS.readLast(disk(toFlush), toFlush, n))
     ).flatten
     branches.reduce(_ unionByName _).orderBy(col(TS_US).desc, col(RID).desc)
+  }
+
+  /** The session this store plans against (for router ack frames). */
+  private[graft] def session: SparkSession = spark
+
+  /** D1 against the LIVE store — the reference's DELETE verb composed
+    * end-to-end (`/root/reference/src/main.re:97-118` →
+    * `src/timeseries.re:295-303`): flush the touched series' buffers
+    * first (the reference flushes membufs before touching shards), then
+    * physically rewrite the affected series' disk partitions without the
+    * matched rows, so every subsequent read of this store sees fewer
+    * points. Returns the deleted-point count — the observable effect
+    * behind the reference's bare "ok" reply.
+    *
+    * Matched-row semantics, not the reference's delete-by-timestamp-
+    * membership quirk (`timeseries.re:264-272` removes ANY point sharing
+    * a timestamp with a matched one) — the documented divergence
+    * SURVEY §7.5 #6, shared with [[graft.operators.TimeSeries.deleteRange]].
+    *
+    * Physical shape: survivors of the affected series are STAGED to a
+    * sibling directory — fully materialized before any source file is
+    * touched — then the store's `series=<id>` partition dirs are swapped
+    * (delete old, rename staged in). Only the touched series' files are
+    * ever read or rewritten; the rest of the store is untouched, so the
+    * cost scales with the affected series' data, not store size. A
+    * previously returned snapshot that still references a removed file
+    * fails LOUDLY on evaluation (the class snapshot contract) — never a
+    * silently stale answer. Per-series disk bounds are recomputed from
+    * the rewritten partitions (a shrunken range can re-qualify future
+    * buffers for the M1 fast path).
+    */
+  def delete(ids: Seq[String], fromUs: Long, toUs: Long,
+             pipe: Seq[Tags.Group] = Nil): Long = this.synchronized {
+    require(ids.nonEmpty, "tiered delete needs explicit series ids")
+    flushLocked(ids)
+    if (!diskHasData) return 0L
+    val matched = coalesce(
+      col(TS_US).between(fromUs, toUs) &&
+        (if (pipe.isEmpty) lit(true) else Tags.predicate(col(TAG), pipe)),
+      lit(false))
+    val affected = TS.selectSeries(ShardStore.read(spark, root), ids)
+    val deleted = affected.filter(matched).count()
+    if (deleted == 0L) return 0L
+    val staging = s"$root.delete-${java.util.UUID.randomUUID().toString.take(8)}"
+    ShardStore.rewrite(affected.filter(!matched), staging)
+    swapSeriesPartitions(ids, staging)
+    ids.foreach(diskBounds.remove)
+    if (diskHasData)
+      updateBounds(TS.selectSeries(ShardStore.read(spark, root), ids))
+    deleted
+  }
+
+  /** Swap the named series' partition dirs for their staged rewrites:
+    * remove the old `series=<id>` dirs, move the staged ones in, drop the
+    * staging dir. A series with zero survivors has no staged dir and ends
+    * fully removed. Dir names are matched by DECODING the listing (Spark
+    * partition-path escaping) rather than re-encoding the id, so escaped
+    * series names swap correctly.
+    */
+  private def swapSeriesPartitions(ids: Seq[String], staging: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = new Path(root)
+    def seriesDirs(p: Path): Seq[FileStatus] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("series="))
+    val idSet = ids.toSet
+    def idOf(st: FileStatus): String =
+      unescapePathName(st.getPath.getName.stripPrefix("series="))
+    seriesDirs(rootPath).filter(st => idSet(idOf(st)))
+      .foreach(st => fs.delete(st.getPath, true))
+    seriesDirs(new Path(staging)).foreach { st =>
+      require(fs.rename(st.getPath, new Path(rootPath, st.getPath.getName)),
+        s"failed to publish rewritten partition ${st.getPath} into $root")
+    }
+    fs.delete(new Path(staging), true)
+    diskNonEmpty = seriesDirs(rootPath).nonEmpty
   }
 
   /** The whole store as one canonical frame (memory ∪ disk) — the input

@@ -351,11 +351,15 @@ class PlanAuditSpec extends SparkSuite {
     // intended shape for the exact scoring pass); q_drift crosses two
     // aggregate-derived tables BOUNDED BY CONFIGURATION (#sources ×
     // top-V vocab) — the sanctioned model-matrix cartesian
+    // q_delete_lifecycle combines two ONE-ROW router acks (global
+    // aggregates) with a 1×1 crossJoin — bounded by construction
     val allowedBnlj =
       Set("q_sim_topk", "q_sim_filtered",
-        "q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift")
+        "q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift",
+        "q_delete_lifecycle")
     val allowedCartesian =
-      Set("q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift")
+      Set("q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift",
+        "q_delete_lifecycle")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = plan(SparkEntry.queries(n)(spark, sf))
       if (!allowedCartesian(n))

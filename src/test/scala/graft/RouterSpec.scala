@@ -126,6 +126,49 @@ class RouterSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Router.runPost(st, "ts/a/b/c", "{}") }
   }
 
+  test("DELETE against a live store: buffer flush, shard rewrite, reads see it") {
+    import graft.sources.TieredStore
+    import org.apache.spark.sql.functions.col
+    val st = new TieredStore(spark, tmpDir("router_delete"))
+    st.appendDisk(Seq(
+      Datapoint("s1", 100L, tag("u" -> "3"), 1.0, 1),
+      Datapoint("s1", 200L, tag("u" -> "5"), 2.0, 2),
+      Datapoint("s1", 300L, None, 4.0, 3),
+      Datapoint("s2", 150L, tag("u" -> "3"), 10.0, 4)).toDF())
+    // a buffered point inside the delete range: the reference flushes
+    // membufs before touching shards (timeseries.re:295-303) — ours must
+    // flush it and then delete it from the rewritten partition
+    st.appendMemory(Seq(Datapoint("s1", 400L, tag("u" -> "3"), 8.0, 5)).toDF()
+      .withColumn(TieredStore.SEQ, col("rid")), TieredStore.SEQ)
+    assert(st.bufferedCount() == 1L)
+    val ack = Router.runDelete(st, "ts/s1/range/100/400/filter/u/equals/3")
+    assert(ack.select("deleted").as[Long].head() == 2L) // rid 1 (disk) + rid 5 (was buffered)
+    assert(st.bufferedCount() == 0L)
+    // subsequent GETs through the SAME store see the deletion; the
+    // untouched series is unaffected
+    assert(Router.run(st, "ts/s1/length").as[Long].head() == 2L)
+    assert(Router.run(st, "ts/s1/since/0").select("rid").as[Long].collect().toSet
+      == Set(2L, 3L))
+    assert(Router.run(st, "ts/s2/length").as[Long].head() == 1L)
+    // since-form, no pipe
+    assert(Router.runDelete(st, "ts/s1/since/300").select("deleted").as[Long].head() == 1L)
+    assert(Router.run(st, "ts/s1/length").as[Long].head() == 1L)
+    // disk bounds were recomputed from the rewritten partition: a fresh
+    // buffered tail must still merge with the surviving disk row, never
+    // shadow it (stale-absent bounds would elect a memory-only read)
+    st.appendMemory(Seq(Datapoint("s1", 350L, None, 9.0, 6)).toDF()
+      .withColumn(TieredStore.SEQ, col("rid")), TieredStore.SEQ)
+    assert(Router.run(st, "ts/s1/last/2").select("rid").as[Long].collect().toSet
+      == Set(2L, 6L))
+    // deleting a series' every point removes its partition entirely
+    assert(Router.runDelete(st, "ts/s2/since/0").select("deleted").as[Long].head() == 1L)
+    assert(Router.run(st, "ts/s2/length").as[Long].head() == 0L)
+    assert(Router.run(st, "ts/s1/length").as[Long].head() == 2L)
+    // no-match delete is a clean zero; grammar violations reject
+    assert(Router.runDelete(st, "ts/s1/range/5000/6000").select("deleted").as[Long].head() == 0L)
+    intercept[IllegalArgumentException] { Router.runDelete(st, "ts/s1/nope/1") }
+  }
+
   test("wire JSON: reference field order, tag omitted when absent") {
     val rows = Wire.toJsonRows(Router.run(df, "s1/first/3"))
       .as[String].collect()
