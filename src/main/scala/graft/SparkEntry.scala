@@ -226,6 +226,57 @@ object SparkEntry {
       })
     }
 
+  /** Facts behind q_http_lifecycle: the SAME lifecycle as [[deleteStore]]
+    * but driven over a real bound socket — two POSTs (array bodies), a
+    * DELETE and two GETs through [[graft.api.HttpBinding]], the reply
+    * JSON parsed back. One spill threshold (200) gives the same tiering:
+    * the 500-point body flushes on arrival, the 100-point body stays
+    * buffered until the DELETE flushes it. Runs ONCE per process; the
+    * query row is the captured (deleted, length, sum) — the oracle is
+    * byte-identical to q_delete_lifecycle's, so "drop-in over HTTP"
+    * is a CORRECTNESS row, not a claim.
+    */
+  private val httpLifecycles = scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Double)]
+  private def httpLifecycle(s: SparkSession, d: String): (Long, Long, Double) =
+    httpLifecycles.synchronized {
+      httpLifecycles.getOrElseUpdate(d, {
+        val st = new TieredStore(s,
+          StreamScratch.dir("http_store_" + Integer.toHexString(d.hashCode)))
+        val http = new graft.api.HttpBinding(st, spillThreshold = 200L).start()
+        try {
+          val base = s"http://127.0.0.1:${http.boundPort}"
+          val client = java.net.http.HttpClient.newHttpClient()
+          def call(method: String, path: String, body: Option[String]): String = {
+            val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+            val req = (method match {
+              case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.get))
+              case "DELETE" => b.DELETE()
+              case _ => b.GET()
+            }).build()
+            val r = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+            require(r.statusCode() == 200, s"$method $path -> ${r.statusCode()}: ${r.body()}")
+            r.body()
+          }
+          def field(json: String, key: String): String =
+            ("\"" + key + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(json)
+              .getOrElse(sys.error(s"no $key in $json")).group(1)
+          val pts = e2eUnique(ev(s, d)).filter(col("series") === "signup")
+            .orderBy("ts_us").limit(600)
+            .select(col("ts_us"), wirePointJson.as("p"))
+            .collect() // bounded: 600 wire objects
+          val (disk, buf) = pts.splitAt(500)
+          call("POST", "/ts/signup", Some(disk.map(_.getString(1)).mkString("[", ",", "]")))
+          call("POST", "/ts/signup", Some(buf.map(_.getString(1)).mkString("[", ",", "]")))
+          val ts = pts.map(_.getLong(0))
+          val deleted = field(call("DELETE",
+            s"/ts/signup/range/${ts(299)}/${ts(549)}/filter/u/equals/3", None), "deleted").toLong
+          val length = field(call("GET", "/ts/signup/length", None), "length").toLong
+          val sum = field(call("GET", "/ts/signup/since/0/sum", None), "sum").toDouble
+          (deleted, length, sum)
+        } finally http.stop()
+      })
+    }
+
   private def e2eUnique(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("series"), col("ts_us")).orderBy(col("rid"))
@@ -442,6 +493,17 @@ object SparkEntry {
       val sum = graft.api.Router.run(st, "ts/signup/since/0/sum")
       len.crossJoin(sum).select(lit(deleted).as("deleted"), col("length"),
         round(col("sum"), 4).as("sum"))
+    }),
+    // the same lifecycle over a real HTTP socket (VERDICT r8 item 2):
+    // POST/DELETE/GET through HttpBinding with the replies parsed back;
+    // identical oracle to q_delete_lifecycle, so the wire surface is
+    // drop-in under the correctness gate. The row is the captured facts
+    // (a local literal — the Spark work happened inside the server).
+    "q_http_lifecycle" -> ((s, d) => {
+      val (deleted, length, sum) = httpLifecycle(s, d)
+      import s.implicits._
+      Seq((deleted, length, BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("deleted", "length", "sum")
     }),
     // ----- beyond parity: group-by + time-window generalizations
     "q_agg_by_series" -> ((s, d) =>
@@ -1259,6 +1321,31 @@ object SparkEntry {
     val idsIn3 = "series IN ('click','error','purchase')"
     val idsIn2 = "series IN ('signup','view')"
     val range = s"ts_us BETWEEN $R1 AND $R2"
+    // DELETE lifecycle (shared by the in-process router row and the
+    // over-HTTP row — same store recipe, same observable state): first
+    // 600 unique-ts signup points posted, then the [300th ts, 550th ts]
+    // range with tag u='3' deleted, then length + sum of the survivors
+    // through the GET surface. Bounds are data-derived (rn 300/550),
+    // mirroring the Spark side.
+    val deleteLifecycleSql =
+      s"""$CANON_SQL, u AS (
+         |  SELECT * FROM c WHERE series = 'signup'
+         |  QUALIFY row_number() OVER (PARTITION BY ts_us ORDER BY rid) = 1
+         |), p AS (
+         |  SELECT *, row_number() OVER (ORDER BY ts_us ASC) AS rn FROM u
+         |  QUALIFY rn <= 600
+         |), b AS (
+         |  SELECT min(CASE WHEN rn = 300 THEN ts_us END) AS t1,
+         |         min(CASE WHEN rn = 550 THEN ts_us END) AS t2 FROM p
+         |), s AS (
+         |  SELECT p.*, coalesce(
+         |    ts_us BETWEEN b.t1 AND b.t2 AND tag_u = '3', false) AS matched
+         |  FROM p, b
+         |)
+         |SELECT count(*) FILTER (WHERE matched) AS deleted,
+         |       count(*) FILTER (WHERE NOT matched) AS length,
+         |       round(sum(value) FILTER (WHERE NOT matched), 4) AS sum
+         |FROM s""".stripMargin
     Map(
       "q_last_n" ->
         s"""$CANON_SQL SELECT $ROW FROM (
@@ -1478,29 +1565,8 @@ object SparkEntry {
            |  SELECT * FROM p QUALIFY row_number() OVER (ORDER BY ts_us DESC) <= 100
            |)
            |SELECT round(avg(value), 6) AS mean FROM l""".stripMargin,
-      // DELETE lifecycle: first 600 unique-ts signup points posted, then
-      // the [300th ts, 550th ts] range with tag u='3' deleted, then
-      // length + sum over the survivors through the GET surface. The
-      // bounds are data-derived (rn 300/550), mirroring the Spark side.
-      "q_delete_lifecycle" ->
-        s"""$CANON_SQL, u AS (
-           |  SELECT * FROM c WHERE series = 'signup'
-           |  QUALIFY row_number() OVER (PARTITION BY ts_us ORDER BY rid) = 1
-           |), p AS (
-           |  SELECT *, row_number() OVER (ORDER BY ts_us ASC) AS rn FROM u
-           |  QUALIFY rn <= 600
-           |), b AS (
-           |  SELECT min(CASE WHEN rn = 300 THEN ts_us END) AS t1,
-           |         min(CASE WHEN rn = 550 THEN ts_us END) AS t2 FROM p
-           |), s AS (
-           |  SELECT p.*, coalesce(
-           |    ts_us BETWEEN b.t1 AND b.t2 AND tag_u = '3', false) AS matched
-           |  FROM p, b
-           |)
-           |SELECT count(*) FILTER (WHERE matched) AS deleted,
-           |       count(*) FILTER (WHERE NOT matched) AS length,
-           |       round(sum(value) FILTER (WHERE NOT matched), 4) AS sum
-           |FROM s""".stripMargin,
+      "q_delete_lifecycle" -> deleteLifecycleSql,
+      "q_http_lifecycle" -> deleteLifecycleSql,
       "q_agg_by_series" ->
         s"$CANON_SQL SELECT series, round(avg(value), 6) AS mean FROM c GROUP BY series ORDER BY series",
       "q_agg_quantiles" ->

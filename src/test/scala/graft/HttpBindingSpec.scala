@@ -1,0 +1,77 @@
+package graft
+
+import graft.api.HttpBinding
+import graft.sources.TieredStore
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+
+/** Real HTTP requests through a bound port — the reference's client
+  * workload (`test/client.re:24-36`) and curl grammar replayed against
+  * [[HttpBinding]], asserting the reference's reply shapes and status
+  * codes (`main.re:28-41,120-173,216-223`).
+  */
+class HttpBindingSpec extends SparkSuite {
+
+  private lazy val client = HttpClient.newHttpClient()
+  private def req(base: String, path: String) =
+    HttpRequest.newBuilder(URI.create(base + path))
+  private def get(base: String, path: String): HttpResponse[String] =
+    client.send(req(base, path).GET().build(), BodyHandlers.ofString())
+  private def post(base: String, path: String, body: String): HttpResponse[String] =
+    client.send(req(base, path).POST(BodyPublishers.ofString(body)).build(),
+      BodyHandlers.ofString())
+  private def delete(base: String, path: String): HttpResponse[String] =
+    client.send(req(base, path).DELETE().build(), BodyHandlers.ofString())
+
+  test("reference client workload replays over a bound port, reply shapes exact") {
+    val st = new TieredStore(spark, tmpDir("http_store"))
+    // spill at 3 so the workload straddles both tiers mid-test
+    val http = new HttpBinding(st, clock = () => 999L, spillThreshold = 3L).start()
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      // the reference load client's default request verbatim: POST
+      // {"value": 42} to /ts/foo — the server stamps the timestamp
+      // (timeseries.re:37-44; here the injected clock, 999)
+      val r1 = post(base, "/ts/foo", """{"value": 42}""")
+      assert(r1.statusCode() == 200, r1.body())
+      assert(r1.body() == """{"ingested":1,"quarantined":0}""")
+      assert(get(base, "/ts/foo/latest").body() ==
+        """[{"timestamp":999,"value":42.0}]""")
+      // array body with one invalid element: good points land, bad one
+      // quarantines, counts surface in the ack
+      val r2 = post(base, "/ts/foo",
+        """[{"timestamp": 1000, "value": 1.5},
+          | {"oops": true},
+          | {"timestamp": 2000, "tag": [{"u": "3"}], "value": 2.5}]""".stripMargin)
+      assert(r2.body() == """{"ingested":2,"quarantined":1}""")
+      // GET reply shapes: length object, wire point array (ts desc),
+      // filter+agg object, status object, names string array
+      assert(get(base, "/ts/foo/length").body() == """{"length":3}""")
+      assert(get(base, "/ts/foo/range/1000/2000").body() ==
+        """[{"timestamp":2000,"tag":[{"u":"3"}],"value":2.5},{"timestamp":1000,"value":1.5}]""")
+      assert(get(base, "/ts/foo/since/0/filter/u/equals/3/sum").body() == """{"sum":2.5}""")
+      assert(get(base, "/info/status").body() == """{"status":"ok"}""")
+      assert(get(base, "/info/ts/names").body() == """["foo"]""")
+      assert(get(base, "/ctl/ts/sync").body() == """{"status":"ok"}""")
+      // empty-result shapes: raw read → empty array, max over nothing →
+      // the reference's {} empty-aggregate reply, sum → its 0 identity
+      assert(get(base, "/ts/other/since/0").body() == "[]")
+      assert(get(base, "/ts/other/since/0/max").body() == "{}")
+      assert(get(base, "/ts/other/since/0/sum").body() == """{"sum":0.0}""")
+      // DELETE verb mutates the live store through the same socket
+      val d = delete(base, "/ts/foo/range/0/1500")
+      assert(d.statusCode() == 200 && d.body() == """{"deleted":2}""", d.body())
+      assert(get(base, "/ts/foo/length").body() == """{"length":1}""")
+      // status codes: unmatched path → 404, bad grammar args → 400, both
+      // with the reference's Error:<msg> text body
+      val nf = get(base, "/nope")
+      assert(nf.statusCode() == 404 && nf.body().startsWith("Error:unknown path"))
+      val bad = get(base, "/ts/foo/last/xx")
+      assert(bad.statusCode() == 400 && bad.body().startsWith("Error:"))
+      assert(delete(base, "/ts/foo/nope/1").statusCode() == 404)
+      assert(post(base, "/ts/a/b/c", "{}").statusCode() == 404)
+    } finally http.stop()
+  }
+}
