@@ -69,6 +69,70 @@ object ShardStore {
     bySeries.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
   }
 
+  // ---------------------------------------------------------------------
+  // Bucketed series layout — the high-cardinality tier. The series=/day=
+  // layout above creates ONE DIRECTORY PER SERIES per write: perfect
+  // pruning for the reference's handful-of-series model, but an O(series)
+  // file-creation bill at sync time once a store holds thousands of
+  // series (ManySeriesProbe measured 36s/1k series). The public fix for
+  // high-cardinality partition keys applies: hash the series into a fixed
+  // bucket count, partition on `bucket=<b>/day=<d>` (≤ buckets×days dirs
+  // per write, independent of series cardinality) and demote series to an
+  // ordinary column. Reads prune on the bucket ids derived from the
+  // queried series (partition pruning) and then on the series column
+  // itself (row-group stats — rows are sorted by (series, ts_us) within
+  // files, so a bucket's foreign series skip at the stats level).
+  // The bucket function is CRC32 mod buckets: public, bit-identical
+  // between the Column expression (write/plan side) and the JVM
+  // (driver-side pruning literals).
+
+  val BUCKET = "bucket"
+
+  /** Bucket id of a series as a Column (write path / plan side). */
+  def bucketCol(series: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(crc32(series.cast("binary")), lit(buckets.toLong))
+
+  /** Bucket id of a series id on the driver (read-path pruning literals);
+    * must stay bit-identical to [[bucketCol]].
+    */
+  def bucketOf(series: String, buckets: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    val b = series.getBytes("UTF-8")
+    c.update(b, 0, b.length)
+    java.lang.Math.floorMod(c.getValue, buckets.toLong)
+  }
+
+  /** Append canonical datapoints in the bucketed layout. The pre-write
+    * repartition on (bucket, day) makes each output dir receive files
+    * from few tasks — file count tracks data volume, not series count.
+    */
+  def appendBucketed(df: DataFrame, path: String, buckets: Int): Unit =
+    withDay(df.withColumn(BUCKET, bucketCol(col(SERIES), buckets)))
+      .repartition(col(BUCKET), col(DAY))
+      .sortWithinPartitions(col(SERIES), col(TS_US))
+      .write
+      .partitionBy(BUCKET, DAY)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Append)
+      .parquet(path)
+
+  /** Read a bucketed store in canonical form. */
+  def readBucketedStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+
+  /** Series-pruned read of a bucketed store: the queried ids' bucket set
+    * prunes partitions, the series filter prunes row groups inside them.
+    */
+  def readBuckets(spark: SparkSession, path: String, ids: Seq[String],
+                  buckets: Int): DataFrame = {
+    val bs = ids.map(bucketOf(_, buckets)).distinct
+    spark.read.parquet(path)
+      .filter(col(BUCKET).isin(bs: _*))
+      .filter(col(SERIES).isin(ids: _*))
+      .select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+  }
+
   /** File-hygiene compaction (the overlap-merge analog, S4): rewrite the
     * store coalescing small files; correctness never depends on it.
     */

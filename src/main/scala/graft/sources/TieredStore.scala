@@ -74,9 +74,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Mutations are serialized on the store instance — the concurrency model
   * the reference enforces globally (`src/main.re:225-227`).
+  *
+  * @param seriesBuckets None = the reference-faithful `series=/day=`
+  *   layout (one dir per series — perfect pruning, right for the
+  *   reference's handful-of-series model). Some(b) = the bucketed
+  *   high-cardinality layout (`bucket=/day=`, series as an ordinary
+  *   column): choose it when the store will hold more than roughly
+  *   [[TieredStore.BucketLayoutThreshold]] series — past that, the flat
+  *   layout's per-series directory creation dominates sync cost
+  *   (ManySeriesProbe: 36s/1k series flat vs seconds bucketed). Reads
+  *   are layout-invisible (same rows, same order — property-tested);
+  *   the layout is fixed at store creation.
   */
 final class TieredStore(spark: SparkSession, val root: String,
-                        val maxTrackedSeries: Int = TieredStore.DefaultMaxTrackedSeries) {
+                        val maxTrackedSeries: Int = TieredStore.DefaultMaxTrackedSeries,
+                        val seriesBuckets: Option[Int] = None) {
   import TieredStore._
 
   @volatile private var mem: DataFrame = emptyMem(spark)
@@ -95,6 +107,18 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   private def canonSel(df: DataFrame): DataFrame =
     df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
+
+  /** Layout-dispatched disk append (see `seriesBuckets`). */
+  private def appendStore(df: DataFrame): Unit = seriesBuckets match {
+    case Some(b) => ShardStore.appendBucketed(df, root, b)
+    case None    => ShardStore.append(df, root)
+  }
+
+  /** Layout-dispatched whole-store read. */
+  private def readStore: DataFrame = seriesBuckets match {
+    case Some(_) => ShardStore.readBucketedStore(spark, root)
+    case None    => ShardStore.read(spark, root)
+  }
 
   /** Swap the buffer to new content: eagerly local-checkpoint the plan
     * (materialized blocks, depth-1 `LogicalRDD` plan), then retire the
@@ -117,7 +141,7 @@ final class TieredStore(spark: SparkSession, val root: String,
   /** Direct-to-disk append (the batch ingest path). */
   def appendDisk(df: DataFrame): Unit = this.synchronized {
     val slice = canonSel(df)
-    ShardStore.append(slice, root)
+    appendStore(slice)
     updateBounds(slice)
   }
 
@@ -149,7 +173,7 @@ final class TieredStore(spark: SparkSession, val root: String,
   def sync(): Unit = this.synchronized {
     if (!memEmpty) {
       val moving = canonSel(mem)
-      ShardStore.append(moving, root)
+      appendStore(moving)
       updateBounds(moving)
       swapMem(emptyMem(spark))
       memEmpty = true
@@ -158,7 +182,7 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   private def flushLocked(ids: Seq[String]): Unit = if (!memEmpty) {
     val moving = canonSel(mem.filter(col(SERIES).isin(ids: _*)))
-    ShardStore.append(moving, root)
+    appendStore(moving)
     updateBounds(moving)
     swapMem(mem.filter(!col(SERIES).isin(ids: _*)))
     if (mem.isEmpty) { swapMem(emptyMem(spark)); memEmpty = true }
@@ -183,7 +207,10 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   private def disk(ids: Seq[String]): DataFrame =
     if (!diskHasData) emptyCanon(spark)
-    else TS.selectSeries(ShardStore.read(spark, root), ids)
+    else seriesBuckets match {
+      case Some(b) => ShardStore.readBuckets(spark, root, ids, b)
+      case None    => TS.selectSeries(ShardStore.read(spark, root), ids)
+    }
 
   private def memCanon(ids: Seq[String]): DataFrame =
     canonSel(TS.selectSeries(mem, ids))
@@ -264,12 +291,15 @@ final class TieredStore(spark: SparkSession, val root: String,
     * a timestamp with a matched one) — the documented divergence
     * SURVEY §7.5 #6, shared with [[graft.operators.TimeSeries.deleteRange]].
     *
-    * Physical shape: survivors of the affected series are STAGED to a
-    * sibling directory — fully materialized before any source file is
-    * touched — then the store's `series=<id>` partition dirs are swapped
-    * (delete old, rename staged in). Only the touched series' files are
+    * Physical shape: the rewrite unit is the PARTITION DIR — the touched
+    * series' `series=<id>` dirs in the flat layout, the touched buckets'
+    * `bucket=<b>` dirs in the bucketed one (co-resident series in an
+    * affected bucket are carried through the staged rewrite unchanged).
+    * Survivors are STAGED to a sibling directory — fully materialized
+    * before any source file is touched — then the affected dirs are
+    * swapped (delete old, rename staged in). Only affected partitions are
     * ever read or rewritten; the rest of the store is untouched, so the
-    * cost scales with the affected series' data, not store size. A
+    * cost scales with the affected partitions' data, not store size. A
     * previously returned snapshot that still references a removed file
     * fails LOUDLY on evaluation (the class snapshot contract) — never a
     * silently stale answer. Per-series disk bounds are recomputed from
@@ -282,46 +312,67 @@ final class TieredStore(spark: SparkSession, val root: String,
     flushLocked(ids)
     if (!diskHasData) return 0L
     val matched = coalesce(
-      col(TS_US).between(fromUs, toUs) &&
+      col(SERIES).isin(ids: _*) && col(TS_US).between(fromUs, toUs) &&
         (if (pipe.isEmpty) lit(true) else Tags.predicate(col(TAG), pipe)),
       lit(false))
-    val affected = TS.selectSeries(ShardStore.read(spark, root), ids)
+    // rows of every partition dir the delete touches (see scaladoc)
+    val affected = seriesBuckets match {
+      case Some(b) =>
+        val bs = ids.map(ShardStore.bucketOf(_, b)).distinct
+        canonSel(spark.read.parquet(root)
+          .filter(col(ShardStore.BUCKET).isin(bs: _*)))
+      case None => TS.selectSeries(ShardStore.read(spark, root), ids)
+    }
     val deleted = affected.filter(matched).count()
     if (deleted == 0L) return 0L
     val staging = s"$root.delete-${java.util.UUID.randomUUID().toString.take(8)}"
-    ShardStore.rewrite(affected.filter(!matched), staging)
-    swapSeriesPartitions(ids, staging)
+    seriesBuckets match {
+      case Some(b) => ShardStore.appendBucketed(affected.filter(!matched), staging, b)
+      case None    => ShardStore.rewrite(affected.filter(!matched), staging)
+    }
+    swapPartitions(staging, replacedDirPredicate(ids))
     ids.foreach(diskBounds.remove)
-    if (diskHasData)
-      updateBounds(TS.selectSeries(ShardStore.read(spark, root), ids))
+    if (diskHasData) updateBounds(disk(ids))
     deleted
   }
 
-  /** Swap the named series' partition dirs for their staged rewrites:
-    * remove the old `series=<id>` dirs, move the staged ones in, drop the
-    * staging dir. A series with zero survivors has no staged dir and ends
-    * fully removed. Dir names are matched by DECODING the listing (Spark
-    * partition-path escaping) rather than re-encoding the id, so escaped
-    * series names swap correctly.
+  /** Which top-level partition dirs a delete of `ids` replaces. Flat
+    * layout: the ids' own `series=` dirs, matched by DECODING the listing
+    * (Spark partition-path escaping) rather than re-encoding the id, so
+    * escaped series names swap correctly. Bucketed: the ids' bucket dirs
+    * (plain integers, no escaping).
     */
-  private def swapSeriesPartitions(ids: Seq[String], staging: String): Unit = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+  private def replacedDirPredicate(ids: Seq[String]): String => Boolean =
+    seriesBuckets match {
+      case Some(b) =>
+        val names = ids.map(x => s"${ShardStore.BUCKET}=${ShardStore.bucketOf(x, b)}").toSet
+        names.contains _
+      case None =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+        val idSet = ids.toSet
+        (n: String) => n.startsWith("series=") &&
+          idSet(unescapePathName(n.stripPrefix("series=")))
+    }
+
+  /** Swap the affected partition dirs for their staged rewrites: remove
+    * the old dirs matching `replaced`, move every staged partition dir
+    * in, drop the staging dir. A partition with zero survivors has no
+    * staged dir and ends fully removed.
+    */
+  private def swapPartitions(staging: String, replaced: String => Boolean): Unit = {
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val rootPath = new Path(root)
-    def seriesDirs(p: Path): Seq[FileStatus] =
+    def partDirs(p: Path): Seq[FileStatus] =
       if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter(_.getPath.getName.startsWith("series="))
-    val idSet = ids.toSet
-    def idOf(st: FileStatus): String =
-      unescapePathName(st.getPath.getName.stripPrefix("series="))
-    seriesDirs(rootPath).filter(st => idSet(idOf(st)))
+      else fs.listStatus(p).toSeq.filter(_.getPath.getName.contains("="))
+    partDirs(rootPath).filter(st => replaced(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
-    seriesDirs(new Path(staging)).foreach { st =>
+    partDirs(new Path(staging)).foreach { st =>
       require(fs.rename(st.getPath, new Path(rootPath, st.getPath.getName)),
         s"failed to publish rewritten partition ${st.getPath} into $root")
     }
     fs.delete(new Path(staging), true)
-    diskNonEmpty = seriesDirs(rootPath).nonEmpty
+    diskNonEmpty = partDirs(rootPath).nonEmpty
   }
 
   /** The whole store as one canonical frame (memory ∪ disk) — the input
@@ -334,7 +385,7 @@ final class TieredStore(spark: SparkSession, val root: String,
   def snapshot: DataFrame = this.synchronized {
     val m = if (memEmpty) emptyCanon(spark) else canonSel(mem)
     if (!diskHasData) m
-    else m.unionByName(ShardStore.read(spark, root))
+    else m.unionByName(readStore)
   }
 
   /** Number of buffered points (the membuf length, one job over the
@@ -392,6 +443,14 @@ object TieredStore {
     * many subsequent mutations, then fails loudly if still unevaluated.
     */
   val RetireDepth = 8
+
+  /** Rough series-cardinality point where the flat `series=/day=` layout's
+    * per-series directory creation starts to dominate write cost
+    * (ManySeriesProbe: ~36ms/series/sync on local disk); past it,
+    * construct the store with `seriesBuckets = Some(n)` (64-1024 buckets
+    * — enough write parallelism, bounded dir count).
+    */
+  val BucketLayoutThreshold = 512
 
   /** Cap on driver-tracked per-series disk bounds (the membuf metadata).
     * ~48 bytes/entry → a few tens of MB at the cap; beyond it new series

@@ -86,6 +86,29 @@ object ManySeriesProbe {
       failed = true
     }
 
+    // bucketed layout (r8 VERDICT item 5): the same sync that costs
+    // O(series) directory creations flat costs O(buckets × days) bucketed
+    // — 5k series in one buffered wave must sync in seconds, not minutes
+    {
+      val bSeries = 5000L
+      val bst = new TieredStore(spark,
+        java.nio.file.Files.createTempDirectory("mseries_bucket").toString,
+        seriesBuckets = Some(64))
+      bst.appendMemory(buffer(bSeries), TieredStore.SEQ)
+      val t = System.nanoTime()
+      bst.sync()
+      val syncWall = (System.nanoTime() - t) / 1e9
+      val s0 = bst.lengthSplit(Seq("s0")).select("disk_len").collect()(0).getLong(0)
+      println(f"[mseries] BUCKETED series=$bSeries%8d sync_wall=$syncWall%6.1fs " +
+        s"(s0 disk_len=$s0, 64 buckets)")
+      if (s0 != rows / bSeries) { println(s"[mseries] FAIL: bucketed sync lost rows"); failed = true }
+      // target <5s; 10s guard absorbs host-noise windows (REGRESSIONS.md)
+      if (syncWall > 10.0) {
+        println(f"[mseries] FAIL: bucketed 5k-series sync took $syncWall%.1fs (>10s)")
+        failed = true
+      }
+    }
+
     // cap engagement on the disk tier
     val capped = new TieredStore(spark,
       java.nio.file.Files.createTempDirectory("mseries_cap").toString,

@@ -186,6 +186,36 @@ class TieredStoreSpec extends SparkSuite {
     assert(q.select("rid").as[Long].collect().toSeq == Seq(9L, 8L, 7L))
   }
 
+  test("bucketed layout is read-invisible; deletes spare co-resident series") {
+    val rows = (0L until 200L).map(i => dp(s"s${i % 10}", T0 + i * 1000L, i))
+    val flat = new TieredStore(spark, tmpDir("tier_flat"))
+    val buck = new TieredStore(spark, tmpDir("tier_buck"), seriesBuckets = Some(8))
+    flat.appendDisk(rows.toDF())
+    buck.appendDisk(rows.toDF())
+    val tail = (0L until 10L).map(i => dp("s3", T0 + 10000000L + i * 1000L, 1000 + i))
+    flat.appendMemory(arriving(tail), TieredStore.SEQ)
+    buck.appendMemory(arriving(tail), TieredStore.SEQ)
+    val allIds = (0 until 10).map(i => s"s$i")
+    def dump(st: TieredStore, ids: Seq[String], n: Int) =
+      st.readLast(ids, n).select("series", "ts_us", "rid")
+        .as[(String, Long, Long)].collect().toSeq
+    def split(st: TieredStore) = st.lengthSplit(allIds)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val ids = Seq("s1", "s3", "s7")
+    assert(dump(buck, ids, 25) == dump(flat, ids, 25))
+    assert(split(buck) == split(flat))
+    // the bucketed disk read PRUNES on the bucket partition column —
+    // the queried ids' buckets reach the scan as a partition filter
+    val p = buck.readLast(Seq("s1"), 1000).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    // live delete behaves identically; s3's bucket-mates survive intact
+    val want = flat.delete(Seq("s3"), T0, T0 + 50000L)
+    assert(want == 5L)
+    assert(buck.delete(Seq("s3"), T0, T0 + 50000L) == want)
+    assert(dump(buck, allIds, 50) == dump(flat, allIds, 50))
+    assert(split(buck) == split(flat))
+  }
+
   test("router routes run against the live store; tier routes answer the split") {
     val st = freshSorted() // 100 on disk, 20 buffered
     val series = Seq("a")

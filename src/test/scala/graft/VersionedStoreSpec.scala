@@ -160,4 +160,45 @@ class VersionedStoreSpec extends SparkSuite {
       assert(fp(VersionedStore.read(spark, root)) == fp(src))
     } finally src.unpersist()
   }
+
+  test("CDC: append-only ranges read only the delta dirs; delete chains diff exactly") {
+    val root = tmpDir("vstore_cdc")
+    val src = Canon.events(spark, "/root/testdata/sf0.001")
+    VersionedStore.append(src.filter(col("rid") % 2 === 0), root)
+    VersionedStore.append(src.filter(col("rid") % 2 =!= 0), root)
+    VersionedStore.deleteRewrite(
+      VersionedStore.read(spark, root).filter(col("series") =!= "click"), root)
+    VersionedStore.compact(spark, root)
+
+    // append-only (1,2): all-insert, content = the odd-rid append, and the
+    // PLAN reads only v2's delta dir — the O(delta) fast path (no v1 scan,
+    // no join anywhere)
+    val ch12 = VersionedStore.readChanges(spark, root, 1, 2)
+    assert(ch12.filter(col(VersionedStore.CHANGE_TYPE) =!= "insert").isEmpty)
+    assert(fp(ch12.drop(VersionedStore.CHANGE_TYPE)) ==
+      fp(src.filter(col("rid") % 2 =!= 0)))
+    val vs = VersionedStore.versions(spark, root)
+    val v1Dir = vs.head.dirs.head
+    val plan12 = ch12.queryExecution.executedPlan.toString
+    assert(!plan12.contains(v1Dir), s"fast path scanned the base version dir:\n$plan12")
+    assert(!plan12.contains("Join"), plan12)
+
+    // delete chain (2,3): deletes are exactly the clicks, no inserts
+    val ch23 = VersionedStore.readChanges(spark, root, 2, 3)
+    assert(ch23.filter(col(VersionedStore.CHANGE_TYPE) === "insert").isEmpty)
+    assert(fp(ch23.filter(col(VersionedStore.CHANGE_TYPE) === "delete")
+      .drop(VersionedStore.CHANGE_TYPE)) == fp(src.filter(col("series") === "click")))
+    // compact (3,4) is a CDC no-op; same-version is empty; applyChanges
+    // reconstructs every pair, including across the whole mixed chain
+    assert(VersionedStore.readChanges(spark, root, 3, 4).isEmpty)
+    assert(VersionedStore.readChanges(spark, root, 2, 2).isEmpty)
+    for ((f, t) <- Seq((1, 2), (2, 3), (3, 4), (1, 4))) {
+      val recon = VersionedStore.applyChanges(
+        VersionedStore.readAt(spark, root, f),
+        VersionedStore.readChanges(spark, root, f, t))
+      assert(fp(recon) == fp(VersionedStore.readAt(spark, root, t)), s"($f,$t)")
+    }
+    intercept[IllegalArgumentException] { VersionedStore.readChanges(spark, root, 2, 1) }
+    intercept[IllegalArgumentException] { VersionedStore.readChanges(spark, root, 1, 9) }
+  }
 }
