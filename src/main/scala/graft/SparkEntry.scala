@@ -200,8 +200,13 @@ object SparkEntry {
     * runs ONCE per process; the query row reads the post-delete store
     * through the GET routes plus the captured count, so repeated
     * invocations (bench iterations) are pure reads of the same end state.
-    * Delete bounds are the 300th/550th timestamps of the 600 points —
-    * data-derived on both sides, so the oracle mirrors them in SQL.
+    * Delete bounds are PROPORTIONAL positions in the collected slice —
+    * (n*299)/600 and (n*549)/600 — which at the oracle's sf0.01 (where
+    * ≥600 unique-ts points exist, so n=600) are exactly the 300th/550th
+    * timestamps the SQL mirror pins with rn 300/550. At smaller sf (the
+    * unit suites run sf0.001 with only ~199 points) the same recipe
+    * scales down instead of indexing out of bounds — the r9 AIOOBE that
+    * reddened sbt test and aborted the roster-wide plan gates.
     */
   private val deleteStores = scala.collection.concurrent.TrieMap.empty[String, (TieredStore, Long)]
   private def deleteStore(s: SparkSession, d: String): (TieredStore, Long) =
@@ -213,14 +218,16 @@ object SparkEntry {
           .orderBy("ts_us").limit(600)
           .select(col("ts_us"), wirePointJson.as("p"))
           .collect() // bounded: 600 wire objects
-        val (disk, buf) = pts.splitAt(500)
-        graft.api.Router.runPost(st, "ts/signup",
+        val n = pts.length
+        require(n > 0, s"deleteStore: no signup points under $d")
+        val (disk, buf) = pts.splitAt((n * 500) / 600)
+        if (disk.nonEmpty) graft.api.Router.runPost(st, "ts/signup",
           disk.map(_.getString(1)).mkString("[", ",", "]"), spillThreshold = 200L)
-        graft.api.Router.runPost(st, "ts/signup",
+        if (buf.nonEmpty) graft.api.Router.runPost(st, "ts/signup",
           buf.map(_.getString(1)).mkString("[", ",", "]"), spillThreshold = 100000L)
         val ts = pts.map(_.getLong(0))
         val deleted = graft.api.Router.runDelete(st,
-          s"ts/signup/range/${ts(299)}/${ts(549)}/filter/u/equals/3")
+          s"ts/signup/range/${ts((n * 299) / 600)}/${ts((n * 549) / 600)}/filter/u/equals/3")
           .collect()(0).getLong(0) // one-row ack
         (st, deleted)
       })
@@ -258,18 +265,29 @@ object SparkEntry {
             r.body()
           }
           def field(json: String, key: String): String =
-            ("\"" + key + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(json)
+            // full JSON number grammar — Jackson renders small doubles with
+            // a negative exponent (1.5E-4), which the old -?[0-9.eE+]+
+            // class could not match (ADVICE r9)
+            ("\"" + key + "\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)").r
+              .findFirstMatchIn(json)
               .getOrElse(sys.error(s"no $key in $json")).group(1)
           val pts = e2eUnique(ev(s, d)).filter(col("series") === "signup")
             .orderBy("ts_us").limit(600)
             .select(col("ts_us"), wirePointJson.as("p"))
             .collect() // bounded: 600 wire objects
-          val (disk, buf) = pts.splitAt(500)
-          call("POST", "/ts/signup", Some(disk.map(_.getString(1)).mkString("[", ",", "]")))
-          call("POST", "/ts/signup", Some(buf.map(_.getString(1)).mkString("[", ",", "]")))
+          val n = pts.length
+          require(n > 0, s"httpLifecycle: no signup points under $d")
+          // same proportional split/bounds as deleteStore — n=600 at the
+          // oracle's sf0.01 reproduces the rn 300/550 SQL mirror exactly
+          val (disk, buf) = pts.splitAt((n * 500) / 600)
+          if (disk.nonEmpty)
+            call("POST", "/ts/signup", Some(disk.map(_.getString(1)).mkString("[", ",", "]")))
+          if (buf.nonEmpty)
+            call("POST", "/ts/signup", Some(buf.map(_.getString(1)).mkString("[", ",", "]")))
           val ts = pts.map(_.getLong(0))
           val deleted = field(call("DELETE",
-            s"/ts/signup/range/${ts(299)}/${ts(549)}/filter/u/equals/3", None), "deleted").toLong
+            s"/ts/signup/range/${ts((n * 299) / 600)}/${ts((n * 549) / 600)}/filter/u/equals/3",
+            None), "deleted").toLong
           val length = field(call("GET", "/ts/signup/length", None), "length").toLong
           val sum = field(call("GET", "/ts/signup/since/0/sum", None), "sum").toDouble
           (deleted, length, sum)
@@ -675,17 +693,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_text_winnowing" -> ((s, d) => // splitmix64-valued; rows-only +
-      // golden. The full-size DuckDB mirror EXISTS and was validated
-      // (identical 72,132 pairs at sf0.01) but costs ~70-100s of
-      // interpreted lambda arithmetic per t2 run — the bounded
-      // q_winnow_mirror row below pins the same kernel exactly instead.
+      // golden. A full-size DuckDB mirror costs ~100s of interpreted
+      // lambda arithmetic per t2 run (and round 9's unbiased draft was
+      // 74 pairs off — unsigned HUGEINT min vs the kernel's signed min);
+      // the bounded q_winnow_mirror row below carries the exact
+      // cross-engine check for the same kernel instead.
       TextOps.winnowingOverlapPairs(Canon.documents(s, d), minShared = 3)),
     // the winnowing kernel under an EXACT cross-engine oracle (VERDICT r8
     // item 6): the identical operator over a deterministic 120-doc slice,
-    // mirrored bit-for-bit in DuckDB SQL — splitmix64 via HUGEINT limb
-    // arithmetic, rightmost-min windows, distinct, df<=50 filter, pair
-    // join — the q_layout_zorder integer-exactness precedent applied to
-    // the 64-bit hash. Bounded so the oracle stays ~15s, not ~100s.
+    // mirrored in DuckDB SQL (winnowMirrorSql) — splitmix64 via HUGEINT
+    // limb arithmetic, sign-biased window minima, distinct, df<=50
+    // filter, pair join — the q_layout_zorder integer-exactness precedent
+    // applied to the 64-bit hash. Bounded so the oracle stays seconds,
+    // not ~100s.
     "q_winnow_mirror" -> ((s, d) =>
       TextOps.winnowingOverlapPairs(
         Canon.documents(s, d).filter(col("doc_id") < 120), minShared = 3)),
@@ -1793,6 +1813,75 @@ object SparkEntry {
     TextOps.langLexicons.find(_._1 == lang).get._2.map(w => s"'$w'").mkString(", ")
   private val QIDS_SQL = QIDS.mkString(", ")
 
+  // DuckDB mirror of the winnowing kernel (SketchExpressions.mix64 +
+  // winnowingData) for q_winnow_mirror. Unsigned 64-bit arithmetic is
+  // emulated in HUGEINT: xor via 32-bit limbs (DuckDB's xor() takes
+  // BIGINT), multiply mod 2^64 via the constant's limb split, logical
+  // right shift as integer division. The k-gram fold is emitted as 8×6
+  // chained list_transform stages (DuckDB vectorizes each stage across
+  // every gram of a document) rather than a per-gram list_reduce — the
+  // reduce formulation is ~8× slower interpreted.
+  //
+  // CRITICAL detail: the Scala kernel's sliding-window min compares
+  // SIGNED longs, but HUGEINT grams live in [0, 2^64) where min is
+  // unsigned — so every gram is biased by +2^63 (mod 2^64) BEFORE
+  // window selection. Unsigned order of (g + 2^63 mod 2^64) IS signed
+  // order of g, and the bias is a bijection, so fingerprint identity
+  // (all the pair join consumes) is preserved. Round 9's unbiased
+  // draft produced 72,132 pairs vs the kernel's 72,206 at sf0.01 —
+  // exactly this divergence.
+  private def winnowMirrorSql: String = {
+    // x, b are HUGEINT expressions in [0, 2^64)
+    def xor64(a: String, b: String): String =
+      s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + " +
+        s"CAST(xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
+    def shr(a: String, bits: Int): String = s"($a // ${1L << bits})"
+    def mulMod64(a: String, c: Long): String = {
+      val hi = c >>> 32
+      val lo = c & 0xffffffffL
+      s"((($a) * $lo + ((($a) * $hi) % 4294967296) * 4294967296) % 18446744073709551616)"
+    }
+    // h = mix64(h ^ codes[i + j]) for char j of the k-gram, as 6
+    // vectorized stages over the per-document gram list (i is
+    // list_transform's 1-based index = the gram's start position)
+    def mixChar(inner: String, j: Int): String = {
+      val s1 = s"list_transform($inner, (x, i) -> ${xor64("x", s"codes[i + $j]")})"
+      val s2 = s"list_transform($s1, x -> ${xor64("x", shr("x", 30))})"
+      val s3 = s"list_transform($s2, x -> ${mulMod64("x", 0xbf58476d1ce4e5b9L)})"
+      val s4 = s"list_transform($s3, x -> ${xor64("x", shr("x", 27))})"
+      val s5 = s"list_transform($s4, x -> ${mulMod64("x", 0x94d049bb133111ebL)})"
+      s"list_transform($s5, x -> ${xor64("x", shr("x", 31))})"
+    }
+    val folded = (0 until 8) // k = 8
+      .foldLeft("list_transform(range(1, m + 1), i -> 0::HUGEINT)")(mixChar)
+    // signed-order bias (see scaladoc above)
+    val grams =
+      s"list_transform($folded, x -> ((x + 9223372036854775808) % 18446744073709551616))"
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS s
+       |  FROM documents WHERE doc_id < 120
+       |), cs AS (
+       |  SELECT doc_id, list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT)) AS codes,
+       |         length(s) - 7 AS m FROM d
+       |), g AS (
+       |  SELECT doc_id, m, $grams AS grams FROM cs
+       |), sel AS (
+       |  SELECT doc_id, CASE WHEN m < 1 THEN CAST([] AS HUGEINT[])
+       |    WHEN m <= 4 THEN [list_aggregate(grams, 'min')]
+       |    ELSE list_transform(range(4, m + 1), p -> list_aggregate(list_slice(grams, p - 3, p), 'min'))
+       |  END AS sels FROM g
+       |), fp AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(sels)) AS fp FROM sel
+       |), rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp) WHERE df <= 50
+       |), pruned AS (
+       |  SELECT id, fp.fp FROM fp JOIN rare USING (fp)
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+       |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
   private def beyondParityOracles: Map[String, String] = Map(
     // exact rational arithmetic both sides: long counts, one rounded
     // division; docs with zero tokens/shingles produce no row (unnest of
@@ -2100,6 +2189,7 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_winnow_mirror" -> winnowMirrorSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -149,7 +149,13 @@ class PlanAuditSpec extends SparkSuite {
     Graft.register(spark)
     var sawBroadcast = 0
     var sawAgg = 0
-    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+    // Crash-isolated per query (r9 regression: one AIOOBE in a recipe
+    // aborted the foreach ~25 queries in, leaving ~108 queries unaudited
+    // while the suite reported only the crashing test). Accumulate every
+    // failure and assert ONCE at the end — a bad recipe costs its own row,
+    // never the rest of the roster's coverage.
+    val gateFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n => try {
       val qe = SparkEntry.queries(n)(spark, sf).queryExecution
       qe.toRdd.count() // execute THIS plan so AQE's choices are final
       val nodes = flatten(qe.executedPlan)
@@ -242,7 +248,12 @@ class PlanAuditSpec extends SparkSuite {
             s"$n funnels un-aggregated scan output through a SinglePartition exchange:\n$e")
         case _ =>
       }
-    }
+    } catch {
+      case e: Throwable if scala.util.control.NonFatal(e) =>
+        gateFailures += s"$n: ${e.getClass.getSimpleName}: ${e.getMessage}"
+    }}
+    assert(gateFailures.isEmpty,
+      s"${gateFailures.size} queries failed the structural gate:\n${gateFailures.mkString("\n")}")
   }
 
   test("hotkey sessionize never broadcasts (every table in it is user-scale)") {
@@ -360,13 +371,20 @@ class PlanAuditSpec extends SparkSuite {
     val allowedCartesian =
       Set("q_drift", "q_drift_psi", "q_drift_jsd", "q_stream_drift",
         "q_delete_lifecycle")
-    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+    // crash-isolated per query — same rationale as the structural gate
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n => try {
       val p = plan(SparkEntry.queries(n)(spark, sf))
-      if (!allowedCartesian(n))
-        assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
-      if (!allowedBnlj(n))
-        assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a BNLJ")
-    }
+      if (!allowedCartesian(n) && p.contains("CartesianProduct"))
+        failures += s"$n plans a CartesianProduct"
+      if (!allowedBnlj(n) && p.contains("BroadcastNestedLoopJoin"))
+        failures += s"$n plans a BNLJ"
+    } catch {
+      case e: Throwable if scala.util.control.NonFatal(e) =>
+        failures += s"$n: ${e.getClass.getSimpleName}: ${e.getMessage}"
+    }}
+    assert(failures.isEmpty,
+      s"${failures.size} queries failed the join gate:\n${failures.mkString("\n")}")
   }
 
   test("aggregation uses partial (map-side) aggregation before the shuffle") {
