@@ -286,7 +286,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     val h = (1 to 4).foldLeft(col("id"))((c, _) => xxhash64(c))
-    spark.range(0, 1L << 29, 1, 32).select(h.as("h"))
+    // one partition per session core (NOT a hard-coded 32): keeps "all
+    // cpus threads busy" true under any SPARK_GRAFT_CPUS, so cal ratios
+    // stay comparable across rounds with different cpu settings
+    spark.range(0, 1L << 29, 1, spark.sparkContext.defaultParallelism)
+      .select(h.as("h"))
       .agg(expr("bit_xor(h)")).collect()
     (System.nanoTime() - t0) / 1e9
   }

@@ -236,9 +236,12 @@ object SparkEntry {
   /** Facts behind q_http_lifecycle: the SAME lifecycle as [[deleteStore]]
     * but driven over a real bound socket — two POSTs (array bodies), a
     * DELETE and two GETs through [[graft.api.HttpBinding]], the reply
-    * JSON parsed back. One spill threshold (200) gives the same tiering:
-    * the 500-point body flushes on arrival, the 100-point body stays
-    * buffered until the DELETE flushes it. Runs ONCE per process; the
+    * JSON parsed back. One spill threshold (200) gives the same tiering
+    * AT THE ORACLE'S SF: with the proportional (n*500)/600 split, the
+    * first body flushes on arrival only when it exceeds the 200-point
+    * threshold (guaranteed at n=600 / sf0.01; at unit-suite sf both
+    * batches may stay buffered until the DELETE flushes them — the
+    * observable survivors are identical either way). Runs ONCE per process; the
     * query row is the captured (deleted, length, sum) — the oracle is
     * byte-identical to q_delete_lifecycle's, so "drop-in over HTTP"
     * is a CORRECTNESS row, not a claim.
@@ -1388,8 +1391,13 @@ object SparkEntry {
     // over-HTTP row — same store recipe, same observable state): first
     // 600 unique-ts signup points posted, then the [300th ts, 550th ts]
     // range with tag u='3' deleted, then length + sum of the survivors
-    // through the GET surface. Bounds are data-derived (rn 300/550),
-    // mirroring the Spark side.
+    // through the GET surface. Bounds are PROPORTIONAL to the collected
+    // count — rn = (n*299)//600 + 1 / (n*549)//600 + 1, the exact SQL
+    // image of the Scala recipe's 0-based ts((n*299)/600) indices — so
+    // an oracle corpus with fewer than 600 unique signup timestamps
+    // still mirrors the Scala deletion instead of silently comparing
+    // against deleted=0 (ADVICE r10). At n=600 this reproduces the old
+    // rn 300/550 bounds exactly.
     val deleteLifecycleSql =
       s"""$CANON_SQL, u AS (
          |  SELECT * FROM c WHERE series = 'signup'
@@ -1398,8 +1406,9 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (ORDER BY ts_us ASC) AS rn FROM u
          |  QUALIFY rn <= 600
          |), b AS (
-         |  SELECT min(CASE WHEN rn = 300 THEN ts_us END) AS t1,
-         |         min(CASE WHEN rn = 550 THEN ts_us END) AS t2 FROM p
+         |  SELECT min(CASE WHEN rn = (n*299)//600 + 1 THEN ts_us END) AS t1,
+         |         min(CASE WHEN rn = (n*549)//600 + 1 THEN ts_us END) AS t2
+         |  FROM p, (SELECT count(*) AS n FROM p)
          |), s AS (
          |  SELECT p.*, coalesce(
          |    ts_us BETWEEN b.t1 AND b.t2 AND tag_u = '3', false) AS matched

@@ -63,12 +63,15 @@ final class HttpBinding(store: TieredStore, port: Int = 0,
         }
         respond(ex, 200, "application/json", reply)
       } catch {
+        case e: Router.UnknownRouteException =>
+          // the router's typed unmatched-route signal is the reference's
+          // 404 — dispatched on TYPE so a validation message sharing a
+          // prefix can never shadow it
+          respond(ex, 404, "text/plain", s"Error:${e.getMessage}\n")
         case e: IllegalArgumentException =>
-          // the router's unmatched-path signal is the reference's 404;
-          // everything else (bad numbers, bad grammar args) is its 400
-          val notFound = Option(e.getMessage).exists(_.startsWith("unknown path"))
-          respond(ex, if (notFound) 404 else 400, "text/plain",
-            s"Error:${e.getMessage}\n")
+          // everything else within a matched route (bad numbers, bad
+          // filter/pipe grammar, unknown aggregate) is the reference's 400
+          respond(ex, 400, "text/plain", s"Error:${e.getMessage}\n")
         case e: Exception =>
           respond(ex, 500, "text/plain", s"Error:${e.getMessage}\n")
       } finally ex.close()

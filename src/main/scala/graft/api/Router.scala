@@ -38,6 +38,16 @@ import org.apache.spark.sql.functions.col
   */
 object Router {
 
+  /** Thrown ONLY when no route pattern matches the path — the
+    * reference's 404 signal. Argument errors inside a matched route
+    * (bad filter grammar, unknown aggregate, non-numeric bounds) stay
+    * plain [[IllegalArgumentException]]s → the reference's 400. The
+    * binding dispatches on the TYPE, not a message prefix, so a
+    * validation message can never be mistaken for a missing route.
+    */
+  final class UnknownRouteException(route: String)
+    extends IllegalArgumentException(s"unknown path: $route")
+
   /** I7 `GET /info/status` (reference `src/main.re:169-173,190`): the
     * health probe, `{"status":"ok"}` as a one-row frame. Pure — reaching
     * the route IS the health signal, as in the reference.
@@ -90,7 +100,7 @@ object Router {
     val id = parts match {
       case "ts" :: i :: Nil if i.nonEmpty => i
       case i :: Nil if i.nonEmpty => i
-      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+      case _ => throw new UnknownRouteException(route)
     }
     val session = store.snapshot.sparkSession
     import session.implicits._
@@ -139,9 +149,9 @@ object Router {
           case "index" :: Nil if series.size == 1 => TS.index(df, series.head)
           case "index" :: Nil => throw new IllegalArgumentException(
             s"index takes exactly one series, got ${series.size}: $route")
-          case _ => throw new IllegalArgumentException(s"unknown path: $route")
+          case _ => throw new UnknownRouteException(route)
         }
-      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+      case _ => throw new UnknownRouteException(route)
     }
   }
 
@@ -169,7 +179,7 @@ object Router {
       case ids :: "range" :: t1 :: t2 :: xargs =>
         ack(store.delete(ids.split(',').toSeq, t1.toLong, t2.toLong,
           pipeGroups(xargs)))
-      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+      case _ => throw new UnknownRouteException(route)
     }
   }
 
@@ -182,7 +192,7 @@ object Router {
         TS.deleteSince(df, ids.split(',').toSeq, t.toLong, pipeGroups(xargs))
       case ids :: "range" :: t1 :: t2 :: xargs =>
         TS.deleteRange(df, ids.split(',').toSeq, t1.toLong, t2.toLong, pipeGroups(xargs))
-      case _ => throw new IllegalArgumentException(s"unknown path: $route")
+      case _ => throw new UnknownRouteException(route)
     }
   }
 
@@ -194,22 +204,22 @@ object Router {
       rest match {
         case Nil => filtered
         case agg :: Nil => TS.aggregate(filtered, agg)
-        case _ => throw new IllegalArgumentException(s"unknown path: $xargs")
+        case _ => throw new IllegalArgumentException(s"bad pipe arguments: $xargs")
       }
     case agg :: Nil => TS.aggregate(df, agg)
-    case _ => throw new IllegalArgumentException(s"unknown path: $xargs")
+    case _ => throw new IllegalArgumentException(s"bad pipe arguments: $xargs")
   }
 
   private def pipeGroups(xargs: List[String]): Seq[Tags.Group] = xargs match {
     case Nil => Nil
     case "filter" :: name :: op :: value :: Nil =>
       Tags.parseGroups(name, value, matchKind(op))
-    case _ => throw new IllegalArgumentException(s"unknown path: $xargs")
+    case _ => throw new IllegalArgumentException(s"bad pipe arguments: $xargs")
   }
 
   private def matchKind(op: String): Tags.Match = op match {
     case "equals" => Tags.Eq
     case "contains" => Tags.Contains
-    case other => throw new IllegalArgumentException(s"unknown path: $other")
+    case other => throw new IllegalArgumentException(s"bad filter match kind: $other")
   }
 }

@@ -112,7 +112,7 @@ object TimeSeries {
       case "sum" => Sum; case "count" => Count; case "max" => Max
       case "min" => Min; case "mean" => Mean; case "sd" => Sd
       case "median" => Median
-      case other => throw new IllegalArgumentException(s"unknown path: $other")
+      case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
     })
 
   /** Per-series exact quantiles (p50/p90/p99) — the latency-percentile

@@ -72,6 +72,13 @@ class HttpBindingSpec extends SparkSuite {
       assert(bad.statusCode() == 400 && bad.body().startsWith("Error:"))
       assert(delete(base, "/ts/foo/nope/1").statusCode() == 404)
       assert(post(base, "/ts/a/b/c", "{}").statusCode() == 404)
+      // argument errors inside a MATCHED route must be 400, never 404:
+      // truncated filter grammar, bad match kind, unknown aggregate —
+      // the r9/r10 bug was prefix-matching these into the 404 branch
+      assert(get(base, "/ts/foo/since/0/filter/u/equals").statusCode() == 400)
+      assert(get(base, "/ts/foo/since/0/filter/u/near/1").statusCode() == 400)
+      assert(get(base, "/ts/foo/since/0/variance").statusCode() == 400)
+      assert(delete(base, "/ts/foo/since/0/filter/u/equals").statusCode() == 400)
     } finally http.stop()
   }
 }
