@@ -113,6 +113,8 @@ class SimilaritySpec extends SparkSuite {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     assert(ivf.size == brute.size)
     val recall = (brute intersect ivf).size.toDouble / brute.size
+    // uniform-corpus sanity floor only — the hard clustered-regime gate
+    // (with a negative control) is RecallGateSpec
     assert(recall >= 0.5, s"recall $recall")
   }
 
@@ -150,6 +152,8 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.subsetOf(exact), s"IVF invented pairs: ${ivf -- exact}")
     assert(exact.nonEmpty)
     val recall = (exact intersect ivf).size.toDouble / exact.size
+    // uniform-corpus sanity floor only — the hard clustered-regime gate
+    // (with a negative control) is RecallGateSpec
     assert(recall >= 0.8, s"recall $recall (${ivf.size}/${exact.size})")
     // keep-lists agree wherever the pairs agree (the component engine is
     // shared); sanity: every keep_id the IVF tier emits is a real min-id
@@ -166,7 +170,9 @@ class SimilaritySpec extends SparkSuite {
     val ann = Similarity.annTopK(emb, qids, k = 5, dim = 64)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ann).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall") // multi-probe, 8 planes
+    // uniform-corpus sanity floor only (multi-probe, 8 planes) — the
+    // hard clustered-regime gate (with a negative control) is RecallGateSpec
+    assert(recall >= 0.5, s"recall $recall")
   }
 
   test("PQ: codes bounded, index tiny, ADC recall floor vs brute force, deterministic") {
