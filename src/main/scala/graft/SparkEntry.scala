@@ -424,6 +424,19 @@ object SparkEntry {
             col("ins"), col("del"), col("n"), col("sum_qv"))
       }.reduce(_ unionByName _).orderBy("from_v", "to_v")
     }),
+    "q_store_dedup_cdc" -> ((s, d) => { // CDC × incremental dedup (VERDICT
+      // r9 item 6): the nightly-crawl composition — v1→v2 is the
+      // append-only O(delta) manifest fast path, whose inserts feed the
+      // seen-store anti-join + first-in-batch window. "Content" here is
+      // the rendered series+tag payload (the TS analog of a document's
+      // text): survivors are the label combinations never seen at v1,
+      // min-rid winner within the delta.
+      val root = timetravelStore(s, d)
+      val content = concat(col("series"), lit("|"),
+        coalesce(element_at(col("tag"), 1).getField("value"), lit("")), lit("|"),
+        element_at(col("tag"), 2).getField("value"))
+      VersionedStore.dedupChangesSince(s, root, 1, 2, content)
+    }),
     "q_ingest_shapes" -> ((s, _) => {
       val wire = s.read.schema("series STRING, json STRING").json(wireFixturePath)
       val r = JsonIngest.ingest(JsonIngest.explodeBatches(wire), ingestTimeUs = INGEST_T0)
@@ -1538,6 +1551,22 @@ object SparkEntry {
            |       count(*) FILTER (WHERE NOT dead),
            |       CAST(sum(qv) FILTER (WHERE NOT dead) AS BIGINT) FROM q
            |ORDER BY from_v, to_v""".stripMargin,
+      "q_store_dedup_cdc" -> // v1 = even rids (the seen store), v1→v2
+        // delta = odd-rid inserts; survivors = content (series|k|u)
+        // absent from v1, min-rid first within the delta. NOT EXISTS, not
+        // NOT IN: the anti-join must not tri-value on a hypothetical NULL
+        s"""$CANON_SQL
+           |, h AS (SELECT rid, md5(series || '|' || coalesce(tag_k, '')
+           |                        || '|' || tag_u) AS content_hash FROM c)
+           |, seen AS (SELECT DISTINCT content_hash FROM h WHERE rid % 2 = 0)
+           |, d AS (SELECT h.rid, h.content_hash FROM h WHERE rid % 2 <> 0
+           |        AND NOT EXISTS (SELECT 1 FROM seen s
+           |                        WHERE s.content_hash = h.content_hash))
+           |SELECT rid, content_hash FROM (
+           |  SELECT rid, content_hash,
+           |         row_number() OVER (PARTITION BY content_hash ORDER BY rid) AS rn
+           |  FROM d)
+           |WHERE rn = 1 ORDER BY rid""".stripMargin,
       "q_ingest_shapes" ->
         s"""WITH raw AS (
            |  SELECT series, json FROM read_json('$wireFixturePath',

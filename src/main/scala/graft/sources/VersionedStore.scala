@@ -274,6 +274,34 @@ object VersionedStore {
     base.join(del.hint("merge"), Seq(RID), "left_anti").unionByName(ins)
   }
 
+  /** CDC × incremental dedup — the nightly-crawl composition both pieces
+    * were built for (VERDICT r9 item 6): of the rows INSERTED between
+    * `fromV` and `toV`, keep only those whose `content` (any derived
+    * Column over the canonical row — a document's text, a rendered tag
+    * payload) was (a) never present in the store AS OF `fromV` and
+    * (b) first within the delta (min `rid` wins). The change feed is the
+    * O(delta) manifest fast path for append-only chains
+    * ([[readChanges]]), the seen-store side stays a spillable sort-merge
+    * anti-join ([[graft.operators.Dedup.incrementalNew]]) because the
+    * as-of snapshot is corpus-scale at 100 TB — so the nightly cost is
+    * O(new data) + one merge pass over the store, never a rescan-and-
+    * rededup of history.
+    *
+    * Returns `(rid, content_hash)` of the survivors, rid-ordered — the
+    * rows a pipeline appends to its seen-hash table to close the loop.
+    */
+  def dedupChangesSince(spark: SparkSession, root: String,
+                        fromV: Int, toV: Int,
+                        content: org.apache.spark.sql.Column): DataFrame = {
+    val inserts = readChanges(spark, root, fromV, toV)
+      .filter(col(CHANGE_TYPE) === "insert")
+      .select(col(RID), content.as("__content"))
+    val seen = readAt(spark, root, fromV)
+      .select(md5(content).as("content_hash"))
+    graft.operators.Dedup.incrementalNew(inserts, seen,
+      textCol = "__content", idCol = RID)
+  }
+
   /** Read the store at its latest version. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val vs = versions(spark, root)

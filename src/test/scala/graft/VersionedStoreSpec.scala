@@ -201,4 +201,38 @@ class VersionedStoreSpec extends SparkSuite {
     intercept[IllegalArgumentException] { VersionedStore.readChanges(spark, root, 2, 1) }
     intercept[IllegalArgumentException] { VersionedStore.readChanges(spark, root, 1, 9) }
   }
+
+  test("dedupChangesSince: seen-at-fromV dropped, first-in-delta wins, deletes ignored") {
+    import spark.implicits._
+    val root = tmpDir("vstore_dedup")
+    // content = the series name; four delta fates: duplicate-of-seen,
+    // within-delta duplicate pair, and a novel singleton
+    def rows(xs: (String, Long)*): DataFrame =
+      xs.toSeq.toDF("series", "rid")
+        .withColumn(Canon.TS_US, col("rid") * 1000L)
+        .withColumn(Canon.TAG, array(struct(lit("k").as("name"), lit("v").as("value"))))
+        .withColumn(Canon.VALUE, lit(1.0))
+        .select(Canon.SERIES, Canon.TS_US, Canon.TAG, Canon.VALUE, Canon.RID)
+    VersionedStore.append(rows(("x", 1L), ("y", 2L)), root)                      // v1: seen = {x, y}
+    VersionedStore.append(rows(("x", 10L), ("z", 11L), ("z", 12L), ("w", 13L)), root) // v2 delta
+    val got = VersionedStore
+      .dedupChangesSince(spark, root, 1, 2, col(Canon.SERIES))
+      .as[(Long, String)].collect()
+    assert(got.map(_._1).toSeq == Seq(11L, 13L), got.mkString(","))
+    // the emitted hash IS md5(content) — the append-back contract
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.toMap == Map(11L -> md5hex("z"), 13L -> md5hex("w")))
+    // a delete-only chain contributes no inserts -> no survivors, even
+    // though readChanges takes the content-diff path there
+    VersionedStore.deleteRewrite(
+      VersionedStore.read(spark, root).filter(col(Canon.RID) =!= 11L), root)
+    assert(VersionedStore.dedupChangesSince(spark, root, 2, 3, col(Canon.SERIES)).isEmpty)
+    // mixed chain (1,3): insert set = delta minus the deleted rid, so the
+    // surviving z copy (rid 12) now wins its pair
+    val mixed = VersionedStore.dedupChangesSince(spark, root, 1, 3, col(Canon.SERIES))
+      .as[(Long, String)].collect()
+    assert(mixed.map(_._1).toSeq == Seq(12L, 13L), mixed.mkString(","))
+  }
 }
