@@ -105,6 +105,23 @@ final class TieredStore(spark: SparkSession, val root: String,
   @volatile private var boundsOverflow = false
   @volatile private var diskNonEmpty = false
 
+  // ---- open/reopen: complete any interrupted delete swap (the intent
+  // marker is the commit point — see swapPartitions), then rebuild the
+  // reference's startup membuf metadata for a pre-existing root: disk
+  // presence plus per-series bounds, via ONE column-pruned (series,
+  // ts_us) aggregate whose output is series-cardinality-bounded (and
+  // capped) — without it a reopened store would treat its disk tier as
+  // empty and mis-qualify buffers for the M1 memory-only path. A fresh
+  // scratch root (every streaming/test store) skips all of this on a
+  // single existence check.
+  locally {
+    val fs = storeFs
+    if (fs.exists(new Path(root))) {
+      recoverSwap()
+      if (partDirs(fs, new Path(root)).nonEmpty) updateBounds(readStore)
+    }
+  }
+
   private def canonSel(df: DataFrame): DataFrame =
     df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
 
@@ -354,25 +371,97 @@ final class TieredStore(spark: SparkSession, val root: String,
           idSet(unescapePathName(n.stripPrefix("series=")))
     }
 
-  /** Swap the affected partition dirs for their staged rewrites: remove
-    * the old dirs matching `replaced`, move every staged partition dir
-    * in, drop the staging dir. A partition with zero survivors has no
-    * staged dir and ends fully removed.
+  private def storeFs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def partDirs(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[FileStatus] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.getPath.getName.contains("="))
+
+  /** Fault injection for [[TieredStoreRecoverySpec]]: when set, the swap
+    * throws inside its crash window (old dirs deleted, staged dirs not
+    * yet published) — the state recovery must repair. Never set in
+    * production paths. */
+  private[graft] var crashAfterDeletes = false
+
+  /** Swap the affected partition dirs for their staged rewrites. A
+    * partition with zero survivors has no staged dir and ends fully
+    * removed.
+    *
+    * Crash-atomicity contract (ADVICE r9/r10): the multi-dir swap cannot
+    * be one atomic rename, so an INTENT MARKER (`_swap_inprogress`,
+    * atomically renamed into the root — `_`-prefixed, invisible to
+    * parquet listings) is committed BEFORE the first delete. It names the
+    * staging dir and each touched partition's fate (`swap` = staged
+    * replacement exists, `drop` = zero survivors), so a crash anywhere in
+    * the delete→rename window rolls FORWARD deterministically on the next
+    * open ([[recoverSwap]]): every fate is re-applied idempotently and
+    * the marker is removed last. Before the marker lands, a crash leaves
+    * the store untouched (the orphaned staging dir is inert — a new
+    * delete stages under a fresh UUID). The marker IS the commit point.
     */
   private def swapPartitions(staging: String, replaced: String => Boolean): Unit = {
-    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = storeFs
     val rootPath = new Path(root)
-    def partDirs(p: Path): Seq[FileStatus] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter(_.getPath.getName.contains("="))
-    partDirs(rootPath).filter(st => replaced(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
-    partDirs(new Path(staging)).foreach { st =>
-      require(fs.rename(st.getPath, new Path(rootPath, st.getPath.getName)),
-        s"failed to publish rewritten partition ${st.getPath} into $root")
+    val stagingPath = new Path(staging)
+    val replacedNames = partDirs(fs, rootPath).map(_.getPath.getName).filter(replaced)
+    val stagedNames = partDirs(fs, stagingPath).map(_.getPath.getName)
+    // commit point: the marker (staging + per-dir fates), atomic rename in
+    val marker = new Path(rootPath, SwapMarker)
+    val tmp = new Path(rootPath, SwapMarker + ".tmp")
+    val body = (s"staging $staging" +:
+      (stagedNames.map("swap " + _) ++
+        replacedNames.filterNot(stagedNames.contains).map("drop " + _)))
+      .mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, marker), s"failed to commit swap marker $marker")
+    applySwap(fs, staging, stagedNames, replacedNames.filterNot(stagedNames.contains))
+    diskNonEmpty = partDirs(fs, rootPath).nonEmpty
+  }
+
+  /** The marker-committed swap plan, idempotent: drop the zero-survivor
+    * dirs, then for each staged dir still in staging remove any old root
+    * sibling and rename the staged one in; staging dir and marker go
+    * last. Re-runnable from any intermediate crash state. */
+  private def applySwap(fs: org.apache.hadoop.fs.FileSystem, staging: String,
+                        swapNames: Seq[String], dropNames: Seq[String]): Unit = {
+    val rootPath = new Path(root)
+    val stagingPath = new Path(staging)
+    dropNames.foreach { n =>
+      val p = new Path(rootPath, n); if (fs.exists(p)) fs.delete(p, true)
     }
-    fs.delete(new Path(staging), true)
-    diskNonEmpty = partDirs(rootPath).nonEmpty
+    swapNames.foreach { n =>
+      val staged = new Path(stagingPath, n)
+      if (fs.exists(staged)) { // absent = already published by a prior pass
+        val old = new Path(rootPath, n)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (crashAfterDeletes) throw new IllegalStateException(
+          s"injected crash: old dirs deleted, $staged unpublished")
+        require(fs.rename(staged, old), s"failed to publish $staged into $root")
+      }
+    }
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    fs.delete(new Path(rootPath, SwapMarker), false)
+  }
+
+  /** Complete an interrupted partition swap (constructor-time): if the
+    * intent marker exists, the previous process crashed inside
+    * [[swapPartitions]]'s delete→rename window — re-apply the recorded
+    * plan (roll forward; the marker is the commit point, so the delete
+    * HAS logically happened) and clear the marker. No-op otherwise. */
+  private def recoverSwap(): Unit = {
+    val fs = storeFs
+    val marker = new Path(root, SwapMarker)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    val staging = lines.collectFirst { case l if l.startsWith("staging ") =>
+      l.stripPrefix("staging ") }.getOrElse(
+      throw new IllegalStateException(s"corrupt swap marker $marker:\n$body"))
+    applySwap(fs, staging,
+      lines.collect { case l if l.startsWith("swap ") => l.stripPrefix("swap ") },
+      lines.collect { case l if l.startsWith("drop ") => l.stripPrefix("drop ") })
   }
 
   /** The whole store as one canonical frame (memory ∪ disk) — the input
@@ -437,6 +526,11 @@ final class TieredStore(spark: SparkSession, val root: String,
 object TieredStore {
   /** Arrival-sequence column of the memory tier (membuf FIFO position). */
   val SEQ = "__seq"
+
+  /** Delete-swap intent marker file name (`_`-prefixed: parquet listings
+    * ignore it). Present only inside a swap's crash window; completed
+    * forward by [[TieredStore.recoverSwap]] on the next open. */
+  val SwapMarker = "_swap_inprogress"
 
   /** How many superseded buffer checkpoints stay alive after a mutation:
     * a returned frame remains a valid immutable snapshot for at least this
