@@ -139,6 +139,20 @@ object ShardStore {
   def compact(spark: SparkSession, path: String, outPath: String): Unit =
     append(read(spark, path).repartition(col(SERIES)), outPath)
 
+  /** Bucketed-layout compaction (VERDICT r9/r10 item): every append drops
+    * ≥1 file into each touched `bucket=/day=` dir, so a long-lived
+    * high-cardinality store accretes O(appends × dirs) small files. One
+    * rewrite through [[appendBucketed]]'s (bucket, day) repartition
+    * coalesces each dir to task-count files (typically 1) with the same
+    * within-file (series, ts_us) sort — content identical, row-group
+    * stats as tight as a fresh write. Out-of-place like [[compact]];
+    * the live in-place form is `TieredStore.compactDisk` (marker-
+    * committed atomic swap).
+    */
+  def compactBucketed(spark: SparkSession, path: String, outPath: String,
+                      buckets: Int): Unit =
+    appendBucketed(readBucketedStore(spark, path), outPath, buckets)
+
   /** Production bucketed layout for id-keyed corpus tables (documents,
     * embeddings): hash-bucketed AND sorted on the join id, so every
     * id-equi join / semi-join between co-bucketed tables plans with ZERO

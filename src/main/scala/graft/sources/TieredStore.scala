@@ -464,6 +464,28 @@ final class TieredStore(spark: SparkSession, val root: String,
       lines.collect { case l if l.startsWith("drop ") => l.stripPrefix("drop ") })
   }
 
+  /** LIVE file-hygiene compaction of the disk tier (the reference's S4
+    * overlap-merge runs on every spill, `timeseries.re:119-156`; here
+    * compaction is optional hygiene because overlapping files are
+    * correct — see [[ShardStore]]): rewrite the whole disk tier
+    * coalesced into a staging dir, then publish it through the SAME
+    * marker-committed atomic swap the delete rewrite uses — a crash at
+    * any point leaves a store the next open completes ([[recoverSwap]]),
+    * and the content fingerprint is identical before/after (property
+    * in `BucketedLayoutSpec`). The memory buffer is untouched. Cost is
+    * one read+write of the disk tier; run it on the maintenance cadence,
+    * not the ingest path.
+    */
+  def compactDisk(): Unit = this.synchronized {
+    if (!diskHasData) return
+    val staging = s"$root.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    seriesBuckets match {
+      case Some(b) => ShardStore.compactBucketed(spark, root, staging, b)
+      case None    => ShardStore.compact(spark, root, staging)
+    }
+    swapPartitions(staging, _ => true)
+  }
+
   /** The whole store as one canonical frame (memory ∪ disk) — the input
     * for every route that has no tier-aware fast path (since/range/aggs:
     * they read both tiers anyway, and Catalyst prunes the disk side).

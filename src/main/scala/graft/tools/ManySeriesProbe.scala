@@ -107,6 +107,53 @@ object ManySeriesProbe {
         println(f"[mseries] FAIL: bucketed 5k-series sync took $syncWall%.1fs (>10s)")
         failed = true
       }
+      // delete-rewrite at high cardinality (r10 item 6/7): a 10-series
+      // delete touches only those ids' BUCKET dirs (≤10 of 64), so the
+      // rewrite cost is bucket-local, not store-wide. Then live
+      // compaction (marker-committed swap) coalesces the layout; both
+      // must preserve content exactly.
+      val delIds = (0 until 10).map(i => s"s$i")
+      val preCount = bst.snapshot.count()
+      val t2 = System.nanoTime()
+      val ndel = bst.delete(delIds, 1700000000000000L, 1700000000500000L)
+      val delWall = (System.nanoTime() - t2) / 1e9
+      val postCount = bst.snapshot.count()
+      println(f"[mseries] BUCKETED delete(10 ids) wall=$delWall%6.1fs deleted=$ndel " +
+        s"(rows $preCount -> $postCount)")
+      if (ndel == 0 || postCount != preCount - ndel) {
+        println("[mseries] FAIL: bucketed delete count mismatch"); failed = true
+      }
+      def files(p: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(p))
+      }
+      // a second synced wave (same day, later ts) drops a second file
+      // into every bucket dir — the small-file accretion compaction exists for
+      bst.appendMemory(
+        spark.range(rows).select(
+          concat(lit("s"), col("id") % bSeries).as(SERIES),
+          (lit(1700000001500000L) + col("id")).as(TS_US),
+          lit(null).cast(tagType).as(TAG),
+          (col("id") % 1000).cast("double").as(VALUE),
+          (col("id") + 2000000L).as(RID),
+          col("id").as(TieredStore.SEQ)),
+        TieredStore.SEQ)
+      bst.sync()
+      val postCount2 = bst.snapshot.count()
+      val fBefore = files(bst.root)
+      val t3 = System.nanoTime()
+      bst.compactDisk()
+      val cWall = (System.nanoTime() - t3) / 1e9
+      println(f"[mseries] BUCKETED compactDisk wall=$cWall%6.1fs files " +
+        s"$fBefore -> ${files(bst.root)}")
+      if (bst.snapshot.count() != postCount2) {
+        println("[mseries] FAIL: compaction changed row count"); failed = true
+      }
+      if (files(bst.root) >= fBefore) {
+        println("[mseries] FAIL: compaction did not coalesce files"); failed = true
+      }
     }
 
     // cap engagement on the disk tier

@@ -58,4 +58,52 @@ class BucketedLayoutSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_embs_b")
     }
   }
+
+  test("bucketed bucket=/day= compaction: fewer files, identical content, live-swap safe") {
+    import spark.implicits._
+    import graft.model.Canon.{Datapoint, TagEntry}
+    import graft.sources.{ShardStore, TieredStore}
+    val T0 = 1704067200000000L
+    def wave(w: Long) = (0L until 50L).flatMap(i =>
+      Seq(Datapoint(s"s${i % 25}", T0 + (w * 50 + i) * 1000L, // 25 series, 4 buckets
+        Some(Seq(TagEntry("k", "1"))), i.toDouble, w * 1000 + i)))
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(hash(col("series"), col("ts_us"), col("value"), col("rid")).cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    // out-of-place: 8 append waves -> one compacted rewrite
+    val p1 = tmpDir("bkt_compact_src")
+    (0L until 8L).foreach(w => ShardStore.appendBucketed(wave(w).toDF(), p1, 4))
+    val want = fp(ShardStore.readBucketedStore(spark, p1))
+    val p2 = tmpDir("bkt_compact_out")
+    ShardStore.compactBucketed(spark, p1, p2, 4)
+    assert(fp(ShardStore.readBucketedStore(spark, p2)) == want, "compaction changed content")
+    assert(parquetFiles(p2) < parquetFiles(p1),
+      s"no coalescing: ${parquetFiles(p1)} -> ${parquetFiles(p2)}")
+    // live in-place form through the marker-committed swap, memory intact
+    val root = tmpDir("bkt_compact_live")
+    val st = new TieredStore(spark, root, seriesBuckets = Some(4))
+    (0L until 8L).foreach(w => st.appendDisk(wave(w).toDF()))
+    st.appendMemory( // a buffered tail that must survive compaction
+      Seq((Datapoint("s0", T0 + 900000L, Some(Seq(TagEntry("k", "1"))), 1.0, 99999L), 0L))
+        .toDF("d", TieredStore.SEQ).select(col("d.*"), col(TieredStore.SEQ)),
+      TieredStore.SEQ)
+    val before = fp(st.snapshot)
+    val filesBefore = parquetFiles(root)
+    st.compactDisk()
+    assert(fp(st.snapshot) == before, "live compaction changed the store content")
+    assert(parquetFiles(root) < filesBefore,
+      s"live compaction did not coalesce: $filesBefore -> ${parquetFiles(root)}")
+    assert(!new java.io.File(root, TieredStore.SwapMarker).exists())
+    // the store stays fully operational: read + delete after compaction
+    assert(st.readLast(Seq("s0"), 1).select("rid").as[Long].head() == 99999L)
+    assert(st.delete(Seq("s1"), T0, T0 + 1000000000L) > 0L)
+  }
 }
