@@ -70,7 +70,9 @@ def load(path):
 
     mins = {full(k): float(v) for k, v in queries.items()}
     meds = {full(k): float(v) for k, v in d.get("queries_median", {}).items()}
-    return mins, meds, float(d.get("value", sum(mins.values())))
+    cal = d.get("cal_median")
+    return mins, meds, float(d.get("value", sum(mins.values()))), \
+        (float(cal) if cal is not None else None)
 
 
 def main():
@@ -84,8 +86,18 @@ def main():
                     help="absolute noise floor in seconds")
     args = ap.parse_args()
 
-    old_min, old_med, old_total = load(args.old)
-    new_min, new_med, new_total = load(args.new)
+    old_min, old_med, old_total, old_cal = load(args.old)
+    new_min, new_med, new_total, new_cal = load(args.new)
+
+    # host-speed normalization (r10 VERDICT item): cal_median is a
+    # fixed-work pure-CPU sample, so the cross-round ratio is the host
+    # noise factor — divide it out of the NEW side before applying the
+    # noise band. Artifacts older than r10 carry no calibration; the
+    # diff then falls back to the raw ±band model.
+    cal_factor = (new_cal / old_cal) if (old_cal and new_cal) else 1.0
+    if cal_factor != 1.0:
+        new_min = {q: v / cal_factor for q, v in new_min.items()}
+        new_med = {q: v / cal_factor for q, v in new_med.items()}
 
     common = sorted(set(old_min) & set(new_min))
     added = sorted(set(new_min) - set(old_min))
@@ -117,6 +129,16 @@ def main():
                  f"Noise model: band ±{args.band:.0%}, floor "
                  f"{args.floor}s, plus per-query min-median spread "
                  f"where the artifact carries medians.")
+    if cal_factor != 1.0:
+        lines.append("")
+        lines.append(
+            f"Host-speed calibration: cal_median {old_cal:.2f}s -> "
+            f"{new_cal:.2f}s; NEW times divided by {cal_factor:.2f} "
+            f"before banding (a uniform shift is the host, not the code).")
+    elif old_cal is None or new_cal is None:
+        lines.append("")
+        lines.append("No calibration in one/both artifacts (pre-r10 "
+                     "vintage): raw band only.")
     lines.append("")
     if added:
         lines.append(f"Roster +{len(added)}: " + ", ".join(added))
