@@ -437,6 +437,18 @@ object SparkEntry {
         element_at(col("tag"), 2).getField("value"))
       VersionedStore.dedupChangesSince(s, root, 1, 2, content)
     }),
+    "q_store_profile_drift" -> ((s, d) => { // profile drift across the
+      // delete (v2 -> v3) — the "what changed since the version I last
+      // trusted" report paired with CDC: both sides are exact profiles
+      // reduced to model parameters, so the drift join is #cols local
+      // rows. Long/string columns only (value's double-to-string
+      // rendering is engine-specific — the documented oracle rule).
+      val root = timetravelStore(s, d)
+      graft.operators.TableProfile.profileDrift(
+        VersionedStore.readAt(s, root, 2),
+        VersionedStore.readAt(s, root, 3),
+        Seq("series", "ts_us", "rid"))
+    }),
     "q_ingest_shapes" -> ((s, _) => {
       val wire = s.read.schema("series STRING, json STRING").json(wireFixturePath)
       val r = JsonIngest.ingest(JsonIngest.explodeBatches(wire), ingestTimeUs = INGEST_T0)
@@ -1567,6 +1579,30 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY content_hash ORDER BY rid) AS rn
            |  FROM d)
            |WHERE rn = 1 ORDER BY rid""".stripMargin,
+      "q_store_profile_drift" -> // v2 (all rows) vs v3 (survivors of the
+        // range delete): per-column count/nulls/distinct/min-max on both
+        // sides + deltas, one SELECT per column over the shared frame
+        // with FILTER carrying the v3 predicate
+        (s"""$CANON_SQL, q AS (SELECT series, ts_us, rid,
+            |  (series = 'click' AND ts_us BETWEEN $R1 AND $R2) AS dead FROM c)
+            |""".stripMargin +
+        Seq("series", "ts_us", "rid").map(c =>
+          s"""SELECT '$c' AS "column",
+             |  CAST(count(*) AS BIGINT) AS n_rows_a,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls_a,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct_a,
+             |  CAST(min($c) AS VARCHAR) AS min_a, CAST(max($c) AS VARCHAR) AS max_a,
+             |  CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT) AS n_rows_b,
+             |  CAST(sum(CASE WHEN $c IS NULL AND NOT dead THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls_b,
+             |  CAST(count(DISTINCT $c) FILTER (WHERE NOT dead) AS BIGINT) AS n_distinct_b,
+             |  CAST(min($c) FILTER (WHERE NOT dead) AS VARCHAR) AS min_b,
+             |  CAST(max($c) FILTER (WHERE NOT dead) AS VARCHAR) AS max_b,
+             |  CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT)
+             |    - CAST(count(*) AS BIGINT) AS d_rows,
+             |  CAST(count(DISTINCT $c) FILTER (WHERE NOT dead) AS BIGINT)
+             |    - CAST(count(DISTINCT $c) AS BIGINT) AS d_distinct
+             |FROM q""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
       "q_ingest_shapes" ->
         s"""WITH raw AS (
            |  SELECT series, json FROM read_json('$wireFixturePath',

@@ -107,4 +107,29 @@ object TableProfile {
     }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
       .orderBy("column")
   }
+
+  /** Per-column profile DRIFT between two snapshots — the "what changed
+    * since the version I last trusted" report that pairs with the
+    * versioned store's CDC (profile `readAt(v1)` vs `readAt(v2)`, or a
+    * corpus before/after a curation pass): both sides run the exact
+    * [[profile]] (each reduced to ≤3×#cols model parameters and
+    * assembled driver-side), so the "join" is #cols local rows — no
+    * corpus-side shuffle or broadcast beyond the two profile scans.
+    * Emits a/b stats per column plus row/distinct deltas; min/max rides
+    * as strings like the profiles themselves.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame,
+                   columns: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      profile(df, columns).select(col("column"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_val").as(s"min_$s"), col("max_val").as(s"max_$s"))
+    side(a, "a").join(side(b, "b"), Seq("column"), "full_outer")
+      .withColumn("d_rows",
+        coalesce(col("n_rows_b"), lit(0L)) - coalesce(col("n_rows_a"), lit(0L)))
+      .withColumn("d_distinct",
+        coalesce(col("n_distinct_b"), lit(0L)) - coalesce(col("n_distinct_a"), lit(0L)))
+      .orderBy("column")
+  }
 }

@@ -23,6 +23,31 @@ class TableProfileSpec extends SparkSuite {
       ("v", 4L, 1L, 2L, Some("9"), Some("10"))))
   }
 
+  test("profileDrift: per-column a/b stats plus deltas; disjoint columns survive") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None))
+      .toDF("id", "s")
+    val b = Seq((1L, Some("x")), (4L, Some("x"))).toDF("id", "s")
+    val got = TableProfile.profileDrift(a, b)
+      .select("column", "n_rows_a", "n_distinct_a", "n_rows_b", "n_distinct_b",
+        "d_rows", "d_distinct")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("id", 3L, 3L, 2L, 2L, -1L, -1L),
+      ("s", 3L, 2L, 2L, 1L, -1L, -1L)))
+    // min/max ride through as the profile strings
+    val mm = TableProfile.profileDrift(a, b)
+      .filter(col("column") === "id")
+      .select("min_a", "max_a", "min_b", "max_b")
+      .as[(String, String, String, String)].head()
+    assert(mm == ("1", "3", "1", "4"))
+    // sides profiled on DIFFERENT columns still report (full-outer):
+    // the absent side's stats are null, deltas treat them as zero
+    val c = Seq((9L, 1.5)).toDF("id", "w")
+    val dj = TableProfile.profileDrift(a.select("s"), c.select("w"))
+      .select("column", "d_rows").as[(String, Long)].collect().toMap
+    assert(dj == Map("s" -> -3L, "w" -> 1L))
+  }
+
   test("profile: non-atomic columns excluded by default, override validated") {
     val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")
     assert(TableProfile.profile(df).select("column").as[String].collect().toSeq == Seq("id"))
