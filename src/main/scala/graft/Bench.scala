@@ -129,7 +129,7 @@ object Bench {
                                 overflow: Int = 0,
                                 totalOverride: Option[Double] = None,
                                 abbrevOverride: Option[Map[String, String]] = None,
-                                calibration: Option[(Double, Double)] = None): String = {
+                                calibration: Option[(Double, Double, Int)] = None): String = {
     // abbrevOverride: the middle tier prints a SUBSET of the roster, and
     // auto-assignment is population-ordered — recomputing it over the
     // subset could assign different chars than the full roster (breaking
@@ -157,8 +157,13 @@ object Bench {
     // a cross-round diff can divide out host-window noise instead of the
     // judge re-deriving it by hand. Always 2dp — sub-second resolution is
     // the whole point; ~30 chars against the stdout budget.
-    val cal = calibration.fold("") { case (mn, md) =>
-      s""","cal_min":${fmt(mn, 2)},"cal_median":${fmt(md, 2)}""" }
+    // cal_parts names the calibration WORKLOAD vintage (its partition
+    // count): bench_diff.py only divides by the cal ratio when both
+    // artifacts ran the same-shaped calibration — r10's hard-coded 32
+    // and a defaultParallelism!=32 run are different workloads, and
+    // their ratio would conflate code vintage with host speed.
+    val cal = calibration.fold("") { case (mn, md, parts) =>
+      s""","cal_min":${fmt(mn, 2)},"cal_median":${fmt(md, 2)},"cal_parts":$parts""" }
     val pf = s""","partial":$partial""" +
       failed.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$ovf$med$cal,"sf":"$sfDir"$pf}"""
@@ -178,7 +183,7 @@ object Bench {
   private[graft] val stdoutBudget = 1895
   private[graft] def stdoutLine(snap: Seq[(String, Double)], failed: Seq[String],
                                 sfBase: String, partial: Boolean,
-                                calibration: Option[(Double, Double)] = None): String = {
+                                calibration: Option[(Double, Double, Int)] = None): String = {
     val fullAbbrev = abbrevFor(snap.map(_._1) ++ failed)
     val full = formatLine(snap, failed, sfBase, partial, shortKeys = true,
       abbrevOverride = Some(fullAbbrev), calibration = calibration)
@@ -221,7 +226,8 @@ object Bench {
       if (s.isEmpty) None
       else Some((s.head,
         if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2))
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2,
+        calParts.get()))
     }
     // stdout: sf as basename (the full testdata path is constant and the
     // tail window is precious) and SHORT query keys (see formatLine —
@@ -282,14 +288,19 @@ object Bench {
     * divides out — this box has swung bench totals ±40% between
     * midnight and noon windows on identical code (r6, r8).
     */
+  private val calParts = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def calSample(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
     val h = (1 to 4).foldLeft(col("id"))((c, _) => xxhash64(c))
     // one partition per session core (NOT a hard-coded 32): keeps "all
-    // cpus threads busy" true under any SPARK_GRAFT_CPUS, so cal ratios
-    // stay comparable across rounds with different cpu settings
-    spark.range(0, 1L << 29, 1, spark.sparkContext.defaultParallelism)
+    // cpus threads busy" true under any SPARK_GRAFT_CPUS. The count is
+    // recorded (cal_parts in the artifact) because it defines the
+    // workload shape — ratios are only host-speed when both sides match.
+    val parts = spark.sparkContext.defaultParallelism
+    calParts.set(parts)
+    spark.range(0, 1L << 29, 1, parts)
       .select(h.as("h"))
       .agg(expr("bit_xor(h)")).collect()
     (System.nanoTime() - t0) / 1e9

@@ -326,6 +326,9 @@ final class TieredStore(spark: SparkSession, val root: String,
   def delete(ids: Seq[String], fromUs: Long, toUs: Long,
              pipe: Seq[Tags.Group] = Nil): Long = this.synchronized {
     require(ids.nonEmpty, "tiered delete needs explicit series ids")
+    recoverSwap() // a failed prior swap on THIS instance must publish its
+    // survivors before we count/rewrite, or the torn listing reads as
+    // "nothing matched" and the delete returns 0 against missing rows
     flushLocked(ids)
     if (!diskHasData) return 0L
     val matched = coalesce(
@@ -403,6 +406,12 @@ final class TieredStore(spark: SparkSession, val root: String,
     val fs = storeFs
     val rootPath = new Path(root)
     val stagingPath = new Path(staging)
+    // roll forward any interrupted predecessor FIRST: a live instance
+    // that survived an applySwap failure (transient IO error, not a
+    // crash) must neither plan from the torn listing nor overwrite the
+    // committed marker — rename would replace it on a local FS and
+    // orphan the old plan's staged survivors permanently
+    recoverSwap()
     val replacedNames = partDirs(fs, rootPath).map(_.getPath.getName).filter(replaced)
     val stagedNames = partDirs(fs, stagingPath).map(_.getPath.getName)
     // commit point: the marker (staging + per-dir fates), atomic rename in
@@ -415,7 +424,17 @@ final class TieredStore(spark: SparkSession, val root: String,
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, marker), s"failed to commit swap marker $marker")
-    applySwap(fs, staging, stagedNames, replacedNames.filterNot(stagedNames.contains))
+    try applySwap(fs, staging, stagedNames, replacedNames.filterNot(stagedNames.contains))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // best-effort immediate repair: the marker is committed, so the
+        // plan can roll forward right now; if it does (marker gone), the
+        // swap IS complete and the failure was transient — proceed. If
+        // repair also fails, surface the original error (the next
+        // mutation or open retries via the marker).
+        try recoverSwap() catch { case scala.util.control.NonFatal(_) => () }
+        if (fs.exists(marker)) throw e
+    }
     diskNonEmpty = partDirs(fs, rootPath).nonEmpty
   }
 
@@ -477,6 +496,7 @@ final class TieredStore(spark: SparkSession, val root: String,
     * not the ingest path.
     */
   def compactDisk(): Unit = this.synchronized {
+    recoverSwap()
     if (!diskHasData) return
     val staging = s"$root.compact-${java.util.UUID.randomUUID().toString.take(8)}"
     seriesBuckets match {

@@ -285,7 +285,11 @@ object VersionedStore {
     * anti-join ([[graft.operators.Dedup.incrementalNew]]) because the
     * as-of snapshot is corpus-scale at 100 TB — so the nightly cost is
     * O(new data) + one merge pass over the store, never a rescan-and-
-    * rededup of history.
+    * rededup of history. Cost note: on a MIXED chain (a delete/compact
+    * inside the range) the fromV snapshot is scanned twice -- once in
+    * [[readChanges]]' content diff and once for the seen hashes; the
+    * nightly append-only path (the case this operator exists for) reads
+    * fromV once, on the seen side only.
     *
     * Returns `(rid, content_hash)` of the survivors, rid-ordered — the
     * rows a pipeline appends to its seen-hash table to close the loop.

@@ -67,17 +67,7 @@ class BucketedLayoutSpec extends SparkSuite {
     def wave(w: Long) = (0L until 50L).flatMap(i =>
       Seq(Datapoint(s"s${i % 25}", T0 + (w * 50 + i) * 1000L, // 25 series, 4 buckets
         Some(Seq(TagEntry("k", "1"))), i.toDouble, w * 1000 + i)))
-    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        sum(hash(col("series"), col("ts_us"), col("value"), col("rid")).cast("long"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    def parquetFiles(p: String): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(p))
-    }
+    import StoreTestUtil.{fp, parquetFiles}
     // out-of-place: 8 append waves -> one compacted rewrite
     val p1 = tmpDir("bkt_compact_src")
     (0L until 8L).foreach(w => ShardStore.appendBucketed(wave(w).toDF(), p1, 4))

@@ -54,7 +54,11 @@ class RecallGateSpec extends SparkSuite {
     df
   }
 
-  private val qids: Seq[Long] = (0L until n.toLong by (n / 20).toLong).take(20)
+  // step 101, NOT n/20=100: label = id % 50, so a step that is a
+  // multiple of 50 would put every query in cluster 0 and the gates
+  // would exercise 1 of 50 centers (found in the r11 review pass);
+  // 101 is coprime to 50 — 20 queries across 20 distinct clusters
+  private val qids: Seq[Long] = (0L until n.toLong by 101L).take(20)
 
   private def topSets(df: DataFrame): Map[Long, Set[Long]] =
     df.select("qid", "vec_id").as[(Long, Long)].collect()

@@ -25,11 +25,7 @@ class TieredStoreRecoverySpec extends SparkSuite {
     (0L until 100L).flatMap(i =>
       Seq(dp("a", T0 + i * 1000L, i), dp("b", T0 + i * 1000L, 1000 + i)))
 
-  private def fp(df: DataFrame): (Long, Long) = {
-    val r = df.agg(count(lit(1)),
-      sum(hash(col("series"), col("ts_us"), col("value"), col("rid")).cast("long"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def fp(df: DataFrame): (Long, Long) = StoreTestUtil.fp(df)
 
   private def crashScenario(buckets: Option[Int]): Unit = {
     val root = tmpDir("tier_crash")
@@ -68,6 +64,26 @@ class TieredStoreRecoverySpec extends SparkSuite {
 
   test("crash between delete and publish: reopen rolls the swap forward (bucketed layout)") {
     crashScenario(Some(4))
+  }
+
+  test("in-process retry after a failed swap repairs via the marker (no reopen)") {
+    val root = tmpDir("tier_retry")
+    val st = new TieredStore(spark, root)
+    st.appendDisk(seedRows.toDF())
+    st.crashAfterDeletes = true
+    intercept[IllegalStateException] {
+      st.delete(Seq("a", "b"), T0 + 25000L, T0 + 74000L)
+    }
+    st.crashAfterDeletes = false
+    // the SAME instance's next mutation must roll the committed plan
+    // forward BEFORE counting — without that it reads the torn listing
+    // ("nothing matched"), returns 0 against missing rows, and a fresh
+    // swap would overwrite the marker and orphan the staged survivors
+    assert(st.delete(Seq("a", "b"), T0 + 25000L, T0 + 74000L) == 0L)
+    val expected = seedRows.toDF().filter(
+      !col("ts_us").between(T0 + 25000L, T0 + 74000L))
+    assert(fp(st.snapshot) == fp(expected))
+    assert(!new java.io.File(root, TieredStore.SwapMarker).exists())
   }
 
   test("zero-survivor partitions (drop fate) recover too") {

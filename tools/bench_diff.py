@@ -71,8 +71,12 @@ def load(path):
     mins = {full(k): float(v) for k, v in queries.items()}
     meds = {full(k): float(v) for k, v in d.get("queries_median", {}).items()}
     cal = d.get("cal_median")
+    # cal_parts identifies the calibration workload's shape (r11). Older
+    # artifacts with cal but no cal_parts are the r10 vintage: hard-coded
+    # 32 partitions.
+    parts = int(d.get("cal_parts", 32))
     return mins, meds, float(d.get("value", sum(mins.values()))), \
-        (float(cal) if cal is not None else None)
+        (float(cal) if cal is not None else None), parts
 
 
 def main():
@@ -86,18 +90,23 @@ def main():
                     help="absolute noise floor in seconds")
     args = ap.parse_args()
 
-    old_min, old_med, old_total, old_cal = load(args.old)
-    new_min, new_med, new_total, new_cal = load(args.new)
+    old_min, old_med, old_total, old_cal, old_parts = load(args.old)
+    new_min, new_med, new_total, new_cal, new_parts = load(args.new)
 
     # host-speed normalization (r10 VERDICT item): cal_median is a
     # fixed-work pure-CPU sample, so the cross-round ratio is the host
-    # noise factor — divide it out of the NEW side before applying the
-    # noise band. Artifacts older than r10 carry no calibration; the
-    # diff then falls back to the raw ±band model.
-    cal_factor = (new_cal / old_cal) if (old_cal and new_cal) else 1.0
+    # noise factor — divide it out of the NEW side (minima, medians AND
+    # the headline total) before applying the noise band. Applied ONLY
+    # when both artifacts ran the SAME-SHAPED calibration (cal_parts
+    # match): across a shape boundary the ratio conflates code vintage
+    # with host speed. Artifacts older than r10 carry no calibration;
+    # the diff then falls back to the raw ±band model.
+    same_shape = old_parts == new_parts
+    cal_factor = (new_cal / old_cal) if (old_cal and new_cal and same_shape) else 1.0
     if cal_factor != 1.0:
         new_min = {q: v / cal_factor for q, v in new_min.items()}
         new_med = {q: v / cal_factor for q, v in new_med.items()}
+        new_total = new_total / cal_factor
 
     common = sorted(set(old_min) & set(new_min))
     added = sorted(set(new_min) - set(old_min))
@@ -133,12 +142,19 @@ def main():
         lines.append("")
         lines.append(
             f"Host-speed calibration: cal_median {old_cal:.2f}s -> "
-            f"{new_cal:.2f}s; NEW times divided by {cal_factor:.2f} "
-            f"before banding (a uniform shift is the host, not the code).")
+            f"{new_cal:.2f}s; NEW times (and total) divided by "
+            f"{cal_factor:.2f} before banding (a uniform shift is the "
+            f"host, not the code).")
     elif old_cal is None or new_cal is None:
         lines.append("")
         lines.append("No calibration in one/both artifacts (pre-r10 "
                      "vintage): raw band only.")
+    elif not same_shape:
+        lines.append("")
+        lines.append(f"Calibration NOT applied: workload shapes differ "
+                     f"(cal_parts {old_parts} vs {new_parts}) — the "
+                     f"ratio would conflate code vintage with host "
+                     f"speed. Raw band only.")
     lines.append("")
     if added:
         lines.append(f"Roster +{len(added)}: " + ", ".join(added))
