@@ -22,7 +22,14 @@ import org.apache.spark.sql.streaming.Trigger
   *  - **tracked bounds bounded** by true series cardinality;
   *  - **reads stay right**: every 10 waves, `readLast` over all series
   *    must return exactly n·series rows and `lengthSplit`'s total must
-  *    equal the points fed so far.
+  *    equal the points fed so far (minus live deletes);
+  *  - **live mutations interleave** (r11): every 25 waves a DELETE of a
+  *    disjoint past window of s0 runs against the SAME store the stream
+  *    is ingesting into (the HTTP DELETE scenario under load — store
+  *    lock serializes the partition swap against micro-batch appends;
+  *    its count must be exactly the 200 s0 rows of that window), and
+  *    every 50 waves a live `compactDisk` (marker-committed swap) must
+  *    leave the total unchanged.
   *
   * Exit: nonzero on any violation; prints one summary row per 10 waves.
   * Run: `sbt "runMain graft.tools.TieredIngestSoak 150"` (~3-4 min).
@@ -48,6 +55,7 @@ object TieredIngestSoak {
     def liveCachedRdds(): Int = spark.sparkContext.getRDDStorageInfo.length
 
     var fed = 0L
+    var deletedTotal = 0L
     var baselineDepth = -1
     var failed = false
     def fail(msg: String): Unit = { println(s"[soak] FAIL $msg"); failed = true }
@@ -76,13 +84,31 @@ object TieredIngestSoak {
       if (rdds > TieredStore.RetireDepth + 4)
         fail(s"wave $wave: $rdds cached RDDs (checkpoint leak)")
 
+      // live mutations against the actively-ingesting store: a DELETE of
+      // the disjoint past window [fed-2000, fed-1001] (offsets mod 5 == 0
+      // are s0's -> exactly 200 rows), then periodically a live compaction
+      if (wave % 25 == 24 && fed > 3000) {
+        val base = 1704067200000000L
+        val del = store.delete(Seq("s0"), base + fed - 2000, base + fed - 1001)
+        if (del != 200L) fail(s"wave $wave: live delete removed $del != 200")
+        deletedTotal += del
+        if (wave % 50 == 49) {
+          store.compactDisk()
+          val total = store.lengthSplit(series)
+            .agg(org.apache.spark.sql.functions.sum("len")).head().getLong(0)
+          if (total != fed - deletedTotal)
+            fail(s"wave $wave: post-compact total $total != ${fed - deletedTotal}")
+        }
+      }
+
       if (wave % 10 == 9) {
         val last = store.readLast(series, 3)
         val got = last.count()
         if (got != 3L * series.size) fail(s"wave $wave: readLast rows $got != ${3 * series.size}")
         val total = store.lengthSplit(series)
           .agg(org.apache.spark.sql.functions.sum("len")).head().getLong(0)
-        if (total != fed) fail(s"wave $wave: lengthSplit total $total != fed $fed")
+        if (total != fed - deletedTotal)
+          fail(s"wave $wave: lengthSplit total $total != ${fed - deletedTotal}")
         val heap = (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) >> 20
         println(f"[soak] wave ${wave + 1}%4d fed=$fed%8d depth=$depth rdds=$rdds " +
           f"bounds=$bounds heapMB=$heap wall=${(System.nanoTime() - t0) / 1e9}%7.1fs")
@@ -94,7 +120,9 @@ object TieredIngestSoak {
     // final: drain the buffer; the store must equal everything fed
     store.sync()
     val diskTotal = store.snapshot.count()
-    if (diskTotal != fed) fail(s"post-sync snapshot $diskTotal != fed $fed")
+    if (diskTotal != fed - deletedTotal)
+      fail(s"post-sync snapshot $diskTotal != ${fed - deletedTotal} " +
+        s"(fed $fed - deleted $deletedTotal)")
     val finalRdds = liveCachedRdds()
     if (finalRdds > TieredStore.RetireDepth + 4) fail(s"final cached RDDs $finalRdds")
     println(f"[soak] done: $wave waves, $fed points, final rdds=$finalRdds, " +
