@@ -118,8 +118,28 @@ final class TieredStore(spark: SparkSession, val root: String,
     val fs = storeFs
     if (fs.exists(new Path(root))) {
       recoverSwap()
-      if (partDirs(fs, new Path(root)).nonEmpty) updateBounds(readStore)
+      sweepOrphanStaging()
+      if (partDirs(fs, new Path(root)).nonEmpty) hydrateBounds()
     }
+  }
+
+  /** Cap-bounded reopen hydration: per-series bounds via one aggregate,
+    * but the COLLECT is limited to maxTrackedSeries+1 rows — a store
+    * holding millions of series must not pull one row per series to the
+    * driver just to discard the overflow (every other updateBounds call
+    * site is buffer- or ids-bounded). On overflow the untracked series
+    * degrade to the conservative merge/flush paths via boundsOverflow,
+    * exactly like cap eviction during normal operation. */
+  private def hydrateBounds(): Unit = {
+    val rows = readStore.groupBy(SERIES)
+      .agg(min(TS_US).as("lo"), max(TS_US).as("hi"))
+      .limit(maxTrackedSeries + 1)
+      .collect()
+    if (rows.nonEmpty) diskNonEmpty = true
+    rows.take(maxTrackedSeries).foreach { r =>
+      diskBounds.put(r.getString(0), (r.getLong(1), r.getLong(2)))
+    }
+    if (rows.length > maxTrackedSeries) boundsOverflow = true
   }
 
   private def canonSel(df: DataFrame): DataFrame =
@@ -414,17 +434,27 @@ final class TieredStore(spark: SparkSession, val root: String,
     recoverSwap()
     val replacedNames = partDirs(fs, rootPath).map(_.getPath.getName).filter(replaced)
     val stagedNames = partDirs(fs, stagingPath).map(_.getPath.getName)
+    val dropNames = {
+      val staged = stagedNames.toSet // Seq.contains is a linear scan: a
+      // compactDisk over a high-cardinality flat store swaps thousands
+      // of dirs, and O(staged x replaced) string scans sit inside the lock
+      replacedNames.filterNot(staged)
+    }
     // commit point: the marker (staging + per-dir fates), atomic rename in
     val marker = new Path(rootPath, SwapMarker)
     val tmp = new Path(rootPath, SwapMarker + ".tmp")
     val body = (s"staging $staging" +:
-      (stagedNames.map("swap " + _) ++
-        replacedNames.filterNot(stagedNames.contains).map("drop " + _)))
+      (stagedNames.map("swap " + _) ++ dropNames.map("drop " + _)))
       .mkString("", "\n", "\n")
     val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // hsync before the rename: the rename alone can be journaled ahead of
+    // the data blocks on a crash (create+rename-to-new-name is outside
+    // the rename-overwrite fsync heuristic), which would commit a
+    // zero-length marker — recoverSwap tolerates that as pre-commit, but
+    // a synced marker is what makes the commit point real
+    try { out.write(body.getBytes("UTF-8")); out.hsync() } finally out.close()
     require(fs.rename(tmp, marker), s"failed to commit swap marker $marker")
-    try applySwap(fs, staging, stagedNames, replacedNames.filterNot(stagedNames.contains))
+    try applySwap(fs, staging, stagedNames, dropNames)
     catch {
       case scala.util.control.NonFatal(e) =>
         // best-effort immediate repair: the marker is committed, so the
@@ -475,12 +505,43 @@ final class TieredStore(spark: SparkSession, val root: String,
     val in = fs.open(marker)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) {
+      // a power loss can journal the marker RENAME ahead of its data
+      // blocks, committing a zero-length file; the hsync in
+      // swapPartitions makes this window tiny, and an empty marker is
+      // PRE-commit by definition (no plan recorded, so no delete ran) —
+      // roll BACK by discarding it; the staged dirs become orphans the
+      // open-time sweep collects
+      fs.delete(marker, false)
+      return
+    }
     val staging = lines.collectFirst { case l if l.startsWith("staging ") =>
       l.stripPrefix("staging ") }.getOrElse(
       throw new IllegalStateException(s"corrupt swap marker $marker:\n$body"))
     applySwap(fs, staging,
       lines.collect { case l if l.startsWith("swap ") => l.stripPrefix("swap ") },
       lines.collect { case l if l.startsWith("drop ") => l.stripPrefix("drop ") })
+  }
+
+  /** Open-time garbage collection of orphaned staging dirs: a crash
+    * BEFORE the marker commits leaves a fully-staged
+    * `<root>.delete-<uuid>` / `<root>.compact-<uuid>` sibling that
+    * nothing references — correct but unbounded (a compact staging dir
+    * is a copy of the whole disk tier). Safe to sweep at open under the
+    * store's single-writer-per-root contract (the reference's global
+    * mutex, main.re:225-227): any marker was already rolled forward by
+    * [[recoverSwap]], so every remaining sibling is unreferenced. */
+  private def sweepOrphanStaging(): Unit = {
+    val fs = storeFs
+    val rootPath = new Path(root)
+    val parent = rootPath.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = rootPath.getName
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix + ".delete-") || n.startsWith(prefix + ".compact-"))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** LIVE file-hygiene compaction of the disk tier (the reference's S4

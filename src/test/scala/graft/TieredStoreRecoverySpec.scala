@@ -103,6 +103,39 @@ class TieredStoreRecoverySpec extends SparkSuite {
     assert(fp(reopened.snapshot) == fp(rows.toDF().filter(col("series") === "b")))
   }
 
+  test("zero-length marker (rename journaled before data) rolls back; orphan staging swept") {
+    val root = tmpDir("tier_empty_marker")
+    val st = new TieredStore(spark, root)
+    st.appendDisk(seedRows.toDF())
+    // simulate the power-loss artifact: marker committed with no data
+    // blocks, plus a fully-staged orphan from a pre-marker crash
+    assert(new java.io.File(root, TieredStore.SwapMarker).createNewFile())
+    val orphan = new java.io.File(root + ".delete-deadbeef")
+    assert(orphan.mkdir())
+    assert(new java.io.File(orphan, "series=a").mkdir())
+    val reopened = new TieredStore(spark, root)
+    // empty marker = pre-commit: discarded, store content untouched
+    assert(fp(reopened.snapshot) == fp(seedRows.toDF()))
+    assert(!new java.io.File(root, TieredStore.SwapMarker).exists())
+    assert(!orphan.exists(), "open-time sweep must collect orphaned staging dirs")
+  }
+
+  test("reopen hydration respects the bounds cap: untracked series degrade, stay correct") {
+    val root = tmpDir("tier_cap_reopen")
+    new TieredStore(spark, root).appendDisk(seedRows.toDF()) // 2 series
+    val reopened = new TieredStore(spark, root, maxTrackedSeries = 1)
+    // the collect was capped at 2 rows, one series tracked, overflow set —
+    // and the UNTRACKED series must still read right via the conservative
+    // path even with an overlapping buffer
+    assert(reopened.lifecycleStats._2 <= 1)
+    reopened.appendMemory(
+      Seq((dp("b", T0 + 50500L, 7777L), 0L)).toDF("d", TieredStore.SEQ)
+        .select(col("d.*"), col(TieredStore.SEQ)),
+      TieredStore.SEQ)
+    val last = reopened.readLast(Seq("b"), 1).select("rid").as[Long].collect()
+    assert(last.toSeq == Seq(1099L), s"capped reopen mis-read: ${last.toSeq}")
+  }
+
   test("plain reopen hydrates disk presence and per-series bounds") {
     val root = tmpDir("tier_reopen")
     val st = new TieredStore(spark, root)

@@ -102,7 +102,9 @@ def main():
     # with host speed. Artifacts older than r10 carry no calibration;
     # the diff then falls back to the raw ±band model.
     same_shape = old_parts == new_parts
-    cal_factor = (new_cal / old_cal) if (old_cal and new_cal and same_shape) else 1.0
+    cal_usable = (old_cal is not None and new_cal is not None
+                  and old_cal > 0 and new_cal > 0)
+    cal_factor = (new_cal / old_cal) if (cal_usable and same_shape) else 1.0
     if cal_factor != 1.0:
         new_min = {q: v / cal_factor for q, v in new_min.items()}
         new_med = {q: v / cal_factor for q, v in new_med.items()}
@@ -149,6 +151,11 @@ def main():
         lines.append("")
         lines.append("No calibration in one/both artifacts (pre-r10 "
                      "vintage): raw band only.")
+    elif not cal_usable:
+        lines.append("")
+        lines.append(f"Calibration present but unusable (cal_median "
+                     f"{old_cal} / {new_cal} — a zero means a truncated "
+                     f"calibration run): raw band only.")
     elif not same_shape:
         lines.append("")
         lines.append(f"Calibration NOT applied: workload shapes differ "
