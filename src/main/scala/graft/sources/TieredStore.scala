@@ -446,13 +446,26 @@ final class TieredStore(spark: SparkSession, val root: String,
     val body = (s"staging $staging" +:
       (stagedNames.map("swap " + _) ++ dropNames.map("drop " + _)))
       .mkString("", "\n", "\n")
-    val out = fs.create(tmp, true)
-    // hsync before the rename: the rename alone can be journaled ahead of
-    // the data blocks on a crash (create+rename-to-new-name is outside
-    // the rename-overwrite fsync heuristic), which would commit a
-    // zero-length marker — recoverSwap tolerates that as pre-commit, but
-    // a synced marker is what makes the commit point real
-    try { out.write(body.getBytes("UTF-8")); out.hsync() } finally out.close()
+    // durable write BEFORE the rename: a crash can journal the rename
+    // ahead of the data blocks (create+rename-to-new-name is outside the
+    // rename-overwrite fsync heuristic), committing a zero-length marker.
+    // On the local scheme hsync() through ChecksumFileSystem is silently
+    // just a flush (the wrapped stream is not Syncable), so force the
+    // bytes with an honest FileChannel.force — the same file-scheme
+    // dispatch as VersionedStore.publishExclusive; real Syncable stores
+    // (HDFS) get hsync.
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("file")) {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8"))); ch.force(true) }
+      finally ch.close()
+    } else {
+      val out = fs.create(tmp, true)
+      try { out.write(body.getBytes("UTF-8")); out.hsync() } finally out.close()
+    }
     require(fs.rename(tmp, marker), s"failed to commit swap marker $marker")
     try applySwap(fs, staging, stagedNames, dropNames)
     catch {
@@ -506,18 +519,25 @@ final class TieredStore(spark: SparkSession, val root: String,
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = body.linesIterator.filter(_.nonEmpty).toSeq
     if (lines.isEmpty) {
-      // a power loss can journal the marker RENAME ahead of its data
-      // blocks, committing a zero-length file; the hsync in
-      // swapPartitions makes this window tiny, and an empty marker is
-      // PRE-commit by definition (no plan recorded, so no delete ran) —
-      // roll BACK by discarding it; the staged dirs become orphans the
-      // open-time sweep collects
-      fs.delete(marker, false)
-      return
+      // a zero-length marker should be impossible now (the marker bytes
+      // are FileChannel.force'd / hsync'd before the rename) — and it is
+      // NOT safe to guess a direction: pre-commit means roll back, but
+      // mid-applySwap with lost data blocks means the staged dirs hold
+      // the only copy of the survivors. Fail LOUDLY and keep everything.
+      throw new IllegalStateException(
+        s"empty swap marker $marker: cannot distinguish a pre-commit " +
+        "crash (delete the marker to roll back) from a torn committed " +
+        "swap (publish the staging sibling's partition dirs first). " +
+        "Inspect the store root and its .delete-*/.compact-* siblings.")
     }
     val staging = lines.collectFirst { case l if l.startsWith("staging ") =>
       l.stripPrefix("staging ") }.getOrElse(
-      throw new IllegalStateException(s"corrupt swap marker $marker:\n$body"))
+      throw new IllegalStateException(
+        s"corrupt swap marker $marker (no 'staging' line).\n" +
+        "Manual remediation: inspect the staging sibling dirs of the " +
+        "store root; if the listed partitions are intact in the root, " +
+        "delete the marker (rollback); if staged copies are the " +
+        "survivors, rename them in first. Marker body:\n" + body))
     applySwap(fs, staging,
       lines.collect { case l if l.startsWith("swap ") => l.stripPrefix("swap ") },
       lines.collect { case l if l.startsWith("drop ") => l.stripPrefix("drop ") })
@@ -527,19 +547,29 @@ final class TieredStore(spark: SparkSession, val root: String,
     * BEFORE the marker commits leaves a fully-staged
     * `<root>.delete-<uuid>` / `<root>.compact-<uuid>` sibling that
     * nothing references — correct but unbounded (a compact staging dir
-    * is a copy of the whole disk tier). Safe to sweep at open under the
-    * store's single-writer-per-root contract (the reference's global
-    * mutex, main.re:225-227): any marker was already rolled forward by
-    * [[recoverSwap]], so every remaining sibling is unreferenced. */
-  private def sweepOrphanStaging(): Unit = {
+    * is a copy of the whole disk tier). Any marker was already rolled
+    * forward by [[recoverSwap]], so a sibling OLDER than the grace
+    * period is unreferenced; the grace window protects the in-flight
+    * staging of a concurrent instance (a single-writer-contract
+    * violation, but one the recovery spec itself constructs) from
+    * being swept mid-swap. */
+  private[graft] def sweepOrphanStaging(
+      graceMs: Long = TieredStore.StagingGraceMs): Unit = {
     val fs = storeFs
     val rootPath = new Path(root)
     val parent = rootPath.getParent
     if (parent == null || !fs.exists(parent)) return
     val prefix = rootPath.getName
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(parent).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix + ".delete-") || n.startsWith(prefix + ".compact-"))
+      // grace period: a sibling younger than graceMs may be another
+      // instance's IN-FLIGHT staging (two instances on one root violate
+      // the single-writer contract, but a scaladoc contract must not be
+      // the only thing between a race and silent survivor loss); a
+      // crash-orphaned dir is by definition old by the next open
+      if ((n.startsWith(prefix + ".delete-") || n.startsWith(prefix + ".compact-"))
+          && st.getModificationTime < cutoff)
         fs.delete(st.getPath, true)
     }
   }
@@ -634,6 +664,12 @@ object TieredStore {
     * ignore it). Present only inside a swap's crash window; completed
     * forward by [[TieredStore.recoverSwap]] on the next open. */
   val SwapMarker = "_swap_inprogress"
+
+  /** Grace period before an unreferenced `.delete-*`/`.compact-*`
+    * staging sibling is garbage-collected at open: long enough that any
+    * concurrent instance's in-flight swap (seconds) is never swept,
+    * short enough that crash orphans go at the next open. */
+  val StagingGraceMs: Long = 60L * 60 * 1000
 
   /** How many superseded buffer checkpoints stay alive after a mutation:
     * a returned frame remains a valid immutable snapshot for at least this

@@ -103,31 +103,42 @@ class TieredStoreRecoverySpec extends SparkSuite {
     assert(fp(reopened.snapshot) == fp(rows.toDF().filter(col("series") === "b")))
   }
 
-  test("zero-length marker (rename journaled before data) rolls back; orphan staging swept") {
+  test("zero-length marker fails LOUDLY (never guess a direction); orphan sweep honors grace") {
     val root = tmpDir("tier_empty_marker")
     val st = new TieredStore(spark, root)
     st.appendDisk(seedRows.toDF())
-    // simulate the power-loss artifact: marker committed with no data
-    // blocks, plus a fully-staged orphan from a pre-marker crash
-    assert(new java.io.File(root, TieredStore.SwapMarker).createNewFile())
+    // a fresh orphan (a pre-marker crash artifact, or a concurrent
+    // instance's in-flight staging): inside the grace window, NOT swept
     val orphan = new java.io.File(root + ".delete-deadbeef")
     assert(orphan.mkdir())
     assert(new java.io.File(orphan, "series=a").mkdir())
-    val reopened = new TieredStore(spark, root)
-    // empty marker = pre-commit: discarded, store content untouched
-    assert(fp(reopened.snapshot) == fp(seedRows.toDF()))
-    assert(!new java.io.File(root, TieredStore.SwapMarker).exists())
-    assert(!orphan.exists(), "open-time sweep must collect orphaned staging dirs")
+    st.sweepOrphanStaging() // default grace
+    assert(orphan.exists(), "in-grace staging must survive the sweep")
+    st.sweepOrphanStaging(graceMs = 0L) // explicit GC past the grace
+    assert(!orphan.exists(), "post-grace orphan must be collected")
+    // a zero-length marker is ambiguous (pre-commit rollback vs torn
+    // committed swap whose staged dirs hold the only survivors) — the
+    // store must refuse to open rather than guess and destroy data
+    assert(new java.io.File(root, TieredStore.SwapMarker).createNewFile())
+    val e = intercept[IllegalStateException] { new TieredStore(spark, root) }
+    assert(e.getMessage.contains("empty swap marker"), e.getMessage)
+    assert(new java.io.File(root, TieredStore.SwapMarker).exists(),
+      "the ambiguous marker must be left in place for manual remediation")
+    // manual rollback (the pre-commit case): delete the marker, reopen
+    assert(new java.io.File(root, TieredStore.SwapMarker).delete())
+    assert(fp(new TieredStore(spark, root).snapshot) == fp(seedRows.toDF()))
   }
 
   test("reopen hydration respects the bounds cap: untracked series degrade, stay correct") {
     val root = tmpDir("tier_cap_reopen")
     new TieredStore(spark, root).appendDisk(seedRows.toDF()) // 2 series
-    val reopened = new TieredStore(spark, root, maxTrackedSeries = 1)
-    // the collect was capped at 2 rows, one series tracked, overflow set —
-    // and the UNTRACKED series must still read right via the conservative
-    // path even with an overlapping buffer
-    assert(reopened.lifecycleStats._2 <= 1)
+    // cap 0 -> NO series tracked after hydration (deterministic: with a
+    // nonzero cap, WHICH series lands in rows.take(cap) depends on
+    // aggregate output order), overflow set -> every series must read
+    // right via the conservative merge path even with an overlapping
+    // buffer
+    val reopened = new TieredStore(spark, root, maxTrackedSeries = 0)
+    assert(reopened.lifecycleStats._2 == 0)
     reopened.appendMemory(
       Seq((dp("b", T0 + 50500L, 7777L), 0L)).toDF("d", TieredStore.SEQ)
         .select(col("d.*"), col(TieredStore.SEQ)),
