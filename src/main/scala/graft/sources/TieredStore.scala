@@ -446,26 +446,10 @@ final class TieredStore(spark: SparkSession, val root: String,
     val body = (s"staging $staging" +:
       (stagedNames.map("swap " + _) ++ dropNames.map("drop " + _)))
       .mkString("", "\n", "\n")
-    // durable write BEFORE the rename: a crash can journal the rename
-    // ahead of the data blocks (create+rename-to-new-name is outside the
-    // rename-overwrite fsync heuristic), committing a zero-length marker.
-    // On the local scheme hsync() through ChecksumFileSystem is silently
-    // just a flush (the wrapped stream is not Syncable), so force the
-    // bytes with an honest FileChannel.force — the same file-scheme
-    // dispatch as VersionedStore.publishExclusive; real Syncable stores
-    // (HDFS) get hsync.
-    if ("file" == Option(fs.getUri.getScheme).getOrElse("file")) {
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      try { ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8"))); ch.force(true) }
-      finally ch.close()
-    } else {
-      val out = fs.create(tmp, true)
-      try { out.write(body.getBytes("UTF-8")); out.hsync() } finally out.close()
-    }
+    // durable (forced, full-write-looped) marker bytes BEFORE the
+    // rename — see DurableWrite for the journaling hazard and the
+    // ChecksumFileSystem hsync caveat
+    DurableWrite.write(fs, tmp, body.getBytes("UTF-8"))
     require(fs.rename(tmp, marker), s"failed to commit swap marker $marker")
     try applySwap(fs, staging, stagedNames, dropNames)
     catch {
@@ -563,13 +547,25 @@ final class TieredStore(spark: SparkSession, val root: String,
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(parent).foreach { st =>
       val n = st.getPath.getName
-      // grace period: a sibling younger than graceMs may be another
-      // instance's IN-FLIGHT staging (two instances on one root violate
-      // the single-writer contract, but a scaladoc contract must not be
-      // the only thing between a race and silent survivor loss); a
-      // crash-orphaned dir is by definition old by the next open
+      // two guards before deleting a sibling: (1) a `_temporary` child
+      // means a Spark write job is (or was) mid-flight into it — an
+      // ACTIVE writer's staging must never be swept (two instances on
+      // one root violate the single-writer contract, but a scaladoc
+      // contract must not be the only thing between a race and silent
+      // survivor loss); (2) the grace window covers the gap between a
+      // writer's job commit (which removes `_temporary` and refreshes
+      // the mtime) and its swap. Accretion stays BOUNDED under
+      // crash-restart loops: every open sweeps all orphans older than
+      // the grace, so at any moment the survivors are at most the
+      // orphans created in the last graceMs (plus died-mid-write
+      // `_temporary` carcasses, which the next post-grace open without
+      // a live writer collects via the mtime check once their job is
+      // provably dead — conservatively never, if a writer could still
+      // exist; disk cost is then bounded by contract violations, not
+      // by crashes).
       if ((n.startsWith(prefix + ".delete-") || n.startsWith(prefix + ".compact-"))
-          && st.getModificationTime < cutoff)
+          && st.getModificationTime < cutoff
+          && !fs.exists(new Path(st.getPath, "_temporary")))
         fs.delete(st.getPath, true)
     }
   }
@@ -613,6 +609,9 @@ final class TieredStore(spark: SparkSession, val root: String,
   /** Number of buffered points (the membuf length, one job over the
     * bounded buffer). */
   def bufferedCount(): Long = if (memEmpty) 0L else mem.count()
+
+  /** Whether any series' bounds were dropped on the cap (tests). */
+  private[graft] def boundsOverflowed: Boolean = boundsOverflow
 
   /** Buffer plan depth + tracked-bounds size, for lifecycle tests. */
   private[graft] def lifecycleStats: (Int, Int) =

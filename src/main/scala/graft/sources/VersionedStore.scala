@@ -72,7 +72,10 @@ object VersionedStore {
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
         Commit(n.stripPrefix("v").stripSuffix(".txt").toInt,
-          lines.find(_.startsWith("op ")).fold("?")(_.stripPrefix("op ")),
+          lines.find(_.startsWith("op ")).map(_.stripPrefix("op "))
+            .getOrElse(throw new IllegalStateException(
+              s"corrupt manifest $n under $root (no 'op' line — a torn " +
+              "commit?): refusing to read the chain silently")),
           lines.filter(_.startsWith("dir ")).map(_.stripPrefix("dir ")))
       }
   }
@@ -85,10 +88,13 @@ object VersionedStore {
     val txn = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, f".v$v%08d-$txn.tmp")
     val dest = new Path(mdir, f"v$v%08d.txt")
-    val out = fs.create(tmp, true)
-    try out.write((s"op $op" +: dirs.map("dir " + _) :+ s"txn $txn")
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    // durable manifest bytes before the CAS publish: the link/rename can
+    // be journaled ahead of the data blocks, and a zero-length manifest
+    // would read as an empty version — silent history corruption
+    // (see DurableWrite)
+    DurableWrite.write(fs, tmp,
+      (s"op $op" +: dirs.map("dir " + _) :+ s"txn $txn")
+        .mkString("\n").getBytes("UTF-8"))
     if (!publishExclusive(spark, fs, tmp, dest)) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(

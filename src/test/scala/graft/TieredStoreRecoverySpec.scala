@@ -138,13 +138,30 @@ class TieredStoreRecoverySpec extends SparkSuite {
     // right via the conservative merge path even with an overlapping
     // buffer
     val reopened = new TieredStore(spark, root, maxTrackedSeries = 0)
-    assert(reopened.lifecycleStats._2 == 0)
+    assert(reopened.lifecycleStats._2 == 0 && reopened.boundsOverflowed)
     reopened.appendMemory(
       Seq((dp("b", T0 + 50500L, 7777L), 0L)).toDF("d", TieredStore.SEQ)
         .select(col("d.*"), col(TieredStore.SEQ)),
       TieredStore.SEQ)
     val last = reopened.readLast(Seq("b"), 1).select("rid").as[Long].collect()
     assert(last.toSeq == Seq(1099L), s"capped reopen mis-read: ${last.toSeq}")
+    // the MIXED state (0 < cap < series count): exactly one series
+    // tracked (whichever the aggregate emitted first — unspecified),
+    // overflow set, and BOTH series must read right with overlapping
+    // buffers — covering the tracked and the conservative untracked
+    // path regardless of which series drew which
+    val mixed = new TieredStore(spark, root, maxTrackedSeries = 1)
+    assert(mixed.lifecycleStats._2 == 1 && mixed.boundsOverflowed,
+      s"mixed hydration state: ${mixed.lifecycleStats}")
+    mixed.appendMemory(
+      Seq((dp("a", T0 + 50500L, 8888L), 0L), (dp("b", T0 + 50500L, 9999L), 1L))
+        .toDF("d", TieredStore.SEQ)
+        .select(col("d.*"), col(TieredStore.SEQ)),
+      TieredStore.SEQ)
+    val lastA = mixed.readLast(Seq("a"), 1).select("rid").as[Long].collect()
+    val lastB = mixed.readLast(Seq("b"), 1).select("rid").as[Long].collect()
+    assert(lastA.toSeq == Seq(99L) && lastB.toSeq == Seq(1099L),
+      s"mixed-cap reopen mis-read: a=${lastA.toSeq} b=${lastB.toSeq}")
   }
 
   test("plain reopen hydrates disk presence and per-series bounds") {
