@@ -22,6 +22,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object DurableWrite {
   def write(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit =
     if ("file" == Option(fs.getUri.getScheme).getOrElse("file")) {
+      // drop any stale ChecksumFileSystem sidecar: this write bypasses
+      // the checksum layer, and a leftover `.name.crc` (e.g. from a
+      // crashed fs.create-era attempt at the same path) would follow a
+      // later rename and fail every checksummed read of the artifact
+      val crc = new java.io.File(
+        new java.io.File(path.toUri.getPath).getParentFile,
+        "." + path.getName + ".crc")
+      if (crc.exists()) crc.delete()
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(path.toUri.getPath),
         java.nio.file.StandardOpenOption.CREATE,
