@@ -20,9 +20,10 @@ import org.apache.spark.sql.DataFrame
   * DELETE → [[Router.runDelete]] (live-store mutation). Responses mirror
   * the reference shapes (`main.re:120-173`): raw reads are a JSON array of
   * wire points, `length`/aggregate/status replies are a single object,
-  * `names` is an array of strings, unmatched paths are 404 and validation
-  * failures 400 with the reference's `Error:<msg>\n` text body
-  * (`main.re:216-223`). POST/DELETE acks carry this engine's observable
+  * `names` is an array of strings, and error replies are 400 with the
+  * reference's `Error:<msg>\n` text body — unmatched paths get its exact
+  * `Error:unknown path` (`main.re:192,200`), validation failures inside a
+  * matched route carry their specific message (`main.re:216-223`). POST/DELETE acks carry this engine's observable
   * counts (`{"ingested":…,"quarantined":…}` / `{"deleted":…}`) where the
   * reference replies an empty ok — a documented extension.
   *
@@ -63,11 +64,14 @@ final class HttpBinding(store: TieredStore, port: Int = 0,
         }
         respond(ex, 200, "application/json", reply)
       } catch {
-        case e: Router.UnknownRouteException =>
-          // the router's typed unmatched-route signal is the reference's
-          // 404 — dispatched on TYPE so a validation message sharing a
-          // prefix can never shadow it
-          respond(ex, 404, "text/plain", s"Error:${e.getMessage}\n")
+        case _: Router.UnknownRouteException =>
+          // the router's typed unmatched-route signal. The reference
+          // replies 400 `Error:unknown path` for unmatched paths
+          // (`main.re:192,200` — its not_found helper, `main.re:36`, is
+          // dead code), so that exact reply is reproduced here; the TYPE
+          // dispatch keeps the fixed body from ever shadowing a matched
+          // route's specific validation message below
+          respond(ex, 400, "text/plain", "Error:unknown path\n")
         case e: IllegalArgumentException =>
           // everything else within a matched route (bad numbers, bad
           // filter/pipe grammar, unknown aggregate) is the reference's 400

@@ -38,12 +38,14 @@ import org.apache.spark.sql.functions.col
   */
 object Router {
 
-  /** Thrown ONLY when no route pattern matches the path — the
-    * reference's 404 signal. Argument errors inside a matched route
-    * (bad filter grammar, unknown aggregate, non-numeric bounds) stay
-    * plain [[IllegalArgumentException]]s → the reference's 400. The
-    * binding dispatches on the TYPE, not a message prefix, so a
-    * validation message can never be mistaken for a missing route.
+  /** Thrown ONLY when no route pattern matches the path. The reference
+    * replies 400 `Error:unknown path` for these (`src/main.re:192,200`;
+    * its 404 helper is dead code), a FIXED body distinct from the
+    * specific messages argument errors inside a matched route carry (bad
+    * filter grammar, unknown aggregate, non-numeric bounds — plain
+    * [[IllegalArgumentException]]s, also 400). The binding dispatches on
+    * the TYPE, not a message prefix, so the two reply shapes can never
+    * shadow each other.
     */
   final class UnknownRouteException(route: String)
     extends IllegalArgumentException(s"unknown path: $route")

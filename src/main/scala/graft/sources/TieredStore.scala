@@ -131,15 +131,20 @@ final class TieredStore(spark: SparkSession, val root: String,
     * degrade to the conservative merge/flush paths via boundsOverflow,
     * exactly like cap eviction during normal operation. */
   private def hydrateBounds(): Unit = {
+    // clamp before the +1 (Int.MaxValue would overflow to a negative
+    // limit); the orderBy makes WHICH series get tracked bounds under a
+    // partial cap deterministic (series order), not plan-order luck
+    val cap = math.min(maxTrackedSeries, Int.MaxValue - 1)
     val rows = readStore.groupBy(SERIES)
       .agg(min(TS_US).as("lo"), max(TS_US).as("hi"))
-      .limit(maxTrackedSeries + 1)
+      .orderBy(SERIES)
+      .limit(cap + 1)
       .collect()
     if (rows.nonEmpty) diskNonEmpty = true
-    rows.take(maxTrackedSeries).foreach { r =>
+    rows.take(cap).foreach { r =>
       diskBounds.put(r.getString(0), (r.getLong(1), r.getLong(2)))
     }
-    if (rows.length > maxTrackedSeries) boundsOverflow = true
+    if (rows.length > cap) boundsOverflow = true
   }
 
   private def canonSel(df: DataFrame): DataFrame =

@@ -125,7 +125,8 @@ object ManySeriesProbe {
       }
       def files(p: String): Int = {
         def walk(f: java.io.File): Int =
-          if (f.isDirectory) f.listFiles().map(walk).sum
+          if (f.isDirectory) // null, not empty, on unreadable/vanished dirs
+            Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
           else if (f.getName.endsWith(".parquet")) 1 else 0
         walk(new java.io.File(p))
       }

@@ -64,17 +64,20 @@ class HttpBindingSpec extends SparkSuite {
       val d = delete(base, "/ts/foo/range/0/1500")
       assert(d.statusCode() == 200 && d.body() == """{"deleted":2}""", d.body())
       assert(get(base, "/ts/foo/length").body() == """{"length":1}""")
-      // status codes: unmatched path → 404, bad grammar args → 400, both
-      // with the reference's Error:<msg> text body
+      // error replies: both classes are 400 like the reference, but an
+      // unmatched path gets its exact fixed body `Error:unknown path`
+      // (main.re:192,200) while grammar args carry a specific message
       val nf = get(base, "/nope")
-      assert(nf.statusCode() == 404 && nf.body().startsWith("Error:unknown path"))
+      assert(nf.statusCode() == 400 && nf.body() == "Error:unknown path\n", nf.body())
       val bad = get(base, "/ts/foo/last/xx")
-      assert(bad.statusCode() == 400 && bad.body().startsWith("Error:"))
-      assert(delete(base, "/ts/foo/nope/1").statusCode() == 404)
-      assert(post(base, "/ts/a/b/c", "{}").statusCode() == 404)
-      // argument errors inside a MATCHED route must be 400, never 404:
-      // truncated filter grammar, bad match kind, unknown aggregate —
-      // the r9/r10 bug was prefix-matching these into the 404 branch
+      assert(bad.statusCode() == 400 && bad.body().startsWith("Error:")
+        && bad.body() != "Error:unknown path\n")
+      assert(delete(base, "/ts/foo/nope/1").body() == "Error:unknown path\n")
+      assert(post(base, "/ts/a/b/c", "{}").body() == "Error:unknown path\n")
+      // argument errors inside a MATCHED route must keep their specific
+      // message — truncated filter grammar, bad match kind, unknown
+      // aggregate; the r9/r10 bug was prefix-matching these into the
+      // unmatched-path reply
       assert(get(base, "/ts/foo/since/0/filter/u/equals").statusCode() == 400)
       assert(get(base, "/ts/foo/since/0/filter/u/near/1").statusCode() == 400)
       assert(get(base, "/ts/foo/since/0/variance").statusCode() == 400)

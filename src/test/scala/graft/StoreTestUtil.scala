@@ -18,8 +18,10 @@ object StoreTestUtil {
 
   /** Number of .parquet files under a directory tree. */
   def parquetFiles(p: String): Int = {
+    // listFiles is null (not empty) on an unreadable or concurrently
+    // removed dir — e.g. a _temporary dir vanishing mid-walk
     def walk(f: java.io.File): Int =
-      if (f.isDirectory) f.listFiles().map(walk).sum
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
     walk(new java.io.File(p))
   }
