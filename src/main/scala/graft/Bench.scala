@@ -273,8 +273,13 @@ object Bench {
     * hash — timing them would double-count those operators in the total.
     * `q_health` is the constant one-row route probe (I7): timing it
     * measures nothing and the stdout line's tail-window budget is scarce.
+    * `q_sim_neardup` is the BY-SPEC Θ(n²) exact-cosine validation tier
+    * behind the ANN recall gates (RecallGateSpec) — it stays in the
+    * correctness roster, but a deliberately quadratic verifier has no
+    * place in a timed roster whose totals are read as the engine's scale
+    * story (VERDICT r10/r11; roster change recorded in REGRESSIONS.md).
     */
-  private val untimed = Set("q_health")
+  private val untimed = Set("q_health", "q_sim_neardup")
   private[graft] def benchQueryNames: Seq[String] =
     SparkEntry.queries.keys.toSeq
       .filterNot(_.endsWith("_golden")).filterNot(untimed).sorted
