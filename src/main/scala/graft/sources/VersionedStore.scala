@@ -48,8 +48,24 @@ object VersionedStore {
 
   /** One committed version: `dirs` are the data directories (relative to
     * `root/data/`) whose union is the store content at `version`.
+    *
+    * `skips` (dir → excluded top-level partition dir names) make deletes
+    * PARTITION-SCOPED: a delete rewrites only the affected partitions'
+    * survivors into a fresh dir and excludes the stale partitions from
+    * the old dirs by name — the rest of the store is carried by
+    * reference, so delete cost tracks the affected partitions' data, not
+    * store size (the public Iceberg partition-overwrite idea, manifests
+    * staying KB-sized). `buckets` records the dirs' physical layout:
+    * None = `series=/day=` (every pre-r12 manifest), Some(b) =
+    * [[ShardStore]]'s high-cardinality `bucket=/day=` layout with
+    * `series` as an ordinary column.
     */
-  case class Commit(version: Int, op: String, dirs: Seq[String])
+  case class Commit(version: Int, op: String, dirs: Seq[String],
+                    skips: Seq[(String, String)] = Nil,
+                    buckets: Option[Int] = None) {
+    def skipsFor(dir: String): Seq[String] =
+      skips.collect { case (d, p) if d == dir => p }
+  }
 
   private val MANIFESTS = "_manifests"
 
@@ -76,12 +92,23 @@ object VersionedStore {
             .getOrElse(throw new IllegalStateException(
               s"corrupt manifest $n under $root (no 'op' line — a torn " +
               "commit?): refusing to read the chain silently")),
-          lines.filter(_.startsWith("dir ")).map(_.stripPrefix("dir ")))
+          lines.filter(_.startsWith("dir ")).map(_.stripPrefix("dir ")),
+          lines.filter(_.startsWith("skip ")).map { l =>
+            val s = l.stripPrefix("skip ")
+            val i = s.indexOf('/') // dir names carry no '/', partition
+            // names may carry '=' — split on the FIRST separator only
+            require(i > 0, s"corrupt manifest $n under $root (bad skip line: $l)")
+            (s.substring(0, i), s.substring(i + 1))
+          },
+          lines.collectFirst { case l if l.startsWith("layout bucketed ") =>
+            l.stripPrefix("layout bucketed ").trim.toInt })
       }
   }
 
   private[graft] def commitAt(spark: SparkSession, root: String, v: Int,
-                              op: String, dirs: Seq[String]): Int = {
+                              op: String, dirs: Seq[String],
+                              skips: Seq[(String, String)] = Nil,
+                              buckets: Option[Int] = None): Int = {
     val fs = fsOf(spark, root)
     val mdir = new Path(root, MANIFESTS)
     fs.mkdirs(mdir)
@@ -93,7 +120,9 @@ object VersionedStore {
     // would read as an empty version — silent history corruption
     // (see DurableWrite)
     DurableWrite.write(fs, tmp,
-      (s"op $op" +: dirs.map("dir " + _) :+ s"txn $txn")
+      (Seq(s"op $op") ++ buckets.map(b => s"layout bucketed $b") ++
+        dirs.map("dir " + _) ++
+        skips.map { case (d, p) => s"skip $d/$p" } :+ s"txn $txn")
         .mkString("\n").getBytes("UTF-8"))
     if (!publishExclusive(spark, fs, tmp, dest)) {
       fs.delete(tmp, false)
@@ -324,10 +353,43 @@ object VersionedStore {
     val vs = versions(spark, root)
     val c = vs.find(_.version == v).getOrElse(throw new IllegalArgumentException(
       s"version $v not committed (have ${vs.map(_.version).mkString(",")})"))
+    contentOf(spark, root, c)
+  }
+
+  /** One data dir of `c` with that dir's skips applied and the physical
+    * partition columns still present (flat: `series`,`day`; bucketed:
+    * `bucket`,`day` plus the ordinary `series` column). The skip filter
+    * lands on a PARTITION column either way, so Catalyst prunes the
+    * excluded partitions at listing time — a skipped partition costs no
+    * IO, exactly like a physically removed dir.
+    */
+  private[sources] def dirFrameRaw(spark: SparkSession, root: String,
+                                   c: Commit, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    val base = spark.read.parquet(s"$root/data/$d")
+    val sk = c.skipsFor(d)
+    if (sk.isEmpty) base
+    else c.buckets match {
+      case Some(_) =>
+        val ns = sk.map(_.stripPrefix(ShardStore.BUCKET + "=").toLong)
+        base.filter(!col(ShardStore.BUCKET).isin(ns: _*))
+      case None =>
+        val vs = sk.map(p => unescapePathName(p.stripPrefix(SERIES + "=")))
+        base.filter(!col(SERIES).isin(vs: _*))
+    }
+  }
+
+  /** The canonical content of one commit: its dirs' skip-filtered union,
+    * projected to the canonical columns. One relation per dir — plan
+    * size is bounded by mutations since the last compact, and each
+    * relation prunes its own partitions independently.
+    */
+  private[sources] def contentOf(spark: SparkSession, root: String,
+                                 c: Commit): DataFrame = {
     val canon = Seq(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
     if (c.dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else c.dirs.map(d => spark.read.parquet(s"$root/data/$d").select(canon: _*))
+    else c.dirs.map(d => dirFrameRaw(spark, root, c, d).select(canon: _*))
       .reduce(_ unionByName _)
   }
 }
