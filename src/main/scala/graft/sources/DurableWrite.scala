@@ -6,9 +6,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * renamed/linked into place: a crash can journal the rename ahead of
   * the file's data blocks (create+rename-to-new-name sits outside the
   * ext4 rename-overwrite fsync heuristic), publishing a zero-length
-  * commit artifact. Shared by the two stores whose commit points are
-  * rename-published metadata files — [[TieredStore]]'s swap intent
-  * marker and [[VersionedStore]]'s version manifests.
+  * commit artifact. Used for every rename-published commit artifact —
+  * today that is [[VersionedStore]]'s version manifests, the single
+  * commit point of versioned AND tiered stores alike.
   *
   * On the local scheme, Hadoop's ChecksumFileSystem output stream is
   * not Syncable, so `hsync()` silently degrades to a flush — the bytes

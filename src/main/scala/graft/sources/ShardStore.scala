@@ -146,8 +146,8 @@ object ShardStore {
     * coalesces each dir to task-count files (typically 1) with the same
     * within-file (series, ts_us) sort — content identical, row-group
     * stats as tight as a fresh write. Out-of-place like [[compact]];
-    * the live in-place form is `TieredStore.compactDisk` (marker-
-    * committed atomic swap).
+    * the live in-place form is `TieredStore.compactDisk` (manifest-
+    * chain commit + expiry).
     */
   def compactBucketed(spark: SparkSession, path: String, outPath: String,
                       buckets: Int): Unit =

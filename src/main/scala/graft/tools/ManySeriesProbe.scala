@@ -110,7 +110,7 @@ object ManySeriesProbe {
       // delete-rewrite at high cardinality (r10 item 6/7): a 10-series
       // delete touches only those ids' BUCKET dirs (≤10 of 64), so the
       // rewrite cost is bucket-local, not store-wide. Then live
-      // compaction (marker-committed swap) coalesces the layout; both
+      // compaction (manifest-chain commit + expiry) coalesces the layout; both
       // must preserve content exactly.
       val delIds = (0 until 10).map(i => s"s$i")
       val preCount = bst.snapshot.count()

@@ -28,7 +28,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    is ingesting into (the HTTP DELETE scenario under load — store
   *    lock serializes the partition swap against micro-batch appends;
   *    its count must be exactly the 200 s0 rows of that window), and
-  *    every 50 waves a live `compactDisk` (marker-committed swap) must
+  *    every 50 waves a live `compactDisk` (manifest-chain commit + expiry) must
   *    leave the total unchanged.
   *
   * Exit: nonzero on any violation; prints one summary row per 10 waves.

@@ -35,3 +35,24 @@ object CheckpointBridge {
       case _ => ()
     }
 }
+
+/** The file set a plan would ACTUALLY scan, post-partition-pruning (one
+  * entry per scan that selects the file, so a file read by two scans
+  * appears twice). `Dataset.inputFiles` ignores partition filters, and a
+  * plan's string form truncates scan locations — this walks the physical
+  * scans' `selectedPartitions` (descending through AQE wrappers), the
+  * ground truth the scan-narrowing specs pin their IO claims on.
+  */
+object ScanBridge {
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+      case other =>
+        other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+}

@@ -91,7 +91,9 @@ class BucketedLayoutSpec extends SparkSuite {
     assert(fp(st.snapshot) == before, "live compaction changed the store content")
     assert(parquetFiles(root) < filesBefore,
       s"live compaction did not coalesce: $filesBefore -> ${parquetFiles(root)}")
-    assert(!new java.io.File(root, TieredStore.SwapMarker).exists())
+    // the compaction committed + expired through the manifest chain: one
+    // live version, one data dir, no leftover history
+    assert(st.diskVersions.map(_.op) == Seq("compact"))
     // the store stays fully operational: read + delete after compaction
     assert(st.readLast(Seq("s0"), 1).select("rid").as[Long].head() == 99999L)
     assert(st.delete(Seq("s1"), T0, T0 + 1000000000L) > 0L)

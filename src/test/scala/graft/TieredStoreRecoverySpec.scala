@@ -1,17 +1,21 @@
 package graft
 
 import graft.model.Canon.{Datapoint, TagEntry}
-import graft.sources.TieredStore
+import graft.sources.{TieredStore, VersionedStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Crash-atomicity of the delete rewrite (VERDICT r10 item 4): the
-  * multi-dir partition swap commits an intent marker before its first
-  * delete, and a process that dies anywhere in the delete→rename window
-  * leaves a store the NEXT open rolls forward to exactly the post-delete
-  * state — no lost survivors, no resurrected rows. Also covers plain
-  * reopen: a fresh instance over an existing root must see the disk tier
-  * (presence + per-series bounds) instead of treating it as empty.
+/** Crash-atomicity of the unified manifest protocol (VERDICT r11/r12
+  * item 1): every disk-tier mutation commits through the
+  * [[VersionedStore]] manifest CAS, so it is ALL-OR-NOTHING — a writer
+  * that dies after staging its data dir but before the CAS leaves the
+  * chain at the pre-mutation version plus one inert orphan dir; there is
+  * no torn intermediate state and no roll-forward to run. Also covers
+  * the live store's time-travel/CDC dividend, skip persistence across
+  * appends (the ADVICE r12 resurrection bug), torn-manifest loud
+  * failure, and plain reopen: a fresh instance over an existing root
+  * must see the disk tier (presence + per-series bounds) instead of
+  * treating it as empty.
   */
 class TieredStoreRecoverySpec extends SparkSuite {
   import spark.implicits._
@@ -31,101 +35,104 @@ class TieredStoreRecoverySpec extends SparkSuite {
     val root = tmpDir("tier_crash")
     val st = new TieredStore(spark, root, seriesBuckets = buckets)
     st.appendDisk(seedRows.toDF())
-    // delete the middle half of both series, crashing after the old
-    // partition dirs are gone but before any staged rewrite is published
-    st.crashAfterDeletes = true
-    val e = intercept[IllegalStateException] {
-      st.delete(Seq("a", "b"), T0 + 25000L, T0 + 74000L)
+    // a delete whose writer died AFTER staging the survivors dir but
+    // BEFORE the manifest CAS: the commit never happened, so the store
+    // still reads the PRE-delete content — all-or-nothing, the opposite
+    // failure mode of the former swap protocol's torn listing
+    val survivors = seedRows.toDF()
+      .filter(!col("ts_us").between(T0 + 25000L, T0 + 74000L))
+    val orphan = s"$root/data/d00000099-delete-deadbeef"
+    buckets match {
+      case Some(b) => graft.sources.ShardStore.appendBucketed(survivors, orphan, b)
+      case None    => graft.sources.ShardStore.append(survivors, orphan)
     }
-    assert(e.getMessage.startsWith("injected crash"), e.getMessage)
-    val marker = new java.io.File(root, TieredStore.SwapMarker)
-    assert(marker.exists(), "crash window must leave the intent marker")
-    // the crashed store IS torn (survivor dirs unpublished) — that is the
-    // bug class; recovery is the contract
     val reopened = new TieredStore(spark, root, seriesBuckets = buckets)
-    val expected = seedRows.toDF().filter(
-      !col("ts_us").between(T0 + 25000L, T0 + 74000L))
-    assert(fp(reopened.snapshot) == fp(expected),
-      s"recovered store diverges from the post-delete state (buckets=$buckets)")
-    assert(!marker.exists(), "recovery must clear the marker")
-    assert(!new java.io.File(root).getParentFile.listFiles()
-      .exists(_.getName.startsWith(new java.io.File(root).getName + ".delete-")),
-      "recovery must drop the staging dir")
-    // the recovered store stays fully operational: a second (clean)
-    // delete over the repaired partitions
-    assert(reopened.delete(Seq("a"), T0, T0 + 10000L) == 11L)
-    assert(fp(reopened.snapshot) ==
-      fp(expected.filter(!(col("series") === "a" && col("ts_us") <= T0 + 10000L))))
+    assert(fp(reopened.snapshot) == fp(seedRows.toDF()),
+      s"an uncommitted staging dir changed store content (buckets=$buckets)")
+    // the orphan is inert and INSIDE the grace window: the open must not
+    // sweep a dir a concurrent writer may be about to commit
+    assert(new java.io.File(orphan).exists(), "in-grace orphan swept at open")
+    VersionedStore.sweepOrphanData(spark, root, graceMs = 0L)
+    assert(!new java.io.File(orphan).exists(), "post-grace orphan not collected")
+    // the store stays fully operational: the delete re-run commits cleanly
+    assert(reopened.delete(Seq("a", "b"), T0 + 25000L, T0 + 74000L) == 100L)
+    val expected = seedRows.toDF()
+      .filter(!col("ts_us").between(T0 + 25000L, T0 + 74000L))
+    assert(fp(reopened.snapshot) == fp(expected))
+    // committed data dirs are never swept, however old they look
+    VersionedStore.sweepOrphanData(spark, root, graceMs = 0L)
+    assert(fp(new TieredStore(spark, root, seriesBuckets = buckets).snapshot)
+      == fp(expected))
   }
 
-  test("crash between delete and publish: reopen rolls the swap forward (flat layout)") {
+  test("crashed (uncommitted) delete leaves the pre-delete version; orphan GC honors grace (flat)") {
     crashScenario(None)
   }
 
-  test("crash between delete and publish: reopen rolls the swap forward (bucketed layout)") {
+  test("crashed (uncommitted) delete leaves the pre-delete version; orphan GC honors grace (bucketed)") {
     crashScenario(Some(4))
   }
 
-  test("in-process retry after a failed swap repairs via the marker (no reopen)") {
-    val root = tmpDir("tier_retry")
+  test("live-store time travel + CDC across a delete; compactDisk expires history") {
+    val root = tmpDir("tier_tt")
     val st = new TieredStore(spark, root)
     st.appendDisk(seedRows.toDF())
-    st.crashAfterDeletes = true
-    intercept[IllegalStateException] {
-      st.delete(Seq("a", "b"), T0 + 25000L, T0 + 74000L)
-    }
-    st.crashAfterDeletes = false
-    // the SAME instance's next mutation must roll the committed plan
-    // forward BEFORE counting — without that it reads the torn listing
-    // ("nothing matched"), returns 0 against missing rows, and a fresh
-    // swap would overwrite the marker and orphan the staged survivors
-    assert(st.delete(Seq("a", "b"), T0 + 25000L, T0 + 74000L) == 0L)
+    val v1 = st.diskVersions.last.version
+    assert(st.delete(Seq("a"), T0 + 25000L, T0 + 74000L) == 50L)
+    val v2 = st.diskVersions.last.version
     val expected = seedRows.toDF().filter(
-      !col("ts_us").between(T0 + 25000L, T0 + 74000L))
+      !(col("series") === "a" && col("ts_us").between(T0 + 25000L, T0 + 74000L)))
+    // time travel: the pre-delete version stays exactly readable
+    assert(fp(st.readDiskAt(v1)) == fp(seedRows.toDF()))
+    assert(fp(st.readDiskAt(v2)) == fp(expected))
+    // CDC: the delete surfaces as 50 'delete' changes, no inserts (the
+    // survivors dir's rows carry their old rids and cancel in the diff)
+    val ch = st.diskChanges(v1, v2)
+    assert(ch.filter(col(VersionedStore.CHANGE_TYPE) === "delete").count() == 50L)
+    assert(ch.filter(col(VersionedStore.CHANGE_TYPE) === "insert").count() == 0L)
+    // retainHistory: compaction without the space reclaim keeps history
+    st.compactDisk(retainHistory = true)
+    assert(fp(st.readDiskAt(v1)) == fp(seedRows.toDF()))
     assert(fp(st.snapshot) == fp(expected))
-    assert(!new java.io.File(root, TieredStore.SwapMarker).exists())
+    // the default compact expires superseded versions (OPTIMIZE+VACUUM):
+    // old versions stop being readable, the live content is unchanged
+    st.compactDisk()
+    intercept[IllegalArgumentException] { st.readDiskAt(v1) }
+    assert(fp(st.snapshot) == fp(expected))
+    assert(st.diskVersions.size == 1 && st.diskVersions.last.op == "compact")
   }
 
-  test("zero-survivor partitions (drop fate) recover too") {
-    val root = tmpDir("tier_crash_drop")
+  test("delete skips survive later appends and reopens; escaped series names round-trip") {
+    val root = tmpDir("tier_skips")
     val st = new TieredStore(spark, root)
-    // disjoint ts ranges so one range wipes a (drop fate, no staged dir)
-    // while b — listed in ids, so its dir is replaced — survives intact
-    // through an identity rewrite (swap fate, where the crash fires)
-    val rows = (0L until 100L).flatMap(i =>
-      Seq(dp("a", T0 + i * 1000L, i), dp("b", T0 + 500000L + i * 1000L, 1000 + i)))
-    st.appendDisk(rows.toDF())
-    st.crashAfterDeletes = true
-    intercept[IllegalStateException] {
-      st.delete(Seq("a", "b"), T0, T0 + 200000L)
-    }
-    val reopened = new TieredStore(spark, root)
-    assert(fp(reopened.snapshot) == fp(rows.toDF().filter(col("series") === "b")))
+    val odd = "a b:c%7" // space, colon, percent — all escaped in partition paths
+    val oddRows = (0L until 20L).map(i => dp(odd, T0 + i * 1000L, i))
+    val bRows = (0L until 20L).map(i => dp("b", T0 + i * 1000L, 100 + i))
+    st.appendDisk((oddRows ++ bRows).toDF())
+    assert(st.delete(Seq(odd), T0, T0 + 100000L) == 20L)
+    val tip = st.diskVersions.last
+    assert(tip.skips.nonEmpty && tip.skips.forall(_._2.startsWith("series=")),
+      s"partition-scoped delete must commit skip exclusions, got ${tip.skips}")
+    // the ADVICE r12 resurrection bug: an append after a delete must carry
+    // the parent's skips — without that the deleted partition reappears
+    val bMore = (20L until 30L).map(i => dp("b", T0 + i * 1000L, 100 + i))
+    st.appendDisk(bMore.toDF())
+    assert(fp(st.snapshot) == fp((bRows ++ bMore).toDF()),
+      "append after delete resurrected the deleted partition")
+    assert(fp(new TieredStore(spark, root).snapshot) == fp((bRows ++ bMore).toDF()),
+      "reopen diverges from the in-process view")
   }
 
-  test("zero-length marker fails LOUDLY (never guess a direction); orphan sweep honors grace") {
-    val root = tmpDir("tier_empty_marker")
+  test("a torn manifest fails LOUDLY on open (never a silent empty version)") {
+    val root = tmpDir("tier_torn")
     val st = new TieredStore(spark, root)
     st.appendDisk(seedRows.toDF())
-    // a fresh orphan (a pre-marker crash artifact, or a concurrent
-    // instance's in-flight staging): inside the grace window, NOT swept
-    val orphan = new java.io.File(root + ".delete-deadbeef")
-    assert(orphan.mkdir())
-    assert(new java.io.File(orphan, "series=a").mkdir())
-    st.sweepOrphanStaging() // default grace
-    assert(orphan.exists(), "in-grace staging must survive the sweep")
-    st.sweepOrphanStaging(graceMs = 0L) // explicit GC past the grace
-    assert(!orphan.exists(), "post-grace orphan must be collected")
-    // a zero-length marker is ambiguous (pre-commit rollback vs torn
-    // committed swap whose staged dirs hold the only survivors) — the
-    // store must refuse to open rather than guess and destroy data
-    assert(new java.io.File(root, TieredStore.SwapMarker).createNewFile())
+    val torn = new java.io.File(root, "_manifests/v00000099.txt")
+    assert(torn.createNewFile())
     val e = intercept[IllegalStateException] { new TieredStore(spark, root) }
-    assert(e.getMessage.contains("empty swap marker"), e.getMessage)
-    assert(new java.io.File(root, TieredStore.SwapMarker).exists(),
-      "the ambiguous marker must be left in place for manual remediation")
-    // manual rollback (the pre-commit case): delete the marker, reopen
-    assert(new java.io.File(root, TieredStore.SwapMarker).delete())
+    assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
+    // remediation: remove the torn file; the chain is intact again
+    assert(torn.delete())
     assert(fp(new TieredStore(spark, root).snapshot) == fp(seedRows.toDF()))
   }
 

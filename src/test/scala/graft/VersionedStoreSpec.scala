@@ -202,6 +202,55 @@ class VersionedStoreSpec extends SparkSuite {
     intercept[IllegalArgumentException] { VersionedStore.readChanges(spark, root, 1, 9) }
   }
 
+  test("mixed-range CDC scans only changed partitions; dedupChangesSince reads fromV ONCE") {
+    import org.apache.spark.sql.graft.ScanBridge.scannedFiles
+    val root = tmpDir("vstore_narrow")
+    def rows(series: String, ridLo: Long, n: Int): DataFrame = {
+      import spark.implicits._
+      (ridLo until ridLo + n).map(r => (series, r)).toDF("series", "rid")
+        .withColumn(Canon.TS_US, col("rid") * 1000L)
+        .withColumn(Canon.TAG, array(struct(lit("k").as("name"), lit("v").as("value"))))
+        .withColumn(Canon.VALUE, lit(1.0))
+        .select(Canon.SERIES, Canon.TS_US, Canon.TAG, Canon.VALUE, Canon.RID)
+    }
+    VersionedStore.append(rows("a", 0, 10).unionByName(rows("b", 100, 10)), root) // v1
+    VersionedStore.append(rows("b", 200, 10), root)                               // v2
+    val tip = VersionedStore.versions(spark, root).last
+    // partition-scoped wipe of series a: skips only, no survivors dir
+    VersionedStore.deletePartitions(rows("a", 0, 0), root, Seq("series=a"),
+      tip.version)                                                                // v3
+    val v1Dir = VersionedStore.versions(spark, root).head.dirs.head
+    // semantics: deletes = the wiped a rows, inserts = v2's appended b rows
+    val ch = VersionedStore.readChanges(spark, root, 1, 3)
+    assert(fp(ch.filter(col(VersionedStore.CHANGE_TYPE) === "delete")
+      .drop(VersionedStore.CHANGE_TYPE)) == fp(rows("a", 0, 10)))
+    assert(fp(ch.filter(col(VersionedStore.CHANGE_TYPE) === "insert")
+      .drop(VersionedStore.CHANGE_TYPE)) == fp(rows("b", 200, 10)))
+    // scan narrowing: the delete-straddling diff must NOT read v1's
+    // UNTOUCHED series=b partition — only the newly-skipped series=a
+    // partition of v1 and v2's added dir (the manifest-narrowed diff)
+    val chScan = scannedFiles(ch)
+    assert(chScan.exists(_.contains(s"$v1Dir/series=a")), chScan.mkString("\n"))
+    assert(!chScan.exists(_.contains(s"$v1Dir/series=b")),
+      s"mixed diff re-read an unchanged partition of fromV:\n${chScan.mkString("\n")}")
+    // the r12 double-scan, pinned closed: dedupChangesSince reads each
+    // UNTOUCHED fromV file exactly once (the seen side) — the change
+    // feed no longer re-reads the whole fromV snapshot. The touched
+    // partition is read at most twice by design: once for the seen
+    // hashes, once as the newly-skipped delete candidate of the diff.
+    val ddScan = scannedFiles(
+      VersionedStore.dedupChangesSince(spark, root, 1, 3, col(Canon.SERIES)))
+    val untouched = ddScan.filter(_.contains(s"$v1Dir/series=b"))
+      .groupBy(identity).map(_._2.size)
+    assert(untouched.nonEmpty && untouched.max == 1,
+      s"an unchanged fromV file is scanned more than once:\n${ddScan.mkString("\n")}")
+    assert(ddScan.filter(_.contains(s"$v1Dir/series=a"))
+      .groupBy(identity).map(_._2.size).forall(_ <= 2), ddScan.mkString("\n"))
+    // and the reconstruction contract holds across the narrowed diff
+    assert(fp(VersionedStore.applyChanges(VersionedStore.readAt(spark, root, 1), ch))
+      == fp(VersionedStore.readAt(spark, root, 3)))
+  }
+
   test("dedupChangesSince: seen-at-fromV dropped, first-in-delta wins, deletes ignored") {
     import spark.implicits._
     val root = tmpDir("vstore_dedup")
