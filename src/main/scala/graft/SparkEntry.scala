@@ -1789,7 +1789,7 @@ object SparkEntry {
     "q_sim_ann" -> "62831741413356666920",
     "q_sim_clusters_ivf" -> "-9728532660618393492",
     "q_sim_ivf_trained" -> "100154140864456300131",
-    "q_sim_pq" -> "-61701531336557848005",
+    "q_sim_pq" -> "4786758663279050447", // re-pinned r13: two-level residual PQ
     "q_text_bpe" -> "20492531778356716084",
     "q_text_bpe_encode" -> "-78832791577822915854",
     "q_text_winnowing" -> "436813087055418648453")

@@ -193,10 +193,11 @@ class SimilaritySpec extends SparkSuite {
     val got = pq.select("qid", "vec_id").as[(Long, Long)].collect().toSet
     assert(got.size == brute.size)
     val recall = (brute intersect got).size.toDouble / brute.size
-    // 0.42 measured on this corpus — random synthetic embeddings are the
-    // PQ worst case (no cluster structure for the codebooks to exploit);
-    // the refine stage is what holds the floor
-    assert(recall >= 0.30, s"recall $recall")
+    // random synthetic embeddings are the PQ worst case (no cluster
+    // structure for the codebooks to exploit); the two-level residual
+    // encoding + refine stage hold this floor (r12 single-level measured
+    // 0.42 here; the hard uniform gate lives in RecallGateSpec)
+    assert(recall >= 0.50, s"recall $recall")
     // determinism: a second full run (fresh plan, memoized codebooks)
     val again = Similarity.pqTopK(emb, qids, k = 10, m = 4, ksub = 16).collect()
     assert(pq.collect().sameElements(again))
