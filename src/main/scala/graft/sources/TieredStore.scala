@@ -96,21 +96,31 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * lands at cached-tip + 1, so the manifest CAS additionally rejects any
   * out-of-band writer racing the same root.
   *
-  * @param seriesBuckets None = the reference-faithful `series=/day=`
-  *   layout (one dir per series — perfect pruning, right for the
-  *   reference's handful-of-series model). Some(b) = the bucketed
-  *   high-cardinality layout (`bucket=/day=`, series as an ordinary
-  *   column): choose it when the store will hold more than roughly
-  *   [[TieredStore.BucketLayoutThreshold]] series — past that, the flat
+  * @param seriesBuckets the layout a NEW store is created with: None =
+  *   the reference-faithful `series=/day=` layout (one dir per series —
+  *   perfect pruning, right for the reference's handful-of-series
+  *   model); Some(b) = the bucketed high-cardinality layout
+  *   (`bucket=/day=`, series as an ordinary column). Reads are
+  *   layout-invisible (same rows, same order — property-tested). The
+  *   layout is per-COMMIT manifest state: on reopen the persisted
+  *   chain's tip is authoritative (a flat store may have been elected
+  *   bucketed since), and this argument only seeds creation.
+  * @param electBucketsAt automatic layout election (VERDICT r11/r12
+  *   item 4): once a FLAT store's tracked series cardinality reaches
+  *   this threshold, the next mutation migrates the disk tier to the
+  *   bucketed layout ([[TieredStore.ElectedBuckets]] buckets) via one
+  *   [[VersionedStore.compactAs]] commit + history expiry — past
+  *   roughly [[TieredStore.BucketLayoutThreshold]] series the flat
   *   layout's per-series directory creation dominates sync cost
-  *   (ManySeriesProbe: 36s/1k series flat vs seconds bucketed). Reads
-  *   are layout-invisible (same rows, same order — property-tested);
-  *   the layout is fixed at store creation and recorded in every
-  *   manifest.
+  *   (ManySeriesProbe: ~36ms/series/sync flat vs seconds/5k bucketed),
+  *   and without election the store silently degrades. One-time cost =
+  *   one disk-tier rewrite, measured in SCALE.md. Set Int.MaxValue to
+  *   pin the flat layout forever.
   */
 final class TieredStore(spark: SparkSession, val root: String,
                         val maxTrackedSeries: Int = TieredStore.DefaultMaxTrackedSeries,
-                        val seriesBuckets: Option[Int] = None) {
+                        val seriesBuckets: Option[Int] = None,
+                        val electBucketsAt: Int = TieredStore.BucketLayoutThreshold) {
   import TieredStore._
 
   @volatile private var mem: DataFrame = emptyMem(spark)
@@ -129,6 +139,9 @@ final class TieredStore(spark: SparkSession, val root: String,
   /** Cached tip of the disk tier's manifest chain — refreshed after every
     * committed mutation, so reads plan without re-listing manifests. */
   @volatile private var tip: Option[VersionedStore.Commit] = None
+  /** The disk tier's CURRENT physical layout — the tip manifest's, which
+    * [[maybeElect]] can move from flat to bucketed (see `electBucketsAt`). */
+  @volatile private var curLayout: Option[Int] = seriesBuckets
 
   // ---- open/reopen: collect any crashed writer's orphan data dirs, then
   // rebuild the reference's startup membuf metadata for a pre-existing
@@ -141,14 +154,18 @@ final class TieredStore(spark: SparkSession, val root: String,
   // CAS left every prior mutation either fully committed or fully absent.
   locally {
     refreshTip()
-    if (tip.nonEmpty) {
-      tip.foreach(t => require(t.buckets == seriesBuckets,
-        s"store at $root was created with buckets=${t.buckets}, reopened " +
-        s"with buckets=$seriesBuckets — the layout is fixed at creation"))
+    tip.foreach { t =>
+      // the persisted chain is authoritative on reopen: a store created
+      // flat may have been elected bucketed since; the ctor arg only
+      // seeds NEW stores
+      curLayout = t.buckets
       VersionedStore.sweepOrphanData(spark, root)
-      if (tip.exists(_.dirs.nonEmpty)) hydrateBounds()
+      if (t.dirs.nonEmpty) hydrateBounds()
     }
   }
+
+  /** The disk tier's current physical layout (None = flat `series=/day=`). */
+  def layout: Option[Int] = curLayout
 
   private def refreshTip(): Unit =
     tip = VersionedStore.versions(spark, root).lastOption
@@ -182,9 +199,24 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   /** Disk append as a manifest version (layout recorded per commit). */
   private def appendStore(df: DataFrame): Unit = {
-    VersionedStore.append(df, root, seriesBuckets)
+    VersionedStore.append(df, root, curLayout)
     refreshTip()
   }
+
+  /** Automatic bucketed-layout election (see `electBucketsAt`): called at
+    * the end of every ingest-path mutation, under the store lock. One
+    * [[VersionedStore.compactAs]] commit rewrites the live content
+    * bucketed and flips the manifest layout marker; the superseded flat
+    * history is expired (space reclaimed, same policy as [[compactDisk]]).
+    * Reads before/after are property-identical — the layout is invisible
+    * above the physical tier. */
+  private def maybeElect(): Unit =
+    if (curLayout.isEmpty && diskHasData && diskBounds.size >= electBucketsAt) {
+      VersionedStore.compactAs(spark, root, Some(ElectedBuckets))
+      VersionedStore.expire(spark, root, keepLast = 1)
+      curLayout = Some(ElectedBuckets)
+      refreshTip()
+    }
 
   /** Whole disk tier at the cached tip, canonical form. */
   private def readStore: DataFrame =
@@ -213,7 +245,7 @@ final class TieredStore(spark: SparkSession, val root: String,
   def appendDisk(df: DataFrame): Unit = this.synchronized {
     val slice = canonSel(df)
     val bounds = collectBounds(slice)
-    if (bounds.nonEmpty) { appendStore(slice); applyBounds(bounds) }
+    if (bounds.nonEmpty) { appendStore(slice); applyBounds(bounds); maybeElect() }
   }
 
   /** Buffer points in the memory tier. `seqCol` is the arrival order —
@@ -245,7 +277,7 @@ final class TieredStore(spark: SparkSession, val root: String,
     if (!memEmpty) {
       val moving = canonSel(mem)
       val bounds = collectBounds(moving)
-      if (bounds.nonEmpty) { appendStore(moving); applyBounds(bounds) }
+      if (bounds.nonEmpty) { appendStore(moving); applyBounds(bounds); maybeElect() }
       swapMem(emptyMem(spark))
       memEmpty = true
     }
@@ -254,7 +286,7 @@ final class TieredStore(spark: SparkSession, val root: String,
   private def flushLocked(ids: Seq[String]): Unit = if (!memEmpty) {
     val moving = canonSel(mem.filter(col(SERIES).isin(ids: _*)))
     val bounds = collectBounds(moving)
-    if (bounds.nonEmpty) { appendStore(moving); applyBounds(bounds) }
+    if (bounds.nonEmpty) { appendStore(moving); applyBounds(bounds); maybeElect() }
     swapMem(mem.filter(!col(SERIES).isin(ids: _*)))
     if (mem.isEmpty) { swapMem(emptyMem(spark)); memEmpty = true }
   }
@@ -292,7 +324,7 @@ final class TieredStore(spark: SparkSession, val root: String,
 
   private def disk(ids: Seq[String]): DataFrame =
     (tip, diskHasData) match {
-      case (Some(c), true) => prunedCanon(c, seriesBuckets match {
+      case (Some(c), true) => prunedCanon(c, curLayout match {
         case Some(b) =>
           val bs = ids.map(ShardStore.bucketOf(_, b)).distinct
           raw => raw.filter(col(ShardStore.BUCKET).isin(bs: _*))
@@ -409,7 +441,7 @@ final class TieredStore(spark: SparkSession, val root: String,
     // rows of every partition the delete touches (see scaladoc): flat —
     // exactly the ids' series partitions; bucketed — the ids' buckets
     // whole, so co-resident series ride into the survivors dir
-    val affected = prunedCanon(c, seriesBuckets match {
+    val affected = prunedCanon(c, curLayout match {
       case Some(b) =>
         val bs = ids.map(ShardStore.bucketOf(_, b)).distinct
         raw => raw.filter(col(ShardStore.BUCKET).isin(bs: _*))
@@ -418,7 +450,7 @@ final class TieredStore(spark: SparkSession, val root: String,
     val deleted = affected.filter(matched).count()
     if (deleted == 0L) return 0L
     VersionedStore.deletePartitions(affected.filter(!matched), root,
-      affectedPartitionNames(ids), c.version, seriesBuckets)
+      affectedPartitionNames(ids), c.version, curLayout)
     refreshTip()
     diskNonEmpty = tip.exists(_.dirs.nonEmpty) // conservative: an
     // all-partitions-skipped tip still plans a (cheap, empty) scan
@@ -435,7 +467,7 @@ final class TieredStore(spark: SparkSession, val root: String,
     * escaping).
     */
   private def affectedPartitionNames(ids: Seq[String]): Seq[String] =
-    seriesBuckets match {
+    curLayout match {
       case Some(b) =>
         ids.map(x => s"${ShardStore.BUCKET}=${ShardStore.bucketOf(x, b)}").distinct
       case None =>
@@ -561,6 +593,13 @@ object TieredStore {
     * degrade to the merge/flush read paths instead of growing the map.
     */
   val DefaultMaxTrackedSeries: Int = 1 << 20
+
+  /** Bucket count an automatic election migrates to: enough write
+    * parallelism for the threshold cardinality, bounded dir count
+    * (buckets×days per write, independent of series count); series
+    * stays row-group-sorted inside each bucket, so growth far past the
+    * threshold still prunes well. */
+  val ElectedBuckets = 64
 
   private def emptyCanon(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -316,12 +316,27 @@ object VersionedStore {
   def compact(spark: SparkSession, root: String): Int = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
+    compactAs(spark, root, vs.last.buckets)
+  }
+
+  /** Compaction INTO a target layout — the same single-dir rewrite, but
+    * the new dir (and the manifest's layout marker) take `targetBuckets`
+    * rather than the tip's. The layout is per-COMMIT manifest state, so
+    * earlier versions keep reading under their own layout: this is the
+    * live-store layout migration ([[TieredStore]]'s automatic bucketed
+    * election) expressed as one ordinary commit.
+    */
+  def compactAs(spark: SparkSession, root: String,
+                targetBuckets: Option[Int]): Int = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
     val tip = vs.last
     val content = contentOf(spark, root, tip)
     val d = writeData(
-      tip.buckets.fold(content.repartition(col(SERIES)))(_ => content),
-      root, tip.version + 1, "compact", tip.buckets)
-    commitAt(spark, root, tip.version + 1, "compact", d.toSeq, buckets = tip.buckets)
+      targetBuckets.fold(content.repartition(col(SERIES)))(_ => content),
+      root, tip.version + 1, "compact", targetBuckets)
+    commitAt(spark, root, tip.version + 1, "compact", d.toSeq,
+      buckets = targetBuckets)
   }
 
   /** Expire history (the public VACUUM / expire-snapshots idea): drop

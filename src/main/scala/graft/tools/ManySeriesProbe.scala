@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * Run: sbt "runMain graft.tools.ManySeriesProbe"
   */
 object ManySeriesProbe {
+  private def diskRow(spark: org.apache.spark.sql.SparkSession,
+                      series: String, ts: Long, rid: Long) =
+    spark.range(1).select(lit(series).as(SERIES), lit(ts).as(TS_US),
+      lit(null).cast(tagType).as(TAG), lit(1.0d).as(VALUE), lit(rid).as(RID))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -44,8 +49,12 @@ object ManySeriesProbe {
 
     println(s"[mseries] fixed buffer rows=$rows, readLast(4 ids, n=50) wall by series count:")
     val walls = Seq(1000L, 100000L, 1000000L).map { n =>
+      // electBucketsAt pinned off: this probe MEASURES the flat layout's
+      // cost envelope (the number the election threshold is derived
+      // from); the production default would migrate at 512 series
       val st = new TieredStore(spark,
-        java.nio.file.Files.createTempDirectory("mseries").toString)
+        java.nio.file.Files.createTempDirectory("mseries").toString,
+        electBucketsAt = Int.MaxValue)
       st.appendMemory(buffer(n), TieredStore.SEQ)
       val ids = Seq("s0", "s1", "s2", "s3")
       st.readLast(ids, 50).count() // warm the plan shape
@@ -157,10 +166,41 @@ object ManySeriesProbe {
       }
     }
 
-    // cap engagement on the disk tier
+    // automatic layout election cost (r13 VERDICT item 4): a flat store
+    // crossing the threshold pays ONE compactAs rewrite of its disk tier
+    // at the next mutation — measure that migration wall at 1k series so
+    // SCALE.md can state the one-time cost next to the per-sync savings
+    {
+      val eroot = java.nio.file.Files.createTempDirectory("mseries_elect").toString
+      val flat = new TieredStore(spark, eroot, electBucketsAt = Int.MaxValue)
+      flat.appendDisk(spark.range(10000).select(
+        concat(lit("s"), col("id") % 1000L).as(SERIES),
+        (lit(1700000000000000L) + col("id")).as(TS_US),
+        lit(null).cast(tagType).as(TAG),
+        (col("id") % 1000).cast("double").as(VALUE),
+        col("id").as(RID)))
+      val preCount = flat.snapshot.count()
+      // reopen at the production threshold: hydration tracks 1k bounds,
+      // the next (tiny) mutation triggers the election
+      val electing = new TieredStore(spark, eroot)
+      val t = System.nanoTime()
+      electing.appendDisk(diskRow(spark, "s0", 1700000009000000L, 999999L))
+      val eWall = (System.nanoTime() - t) / 1e9
+      println(f"[mseries] ELECTION 1k-series flat->bucketed migrate_wall=$eWall%6.1fs " +
+        s"(layout=${electing.layout})")
+      if (!electing.layout.contains(TieredStore.ElectedBuckets)) {
+        println("[mseries] FAIL: election did not fire"); failed = true
+      }
+      if (electing.snapshot.count() != preCount + 1) {
+        println("[mseries] FAIL: election lost rows"); failed = true
+      }
+    }
+
+    // cap engagement on the disk tier (flat pinned: the election at 512
+    // tracked series is measured above; here the cap itself is the test)
     val capped = new TieredStore(spark,
       java.nio.file.Files.createTempDirectory("mseries_cap").toString,
-      maxTrackedSeries = 1000)
+      maxTrackedSeries = 1000, electBucketsAt = Int.MaxValue)
     val diskRows = spark.range(5000).select(
       concat(lit("d"), col("id")).as(SERIES),
       (lit(1700000000000000L) + col("id")).as(TS_US),

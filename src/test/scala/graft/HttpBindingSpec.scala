@@ -84,4 +84,61 @@ class HttpBindingSpec extends SparkSuite {
       assert(delete(base, "/ts/foo/since/0/filter/u/equals").statusCode() == 400)
     } finally http.stop()
   }
+
+  test("the method triangle replays over a REAL TLS socket (reference --enable-tls, main.re:13,230-235)") {
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+    // self-signed keystore generated test-locally with the JDK's keytool
+    // (the reference ships cert files alongside its --tls-mode flag;
+    // here the cert is throwaway per-run). SAN=IP is required: the JDK
+    // client verifies the peer identity against the URL's 127.0.0.1.
+    val ksPath = new java.io.File(tmpDir("tls"), "ks.p12").getAbsolutePath
+    val keytool = new ProcessBuilder(
+      sys.props("java.home") + "/bin/keytool",
+      "-genkeypair", "-alias", "graft", "-keyalg", "RSA", "-keysize", "2048",
+      "-validity", "2", "-storepass", "changeit", "-keypass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1",
+      "-keystore", ksPath, "-storetype", "PKCS12").start()
+    assert(keytool.waitFor() == 0, "keytool keystore generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    // the client trusts exactly this self-signed cert (the keystore
+    // doubles as its truststore) — no trust-all shortcuts, so a wrong
+    // server cert would fail this test
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val clientCtx = SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    val st = new TieredStore(spark, tmpDir("https_store"))
+    val http = new HttpBinding(st, ssl = Some(serverCtx), clock = () => 999L).start()
+    try {
+      val tls = HttpClient.newBuilder().sslContext(clientCtx).build()
+      val base = s"https://127.0.0.1:${http.boundPort}"
+      def tget(p: String) =
+        tls.send(req(base, p).GET().build(), BodyHandlers.ofString())
+      // POST → GET → DELETE — the full verb triangle over the TLS socket
+      val r1 = tls.send(req(base, "/ts/tls").POST(
+        BodyPublishers.ofString("""{"value": 42}""")).build(), BodyHandlers.ofString())
+      assert(r1.statusCode() == 200 &&
+        r1.body() == """{"ingested":1,"quarantined":0}""", r1.body())
+      assert(tget("/ts/tls/latest").body() == """[{"timestamp":999,"value":42.0}]""")
+      val d = tls.send(req(base, "/ts/tls/range/0/99999").DELETE().build(),
+        BodyHandlers.ofString())
+      assert(d.statusCode() == 200 && d.body() == """{"deleted":1}""", d.body())
+      assert(tget("/ts/tls/length").body() == """{"length":0}""")
+      // and the error surface is intact through TLS
+      val nf = tget("/nope")
+      assert(nf.statusCode() == 400 && nf.body() == "Error:unknown path\n", nf.body())
+      // an untrusting client is refused at the HANDSHAKE — the socket
+      // really speaks TLS, not plaintext on a fancy port
+      intercept[javax.net.ssl.SSLHandshakeException] {
+        HttpClient.newHttpClient().send(
+          req(base, "/info/status").GET().build(), BodyHandlers.ofString())
+      }
+    } finally http.stop()
+  }
 }

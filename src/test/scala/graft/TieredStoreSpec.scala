@@ -186,6 +186,39 @@ class TieredStoreSpec extends SparkSuite {
     assert(q.select("rid").as[Long].collect().toSeq == Seq(9L, 8L, 7L))
   }
 
+  test("automatic bucketed-layout election: crossing the threshold migrates live, content identical") {
+    val root = tmpDir("tier_elect")
+    val st = new TieredStore(spark, root, electBucketsAt = 8)
+    def rows(lo: Int, hi: Int) = (lo until hi).flatMap(s =>
+      (0L until 5L).map(i => dp(f"e$s%02d", T0 + i * 1000L, s * 100L + i)))
+    val tail = dp("e00", T0 + 9000000L, 99999L) // buffered tail the
+    // migration must leave untouched (it rewrites the DISK tier only)
+    st.appendDisk(rows(0, 5).toDF()) // 5 series: under the threshold
+    st.appendMemory(arriving(Seq(tail)), TieredStore.SEQ)
+    assert(st.layout.isEmpty && st.diskVersions.last.buckets.isEmpty)
+    // crossing the threshold elects the bucketed layout INSIDE the same
+    // mutation — no operator call changes, no reopen needed
+    st.appendDisk(rows(5, 10).toDF()) // 10 tracked series >= 8
+    assert(st.layout.contains(TieredStore.ElectedBuckets))
+    val tip = st.diskVersions.last
+    assert(tip.op == "compact" && tip.buckets.contains(TieredStore.ElectedBuckets),
+      s"expected an electing compact at the tip, got $tip")
+    assert(st.diskVersions.size == 1, "election must expire the flat history")
+    assert(StoreTestUtil.fp(st.snapshot) ==
+      StoreTestUtil.fp((rows(0, 10) :+ tail).toDF()),
+      "election changed the store content")
+    // the elected layout prunes reads on the bucket partition column
+    val p = st.readLast(Seq("e03"), 100).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    // reopen with DEFAULT args adopts the persisted layout (the ctor
+    // argument only seeds new stores), and mutations keep working
+    val re = new TieredStore(spark, root)
+    assert(re.layout.contains(TieredStore.ElectedBuckets))
+    assert(re.delete(Seq("e03"), T0, T0 + 100000L) == 5L)
+    assert(re.lengthSplit(Seq("e03")).isEmpty) // fully deleted: no row
+    assert(re.lengthSplit(Seq("e04")).select("len").as[Long].head() == 5L)
+  }
+
   test("bucketed layout is read-invisible; deletes spare co-resident series") {
     val rows = (0L until 200L).map(i => dp(s"s${i % 10}", T0 + i * 1000L, i))
     val flat = new TieredStore(spark, tmpDir("tier_flat"))
