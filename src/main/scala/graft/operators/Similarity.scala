@@ -569,19 +569,20 @@ object Similarity {
   /** Residual-PQ encoding: m·levels code ids per vector, level-major —
     * level 1's m subspace codes, then each level's residual codes. Still
     * a few small ints against dim floats (8 ints at the two-level
-    * defaults — a 32× payload cut on float32 corpora), map-only. */
+    * defaults — a 32× payload cut on float32 corpora). ONE native
+    * [[graft.functions.VectorExpressions.PqEncode]] node per row:
+    * normalize once, all levels×subspaces in a single codegen'd JVM
+    * pass, codebooks as one reference object — the Column composition
+    * this replaced re-derived the unit vector (with its norm aggregate
+    * trapped inside an interpreted lambda, O(dim²)) for every one of
+    * the m·levels codes, measured 4 ms/row (PqTimeProbe r13). Map-only.
+    */
   def pqEncodeResidual(df: DataFrame, books: Seq[Array[Array[Array[Double]]]],
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
-    val m = books.head.length
-    val dsub = books.head(0)(0).length
-    val unit = unitVec(asDouble(col(vecCol)))
-    val codes = for (l <- books.indices; s <- 0 until m) yield {
-      val sub = slice(unit, s * dsub + 1, dsub)
-      cellOf(residualCol(sub, books.take(l).map(_(s))), books(l)(s))
-    }
-    df.select(col(idCol).as("vec_id"), array(codes: _*).as("codes"))
-  }
+                       vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      graft.functions.VectorExpressions.pq_encode(asDouble(col(vecCol)), books)
+        .as("codes"))
 
   /** PQ ANN top-k: asymmetric distance computation plus the standard
     * refine stage (Jégou et al.'s ADC+R). Stage 1 scores every corpus
@@ -618,7 +619,15 @@ object Similarity {
     require(refine >= k, s"refine depth $refine below k=$k")
     val books = trainPqCached(df, m, ksub, levels, maxIter, seed, vecCol)
     val dsub = books.head(0)(0).length
-    val codes = pqEncodeResidual(df, books, idCol, vecCol)
+    // the codes frame IS the PQ index — materialize it (ledger-scoped)
+    // before the per-query explode. Without the barrier CollapseProject
+    // inlines the encode trees into the ADC projection, and the
+    // higher-order zip_with/aggregate context is INTERPRETED, so every
+    // (vector × query) row would re-derive its codes through the full
+    // nested quantizer expressions: measured 8.6s vs 0.3s for the whole
+    // ADC stage at sf0.1 (PqTimeProbe, r13). Production persists this
+    // frame once at index build; here it lives for the call.
+    val codes = pqEncodeResidual(df, books, idCol, vecCol).trackedCache
     // bounded query-vector fetch (the bruteForceTopK precedent), then the
     // LUT math runs on the driver against model parameters only
     val qvecs = df.filter(col(idCol).isin(queryIds: _*))
