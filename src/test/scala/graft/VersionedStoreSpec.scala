@@ -251,6 +251,73 @@ class VersionedStoreSpec extends SparkSuite {
       == fp(VersionedStore.readAt(spark, root, 3)))
   }
 
+  test("bucketed skips round-trip the manifest and survive appends") {
+    import graft.sources.ShardStore
+    import spark.implicits._
+    val root = tmpDir("vstore_bucketskips")
+    val b = 4
+    def rows(series: String, ridLo: Long, n: Int): DataFrame =
+      (ridLo until ridLo + n).map(r => (series, r)).toDF("series", "rid")
+        .withColumn(Canon.TS_US, col("rid") * 1000L)
+        .withColumn(Canon.TAG, array(struct(lit("k").as("name"), lit("v").as("value"))))
+        .withColumn(Canon.VALUE, lit(1.0))
+        .select(Canon.SERIES, Canon.TS_US, Canon.TAG, Canon.VALUE, Canon.RID)
+    // two series in DISTINCT buckets, so a bucket wipe hits exactly one
+    val (sa, sb) = (0 to 100).map(i => s"s$i")
+      .groupBy(s => ShardStore.bucketOf(s, b)).values.take(2).map(_.head) match {
+        case Seq(x, y) => (x, y)
+      }
+    val (ba, bb) = (ShardStore.bucketOf(sa, b), ShardStore.bucketOf(sb, b))
+    assert(ba != bb)
+    VersionedStore.append(rows(sa, 0, 10).unionByName(rows(sb, 100, 10)),
+      root, layout = Some(b))                                              // v1
+    // bucket-scoped wipe of sa's bucket: skips only, no survivors
+    VersionedStore.deletePartitions(rows(sa, 0, 0), root,
+      Seq(s"${ShardStore.BUCKET}=$ba"), 1, layout = Some(b))               // v2
+    // the manifest round-trips the layout marker and the bucket skip
+    val v2 = VersionedStore.versions(spark, root).last
+    assert(v2.buckets == Some(b))
+    assert(v2.skips.nonEmpty &&
+      v2.skips.forall(_._2 == s"${ShardStore.BUCKET}=$ba"), v2.skips.toString)
+    assert(fp(VersionedStore.readAt(spark, root, 2)) == fp(rows(sb, 100, 10)))
+    // append after the delete: skips and layout carry forward — the wiped
+    // bucket must NOT resurrect (the ADVICE append-propagation round-trip)
+    VersionedStore.append(rows(sb, 200, 10), root, layout = Some(b))       // v3
+    val v3 = VersionedStore.versions(spark, root).last
+    assert(v3.buckets == Some(b) && v3.skips == v2.skips,
+      s"append dropped the tip's skips/layout: $v3")
+    assert(fp(VersionedStore.readAt(spark, root, 3)) ==
+      fp(rows(sb, 100, 10).unionByName(rows(sb, 200, 10))),
+      "append after a bucket delete resurrected the skipped bucket")
+    // and the pre-delete history still reads both buckets
+    assert(fp(VersionedStore.readAt(spark, root, 1)) ==
+      fp(rows(sa, 0, 10).unionByName(rows(sb, 100, 10))))
+    // a mixed layout request fails loudly — layout is fixed at creation
+    intercept[IllegalArgumentException] {
+      VersionedStore.append(rows(sb, 300, 1), root, layout = None)
+    }
+  }
+
+  test("corrupt skip and layout manifest lines fail with the corrupt-manifest signal") {
+    val root = tmpDir("vstore_corrupt")
+    val src = Canon.events(spark, "/root/testdata/sf0.001").limit(5)
+    VersionedStore.append(src, root)
+    val bad = java.nio.file.Paths.get(root, "_manifests", "v00000002.txt")
+    def expectCorrupt(lines: String*): Unit = {
+      java.nio.file.Files.write(bad, lines.mkString("\n").getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] { VersionedStore.versions(spark, root) }
+      assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
+      java.nio.file.Files.delete(bad)
+    }
+    // a skip line with no '/' separator — same loud signal as a torn 'op'
+    expectCorrupt("op delete", "dir d1", "skip nopartition")
+    // a non-integer and a non-positive bucket count on the layout line
+    expectCorrupt("op append", "layout bucketed x", "dir d1")
+    expectCorrupt("op append", "layout bucketed 0", "dir d1")
+    // the chain is intact once the corrupt manifest is removed
+    assert(VersionedStore.versions(spark, root).map(_.version) == Seq(1))
+  }
+
   test("dedupChangesSince: seen-at-fromV dropped, first-in-delta wins, deletes ignored") {
     import spark.implicits._
     val root = tmpDir("vstore_dedup")
