@@ -101,6 +101,28 @@ object SparkEntry {
       })
     }
 
+  /** Build-once-per-process LIVE TieredStore with a 3-version disk
+    * history: append (even rids) → append (odd rids) → live D1 delete
+    * (IDS2 × [R1,R2], the q_delete_range predicate). Since r13 the disk
+    * tier commits every mutation to the VersionedStore manifest chain,
+    * so the LIVE store itself answers time-travel and CDC reads — this
+    * store puts that under the oracle (VERDICT r11/r12 item 1's done
+    * criterion). Mutations are warmup cost; the timed rows read history.
+    */
+  private val tierTtStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
+  private def tierTtStore(s: SparkSession, d: String): TieredStore =
+    tierTtStores.synchronized {
+      tierTtStores.getOrElseUpdate(d, {
+        val st = new TieredStore(s,
+          StreamScratch.dir("tier_tt_" + Integer.toHexString(d.hashCode)))
+        val src = Canon.events(s, d)
+        st.appendDisk(src.filter(col("rid") % 2 === 0)) // v1
+        st.appendDisk(src.filter(col("rid") % 2 =!= 0)) // v2
+        st.delete(IDS2, R1, R2)                         // v3
+        st
+      })
+    }
+
   /** Build-once-per-process dual-tier stores (M1-M3/I2, TieredStore).
     * Scenario "sorted": disk = everything at-or-before SINCE, memory = the
     * newer tail arriving in time order (seq = ts_us) — the buffer is sorted
@@ -514,6 +536,42 @@ object SparkEntry {
     // SAME oracle as q_tier_read — layout invisible to reads by contract
     "q_tier_bucketed" -> ((s, d) =>
       raw(tierStore(s, d, "bucketed").readLast(IDS5, 500))),
+    // time travel over the LIVE store's disk tier (VERDICT r11/r12
+    // item 1): the unified manifest protocol makes every tiered mutation
+    // a version — append/append/delete = v1..v3, each read back exactly
+    // (µ-quantized value sums, the q_store_timetravel shape). v2 must
+    // still see the rows the live delete removed at v3.
+    "q_tier_timetravel" -> ((s, d) => {
+      val st = tierTtStore(s, d)
+      (1 to 3).map { v =>
+        st.readDiskAt(v)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("sum_qv"))
+          .withColumn("version", lit(v.toLong))
+          .select("version", "n", "sum_qv")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+    // CDC over the SAME live chain: (1,2) the append-only O(delta) fast
+    // path, (2,3) the partition-scoped delete's manifest-narrowed diff
+    // (skip exclusions + one survivors dir), (1,3) a mixed chain. Each
+    // pair also reconstructs the to-version as from + changes.
+    "q_tier_cdc" -> ((s, d) => {
+      val st = tierTtStore(s, d)
+      val CT = VersionedStore.CHANGE_TYPE
+      Seq((1, 2), (2, 3), (1, 3)).map { case (f, t) =>
+        val ch = st.diskChanges(f, t)
+        val recon = VersionedStore.applyChanges(st.readDiskAt(f), ch)
+        ch.select(col(CT).as("t"), lit(0L).as("qv"))
+          .unionByName(recon.select(lit("row").as("t"),
+            round(col("value") * 1e6).cast("long").as("qv")))
+          .agg(count(when(col("t") === "insert", 1)).as("ins"),
+            count(when(col("t") === "delete", 1)).as("del"),
+            count(when(col("t") === "row", 1)).as("n"),
+            coalesce(sum(when(col("t") === "row", col("qv"))), lit(0L)).as("sum_qv"))
+          .select(lit(f.toLong).as("from_v"), lit(t.toLong).as("to_v"),
+            col("ins"), col("del"), col("n"), col("sum_qv"))
+      }.reduce(_ unionByName _).orderBy("from_v", "to_v")
+    }),
     // I7 health route (main.re:169-173): the route grammar answers it
     "q_health" -> ((s, d) => graft.api.Router.run(ev(s, d), "info/status")),
     // ----- U2/I1/I5/I6: metadata (SURVEY §2.7/§2.9), answered THROUGH
@@ -1692,6 +1750,45 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY series ORDER BY ts_us DESC, rid DESC) AS rn
            |  FROM c) t
            |WHERE rn <= 25 ORDER BY ts_us DESC, rid DESC""".stripMargin,
+      "q_tier_timetravel" -> // the LIVE disk tier's history: v1 = even
+        // rids, v2 = all, v3 = post live-delete (the q_delete_range
+        // predicate); µ-quantized exact value sums (the 1e6 precedent)
+        s"""$CANON_SQL
+           |, q AS (SELECT series, ts_us, rid,
+           |               CAST(round(value * 1000000) AS BIGINT) AS qv FROM c)
+           |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+           |       CAST(sum(qv) AS BIGINT) AS sum_qv FROM q WHERE rid % 2 = 0
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(qv) AS BIGINT) FROM q
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(qv) AS BIGINT) FROM q
+           |WHERE NOT ($idsIn2 AND $range)
+           |ORDER BY version""".stripMargin,
+      "q_tier_cdc" -> // live-chain change feed + reconstruction; `dead` =
+        // the v3 live-delete predicate. (1,2): inserts are the odd-rid
+        // append; (2,3): deletes are the dead rows, via skip exclusions
+        // + survivors; (1,3): mixed — surviving odd rids in, dead even out
+        s"""$CANON_SQL
+           |, q AS (SELECT rid,
+           |          CAST(round(value * 1000000) AS BIGINT) AS qv,
+           |          ($idsIn2 AND $range) AS dead
+           |        FROM c)
+           |SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+           |       count(*) FILTER (WHERE rid % 2 <> 0) AS ins,
+           |       CAST(0 AS BIGINT) AS del,
+           |       count(*) AS n, CAST(sum(qv) AS BIGINT) AS sum_qv FROM q
+           |UNION ALL
+           |SELECT CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+           |       count(*) FILTER (WHERE rid % 2 <> 0 AND NOT dead),
+           |       count(*) FILTER (WHERE rid % 2 = 0 AND dead),
+           |       count(*) FILTER (WHERE NOT dead),
+           |       CAST(sum(qv) FILTER (WHERE NOT dead) AS BIGINT) FROM q
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+           |       count(*) FILTER (WHERE dead),
+           |       count(*) FILTER (WHERE NOT dead),
+           |       CAST(sum(qv) FILTER (WHERE NOT dead) AS BIGINT) FROM q
+           |ORDER BY from_v, to_v""".stripMargin,
       "q_tier_split" ->
         s"""$CANON_SQL SELECT series,
            |  count(*) FILTER (WHERE ts_us > $SINCE) AS mem_len,
