@@ -212,6 +212,8 @@ object JpegCodec {
     var w = 0; var h = 0
     var restartInterval = 0
     var progressive = false
+    var lossless = false
+    var precision = 8 // sample precision P from SOF (8/12 DCT, 2-16 lossless)
     // frame geometry, set at SOF
     var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
     var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
@@ -219,10 +221,23 @@ object JpegCodec {
     // natural order within each block), accumulated across scans
     var grids: Array[Array[Int]] = null
     var progScans = 0
+    // lossless: per-comp sample planes at the padded MCU grid (values are
+    // the RECONSTRUCTED P−Pt bit samples; << Pt and 8-bit scaling happen
+    // at assembly), plus that grid's geometry (1 sample per data unit,
+    // not 8x8 blocks — T.81 H.1)
+    var lossPlanes: Array[Array[Int]] = null
+    var lossW: Array[Int] = null; var lossH: Array[Int] = null
+    var lossMcuX = 0; var lossMcuY = 0
+    var lossPt = 0
+    var lossScans = 0
 
-    def parseSof(prog: Boolean): Unit = {
+    def parseSof(prog: Boolean, loss: Boolean): Unit = {
       val len = r.u16()
-      require(r.u8() == 8, "only 8-bit precision")
+      precision = r.u8()
+      if (loss) require(precision >= 2 && precision <= 16,
+        "lossless precision 2-16")
+      else require(precision == 8 || precision == 12,
+        "DCT precision must be 8 or 12")
       h = r.u16(); w = r.u16()
       val nc = r.u8()
       require(len == 8 + 3 * nc, "SOF length mismatch")
@@ -239,11 +254,22 @@ object JpegCodec {
       // declared sampling factors are irrelevant — normalize them
       if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
       progressive = prog
+      lossless = loss
       hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
-      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-      blocksW = comps.map(c => mcusX * c.h)
-      blocksH = comps.map(c => mcusY * c.v)
+      if (lossless) {
+        // lossless data units are SAMPLES, not 8x8 blocks (T.81 H.1):
+        // the MCU grid is ceil(dim / sampling-max), planes padded to it
+        lossMcuX = (w + hMax - 1) / hMax
+        lossMcuY = (h + vMax - 1) / vMax
+        lossW = comps.map(c => lossMcuX * c.h)
+        lossH = comps.map(c => lossMcuY * c.v)
+        lossPlanes = comps.indices.toArray.map(i => new Array[Int](lossW(i) * lossH(i)))
+      } else {
+        mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+        mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+        blocksW = comps.map(c => mcusX * c.h)
+        blocksH = comps.map(c => mcusY * c.v)
+      }
     }
 
     /** One progressive scan (T.81 G.2): decode entropy data starting at
@@ -281,7 +307,7 @@ object JpegCodec {
         if (ss == 0) { // DC scan (se == 0 enforced at SOS parse)
           if (ah == 0) {
             val dc = dcTab(c.td); require(dc != null, "missing DC table")
-            val t = br.decode(dc); require(t <= 11, "DC category out of range")
+            val t = br.decode(dc); require(t <= (if (precision == 12) 15 else 11), "DC category out of range")
             pred(ci) += extend(br.bits(t), t)
             g(off) = pred(ci) << al
           } else if (br.bit() == 1) g(off) |= (1 << al)
@@ -388,6 +414,97 @@ object JpegCodec {
       br.pos
     }
 
+    /** One lossless scan (T.81 H.2): predictor `psel` (1-7), point
+      * transform `pt`; data units are single samples. Reconstruction is
+      * modulo 2^16 (H.1.2.2). Scan-start (and post-restart) prediction:
+      * the first sample takes the default 2^(P−Pt−1); the rest of that
+      * LINE predicts 1-D from Ra; later lines start from Rb then use the
+      * selected predictor (H.1.1). Returns the position after the
+      * entropy data.
+      */
+    def losslessScan(scanIdx: Array[Int], psel: Int, pt: Int): Int = {
+      val br = new BitReader(b, r.pos)
+      lossPt = pt
+      val defaultPred = 1 << (precision - pt - 1)
+      // per-comp prediction-reset state: fresh = next sample takes the
+      // default; freshY = the row that then predicts 1-D (Ra)
+      val fresh = Array.fill(comps.length)(true)
+      val freshY = Array.fill(comps.length)(0)
+      var rstIdx = 0
+      var unit = 0
+
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(fresh, true)
+        }
+
+      def decodeSample(ci: Int, x: Int, y: Int): Unit = {
+        val c = comps(ci)
+        val dc = dcTab(c.td); require(dc != null, "missing lossless table")
+        val t = br.decode(dc)
+        require(t <= 16, "lossless category out of range")
+        // category 16 codes diff = 32768 with NO magnitude bits (H.2.3)
+        val diff = if (t == 16) 32768 else extend(br.bits(t), t)
+        val plane = lossPlanes(ci); val pw = lossW(ci)
+        val px =
+          if (fresh(ci)) { fresh(ci) = false; freshY(ci) = y; defaultPred }
+          else if (y == freshY(ci)) plane(y * pw + x - 1) // 1-D line: Ra
+          else if (x == 0) plane((y - 1) * pw)            // line start: Rb
+          else {
+            val ra = plane(y * pw + x - 1)
+            val rb = plane((y - 1) * pw + x)
+            val rc = plane((y - 1) * pw + x - 1)
+            psel match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        plane(y * pw + x) = (px + diff) & 0xffff
+      }
+
+      if (scanIdx.length == 1) {
+        // non-interleaved: exactly the component's ceil-scaled sample
+        // grid, raster order, no padding (T.81 A.2.2 at sample units)
+        val ci = scanIdx(0); val c = comps(ci)
+        val cw = ((w.toLong * c.h + hMax - 1) / hMax).toInt.max(1)
+        val chh = ((h.toLong * c.v + vMax - 1) / vMax).toInt.max(1)
+        val total = cw * chh
+        while (unit < total) {
+          maybeRestart()
+          decodeSample(ci, unit % cw, unit / cw)
+          unit += 1
+        }
+      } else {
+        val total = lossMcuX * lossMcuY
+        while (unit < total) {
+          maybeRestart()
+          val mx = unit % lossMcuX; val my = unit / lossMcuX
+          var i = 0
+          while (i < scanIdx.length) {
+            val ci = scanIdx(i); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeSample(ci, mx * c.h + bx, my * c.v + by)
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          unit += 1
+        }
+      }
+      br.pos
+    }
+
     var sosPos = -1 // baseline: entropy start; loop exits when set
     var scanComps: Array[Comp] = null
     var finished = false // progressive: EOI seen
@@ -397,12 +514,17 @@ object JpegCodec {
       var m = r.u8()
       while (m == 0xff) m = r.u8() // fill bytes are legal
       m match {
-        case 0xdb => // DQT: one or more tables
+        case 0xdb => // DQT: one or more tables, 8- or 16-bit entries
+          // (Pq=1 is the norm for 12-bit frames, T.81 B.2.4.1)
           val dqtLen = r.u16(); val end = r.pos + dqtLen - 2
           while (r.pos < end) {
-            val pq = r.u8(); require((pq >> 4) == 0, "16-bit qtable unsupported")
+            val pq = r.u8(); val wide = pq >> 4
+            require(wide <= 1, "bad qtable precision")
             val t = new Array[Int](64)
-            var i = 0; while (i < 64) { t(zigzag(i)) = r.u8(); i += 1 }
+            var i = 0
+            while (i < 64) {
+              t(zigzag(i)) = if (wide == 1) r.u16() else r.u8(); i += 1
+            }
             qtab(pq & 3) = t
           }
           require(r.pos == end, "DQT length mismatch")
@@ -417,10 +539,16 @@ object JpegCodec {
             if ((tc >> 4) == 0) dcTab(tc & 3) = t else acTab(tc & 3) = t
           }
           require(r.pos == end, "DHT length mismatch")
-        case 0xc0 | 0xc1 => parseSof(prog = false)
-        case 0xc2 => parseSof(prog = true)
-        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // lossless/arithmetic/hierarchical: planning tier only
+        case 0xc0 | 0xc1 => parseSof(prog = false, loss = false)
+        case 0xc2 => parseSof(prog = true, loss = false)
+        case 0xc3 =>
+          parseSof(prog = false, loss = true)
+          require(comps.length == 1 || comps.length == 3,
+            "lossless: 1 (gray) or 3 (RGB) components")
+        case 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
+          return None // differential/hierarchical: planning tier only
+        case 0xc9 | 0xca | 0xcb =>
+          return None // arithmetic coding: planning tier only
         case 0xdd => require(r.u16() == 4); restartInterval = r.u16()
         case 0xda => // SOS
           require(comps != null, "SOS before SOF")
@@ -438,7 +566,14 @@ object JpegCodec {
           }
           val ss = r.u8(); val se = r.u8()
           val aa = r.u8(); val ah = aa >> 4; val al = aa & 15
-          if (!progressive) {
+          if (lossless) {
+            // lossless scan header (T.81 H.2.2): Ss = predictor, Al = Pt
+            require(ss >= 1 && ss <= 7, "lossless predictor 1-7")
+            require(se == 0 && ah == 0, "bad lossless scan header")
+            require(al < precision, "point transform out of range")
+            r.pos = losslessScan(sc.map(c => comps.indexWhere(_.id == c.id)), ss, al)
+            lossScans += 1
+          } else if (!progressive) {
             require(ns == comps.length, "baseline: one interleaved scan")
             require(ss == 0 && se == 63 && ah == 0 && al == 0,
               "baseline spectral selection only")
@@ -456,19 +591,28 @@ object JpegCodec {
             progScans += 1
           }
         case 0xd9 => // EOI
-          if (progressive && progScans > 0) finished = true
+          if ((progressive && progScans > 0) || (lossless && lossScans > 0))
+            finished = true
           else return None
         case _ => r.skip(r.u16() - 2) // APPn, COM, DNL, anything skippable
       }
     }
 
-    // per-component plane at its own resolution (MCU-padded)
-    val planes = comps.map { c =>
-      new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8)
-    }
-    val planeW = comps.map(c => mcusX * c.h * 8)
+    // per-component 8-bit plane at its own resolution (MCU-padded);
+    // 12-bit DCT and deep lossless samples land here already scaled to
+    // 8 bits (the frame contract is RGB24 — documented top-bits scaling)
+    val planeW = comps.indices.toArray.map(i =>
+      if (lossless) lossW(i) else mcusX * comps(i).h * 8)
+    val planes = comps.indices.toArray.map(i =>
+      new Array[Byte](planeW(i) *
+        (if (lossless) lossH(i) else mcusY * comps(i).v * 8)))
     val coef = new Array[Int](64)
     val spatial = new Array[Double](64)
+    // DCT level shift / clamp / 8-bit scale, all from the SOF precision
+    // (T.81 A.3.1: level shift is 2^(P-1))
+    val levelShift = 1 << (precision - 1)
+    val sampleMax = (1 << precision) - 1
+    val downShift = precision - 8
 
     def writeBlock(ci: Int, bx: Int, by: Int): Unit = {
       idct(coef, spatial)
@@ -479,15 +623,32 @@ object JpegCodec {
         var xx = 0
         val rowOff = (py + yy) * pw + px
         while (xx < 8) {
-          val v = math.round(spatial(yy * 8 + xx) + 128.0).toInt
-          plane(rowOff + xx) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          val v = math.round(spatial(yy * 8 + xx) + levelShift).toInt
+          val c = if (v < 0) 0 else if (v > sampleMax) sampleMax else v
+          plane(rowOff + xx) = (c >> downShift).toByte
           xx += 1
         }
         yy += 1
       }
     }
 
-    if (!progressive) {
+    if (lossless) {
+      // lossless: planes hold reconstructed P−Pt bit samples; undo the
+      // point transform (<< Pt, H.1.2.3) and take the top 8 bits
+      var ci = 0
+      while (ci < comps.length) {
+        val src = lossPlanes(ci); val dst = planes(ci)
+        var i = 0
+        while (i < src.length) {
+          val full = (src(i) << lossPt) & 0xffff
+          val v8 = if (precision >= 8) full >> (precision - 8)
+                   else full << (8 - precision)
+          dst(i) = (if (v8 > 255) 255 else v8).toByte
+          i += 1
+        }
+        ci += 1
+      }
+    } else if (!progressive) {
       // baseline: stream-decode the single interleaved scan
       val br = new BitReader(b, sosPos)
       val pred = new Array[Int](comps.length)
@@ -513,7 +674,7 @@ object JpegCodec {
             while (bx < c.h) {
               java.util.Arrays.fill(coef, 0)
               val t = br.decode(dc)
-              require(t <= 11, "DC category out of range")
+              require(t <= (if (precision == 12) 15 else 11), "DC category out of range")
               pred(cIdx) += extend(br.bits(t), t)
               coef(0) = pred(cIdx) * q(0)
               var k = 1
@@ -558,7 +719,9 @@ object JpegCodec {
       }
     }
 
-    // assemble RGB24: grayscale (1 comp), YCbCr (3 comps, JFIF matrix),
+    // assemble RGB24: grayscale (1 comp), YCbCr (3 comps, JFIF matrix) —
+    // except lossless, where 3 components are DIRECT RGB (no JFIF color
+    // transform exists for the lossless process; DNG/DICOM convention);
     // nearest-neighbor chroma upsampling via integer index math
     val rgb = new Array[Byte](w * h * 3)
     def sample(ci: Int, x: Int, y: Int): Int = {
@@ -567,7 +730,19 @@ object JpegCodec {
       planes(ci)(sy * planeW(ci) + sx) & 0xff
     }
     var y = 0
-    if (comps.length >= 3) {
+    if (lossless && comps.length == 3) {
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          rgb(o) = sample(0, x, y).toByte
+          rgb(o + 1) = sample(1, x, y).toByte
+          rgb(o + 2) = sample(2, x, y).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else if (comps.length >= 3) {
       while (y < h) {
         var x = 0
         while (x < w) {

@@ -543,7 +543,9 @@ class JpegCodecSpec extends AnyFunSuite {
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(JpegCodec.decode(prog).isEmpty)
-    // lossless (SOF3) stays out of scope entirely
+    // a baseline stream relabeled SOF3 is MALFORMED lossless (its scan
+    // header carries Ss=0/Se=63, not a predictor) — quarantined; real
+    // lossless coverage lives in JpegExtSpec
     val lossless = good.clone()
     lossless(sofAt + 1) = 0xc3.toByte
     assert(JpegCodec.decode(lossless).isEmpty)
