@@ -108,9 +108,20 @@ private[graft] object JpegArith {
       a = 0x10000L
     }
 
-    /** Position of the terminating marker's 0xFF once hit; else the
-      * next unread position (inside the segment). */
-    def markerPos: Int = pos
+    /** Walk past any unconsumed flush bytes to the terminating marker
+      * and return its 0xFF position (call when decoding is complete —
+      * within entropy data every 0xFF is stuffed, so the first
+      * unstuffed one is the marker). Returns `b.length` on a stream
+      * that ends without one (the caller's marker parse fails loudly).
+      */
+    def end(): Int = { seekMarker(); pos }
+
+    private def seekMarker(): Unit =
+      while (!atMarker && pos < b.length) {
+        if ((b(pos) & 0xff) == 0xff && pos + 1 < b.length && b(pos + 1) != 0)
+          atMarker = true
+        else pos += 1
+      }
 
     private def nextByte(): Int =
       if (atMarker || pos >= b.length) 0
@@ -123,14 +134,7 @@ private[graft] object JpegArith {
 
     /** Skip to and consume the expected RSTn marker, then re-init. */
     def restart(expected: Int): Unit = {
-      // the flush's trailing bytes may not have been consumed: walk to
-      // the marker (within entropy data 0xFF is always stuffed, so the
-      // first unstuffed 0xFF is it)
-      while (!atMarker && pos < b.length) {
-        if ((b(pos) & 0xff) == 0xff && pos + 1 < b.length && b(pos + 1) != 0)
-          atMarker = true
-        else pos += 1
-      }
+      seekMarker() // the flush's trailing bytes may not all be consumed
       require(pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
         (b(pos + 1) & 0xff) == (0xd0 + expected), "missing restart marker")
       init(pos + 2)

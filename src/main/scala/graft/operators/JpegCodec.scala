@@ -9,9 +9,10 @@ package graft.operators
   * decode/resize real images inside the engine.
   *
   * Scope:
-  *   - **baseline/extended sequential** (SOF0/SOF1): 8-bit, 1-4
-  *     components, sampling factors 1-4 each (4:4:4, 4:2:2, 4:2:0, ...
-  *     all fall out of the generic MCU walk), single interleaved scan;
+  *   - **baseline/extended sequential** (SOF0/SOF1): 8- and 12-bit
+  *     (r13), 1-4 components, sampling factors 1-4 each (4:4:4, 4:2:2,
+  *     4:2:0, ... all fall out of the generic MCU walk), single
+  *     interleaved scan, 8- and 16-bit quantization tables;
   *   - **progressive** (SOF2, r8): the full successive-approximation
   *     protocol — interleaved or per-component DC first/refine scans
   *     (point transform Al, `|= bit<<Al` refinement), per-component AC
@@ -19,12 +20,18 @@ package graft.operators
   *     in refinement, correction-bit decoding per T.81 G.1.2.3 (the
   *     public libjpeg algorithm), coefficients accumulated across scans
   *     and IDCT'd once at EOI;
+  *   - **lossless** (SOF3, r13): predictive Annex H — sample-unit MCUs,
+  *     predictors 1-7, point transform, modulo-2^16 reconstruction,
+  *     precisions 2-16, gray or direct-RGB output;
+  *   - **arithmetic-coded** (SOF9/SOF10, r13): the QM coder of Annex D
+  *     ([[JpegArith]]) under the standard DC/AC context models with DAC
+  *     conditioning, sequential and full progressive;
   *   - multiple DQT/DHT segments, table redefinition between scans,
   *     APPn/COM skipped by length, restart markers (DRI/RSTn with
-  *     predictor + EOB-run reset and bit realignment), 0xFF00
-  *     unstuffing.
-  * Arithmetic coding and 12-bit precision remain out of scope and flow
-  * through the capacity-planning tier (`Multimodal.ResizePlanKernel`).
+  *     predictor/statistics reset and realignment), 0xFF00 unstuffing.
+  * Hierarchical/differential processes (SOF5-7/13-15) and arithmetic
+  * lossless (SOF11) remain out of scope and flow through the
+  * capacity-planning tier (`Multimodal.ResizePlanKernel`).
   *
   * Decode math: coefficients dequantize to Int, the IDCT is the exact
   * separable double-precision definition from T.81 A.3.3 (no fast
@@ -183,8 +190,9 @@ object JpegCodec {
   private case class Comp(id: Int, h: Int, v: Int, tq: Int,
                           var td: Int = 0, var ta: Int = 0)
 
-  /** Decode a baseline or progressive JPEG to one RGB24 frame; None on
-    * anything malformed or out of scope (arithmetic, 12-bit, ...).
+  /** Decode a sequential (8/12-bit), progressive, lossless or
+    * arithmetic-coded JPEG to one RGB24 frame; None on anything
+    * malformed or out of scope (hierarchical, arithmetic lossless).
     * The quarantine catch is PARSE-SHAPED only (the GIF/PNG sibling
     * discipline): a fatal VM error (OOM mid-IDCT, stack overflow) or a
     * task-kill interrupt must fail the task so Spark retries/surfaces
@@ -213,7 +221,11 @@ object JpegCodec {
     var restartInterval = 0
     var progressive = false
     var lossless = false
+    var arithmetic = false
     var precision = 8 // sample precision P from SOF (8/12 DCT, 2-16 lossless)
+    // arithmetic conditioning (DAC, T.81 B.2.4.3); spec defaults
+    val dcCond = Array.fill(4)((0, 1)) // (L, U) thresholds per table
+    val acCond = Array.fill(4)(5)      // Kx per table
     // frame geometry, set at SOF
     var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
     var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
@@ -505,6 +517,184 @@ object JpegCodec {
       br.pos
     }
 
+    /** One arithmetic-coded scan (T.81 F.2.2 sequential, G.2
+      * progressive) into the coefficient grids. Context models are the
+      * standard's exactly (the public libjpeg jdarith rendering of
+      * Figures F.19-F.24 / G.5-G.7): per-component DC conditioning
+      * categories from the previous diff classified against the DAC
+      * L/U thresholds, per-position AC bins in triplets (EOB, zero,
+      * magnitude) with the Kx split for the high-frequency magnitude
+      * chains, AC signs and DC refinement bits on the fixed ~0.5 state.
+      * Statistics, DC predictions and conditioning reset at scan start
+      * and at every restart marker. Returns the position after the
+      * entropy data (the terminating marker's 0xFF).
+      */
+    def arithScan(scanIdx: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val dec = new JpegArith.Decoder(b, r.pos)
+      val dcStats = Array.fill(4)(JpegArith.stats(64))
+      val acStats = Array.fill(4)(JpegArith.stats(256))
+      val fixed = JpegArith.fixedBin
+      val pred = new Array[Int](comps.length)
+      val dcCtx = new Array[Int](comps.length)
+      var rstIdx = 0
+      var unit = 0
+
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          dec.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          dcStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+          acStats.foreach(java.util.Arrays.fill(_, 0.toByte))
+          java.util.Arrays.fill(pred, 0)
+          java.util.Arrays.fill(dcCtx, 0)
+        }
+
+      /** DC diff decode (F.2.2.1): updates pred(ci), returns it. */
+      def decodeDc(ci: Int): Int = {
+        val c = comps(ci)
+        val st = dcStats(c.td)
+        val (condL, condU) = dcCond(c.td)
+        val ctx = dcCtx(ci)
+        if (dec.decode(st, ctx) == 0) dcCtx(ci) = 0
+        else {
+          val sign = dec.decode(st, ctx + 1)
+          var sp = ctx + 2 + sign
+          var m = dec.decode(st, sp)
+          if (m != 0) {
+            sp = 20
+            while (dec.decode(st, sp) != 0) {
+              m <<= 1; require(m != 0x8000, "DC magnitude overflow"); sp += 1
+            }
+          }
+          // conditioning category for the next block (F.1.4.4.1.2)
+          dcCtx(ci) =
+            if (m < ((1 << condL) >> 1)) 0
+            else if (m > ((1 << condU) >> 1)) 12 + sign * 4
+            else 4 + sign * 4
+          var v = m
+          sp += 14
+          m >>= 1
+          while (m != 0) { if (dec.decode(st, sp) != 0) v |= m; m >>= 1 }
+          v += 1
+          pred(ci) += (if (sign == 1) -v else v)
+        }
+        pred(ci)
+      }
+
+      /** AC band decode (F.2.2.2 / G.2's first pass), coefficients
+        * shifted by `al2` into grid `g` at block offset `off`. */
+      def decodeAcBand(ci: Int, g: Array[Int], off: Int,
+                       lo: Int, hi: Int, al2: Int): Unit = {
+        val c = comps(ci)
+        val st = acStats(c.ta)
+        val kx = acCond(c.ta)
+        var k = lo
+        var eob = false
+        while (!eob && k <= hi) {
+          if (dec.decode(st, 3 * (k - 1)) != 0) eob = true
+          else {
+            while (dec.decode(st, 3 * (k - 1) + 1) == 0) {
+              k += 1; require(k <= hi, "AC index out of band")
+            }
+            val sign = dec.decode(fixed, 0)
+            var sp = 3 * (k - 1) + 2
+            var m = dec.decode(st, sp)
+            if (m != 0 && dec.decode(st, sp) != 0) {
+              m = 2
+              sp = if (k <= kx) 189 else 217
+              while (dec.decode(st, sp) != 0) {
+                m <<= 1; require(m != 0x8000, "AC magnitude overflow"); sp += 1
+              }
+            }
+            var v = m
+            sp += 14
+            m >>= 1
+            while (m != 0) { if (dec.decode(st, sp) != 0) v |= m; m >>= 1 }
+            v += 1
+            g(off + zigzag(k)) = (if (sign == 1) -v else v) << al2
+            k += 1
+          }
+        }
+      }
+
+      /** AC refinement (G.2, the jdarith decode_mcu_AC_refine model). */
+      def decodeAcRefine(g: Array[Int], ci: Int, off: Int): Unit = {
+        val c = comps(ci)
+        val st = acStats(c.ta)
+        val p1 = 1 << al; val m1 = -1 << al
+        var kex = se
+        while (kex > 0 && g(off + zigzag(kex)) == 0) kex -= 1
+        var k = ss
+        var eob = false
+        while (!eob && k <= se) {
+          if (k > kex && dec.decode(st, 3 * (k - 1)) != 0) eob = true
+          else {
+            var done = false
+            while (!done) {
+              val z = off + zigzag(k)
+              if (g(z) != 0) {
+                if (dec.decode(st, 3 * (k - 1) + 2) != 0)
+                  g(z) += (if (g(z) < 0) m1 else p1)
+                done = true
+              } else if (dec.decode(st, 3 * (k - 1) + 1) != 0) {
+                g(z) = if (dec.decode(fixed, 0) != 0) m1 else p1
+                done = true
+              } else {
+                k += 1; require(k <= se, "refinement ran past the band")
+              }
+            }
+            k += 1
+          }
+        }
+      }
+
+      def decodeBlock(ci: Int, off: Int): Unit = {
+        val g = grids(ci)
+        if (!progressive) { // sequential: DC + full AC band, one pass
+          g(off) = decodeDc(ci)
+          decodeAcBand(ci, g, off, 1, 63, 0)
+        } else if (ss == 0) {
+          if (ah == 0) g(off) = decodeDc(ci) << al
+          else if (dec.decode(fixed, 0) != 0) g(off) |= (1 << al)
+        } else if (ah == 0) decodeAcBand(ci, g, off, ss, se, al)
+        else decodeAcRefine(g, ci, off)
+      }
+
+      if (scanIdx.length == 1) {
+        val ci = scanIdx(0); val c = comps(ci)
+        val nbx = ((w * c.h + 8 * hMax - 1) / (8 * hMax)).max(1)
+        val nby = ((h * c.v + 8 * vMax - 1) / (8 * vMax)).max(1)
+        val total = nbx * nby
+        while (unit < total) {
+          maybeRestart()
+          decodeBlock(ci, ((unit / nbx) * blocksW(ci) + unit % nbx) * 64)
+          unit += 1
+        }
+      } else {
+        val total = mcusX * mcusY
+        while (unit < total) {
+          maybeRestart()
+          val mx = unit % mcusX; val my = unit / mcusX
+          var i = 0
+          while (i < scanIdx.length) {
+            val ci = scanIdx(i); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(ci,
+                  ((my * c.v + by) * blocksW(ci) + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          unit += 1
+        }
+      }
+      dec.end()
+    }
+
     var sosPos = -1 // baseline: entropy start; loop exits when set
     var scanComps: Array[Comp] = null
     var finished = false // progressive: EOI seen
@@ -547,8 +737,24 @@ object JpegCodec {
             "lossless: 1 (gray) or 3 (RGB) components")
         case 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
           return None // differential/hierarchical: planning tier only
-        case 0xc9 | 0xca | 0xcb =>
-          return None // arithmetic coding: planning tier only
+        case 0xc9 => arithmetic = true; parseSof(prog = false, loss = false)
+        case 0xca => arithmetic = true; parseSof(prog = true, loss = false)
+        case 0xcb =>
+          return None // arithmetic lossless: planning tier only
+        case 0xcc => // DAC: arithmetic conditioning (T.81 B.2.4.3)
+          val dacLen = r.u16(); val end = r.pos + dacLen - 2
+          while (r.pos < end) {
+            val tc = r.u8(); val v = r.u8()
+            if ((tc >> 4) == 0) {
+              val lo = v & 15; val hi = v >> 4
+              require(lo <= hi, "bad DC conditioning bounds")
+              dcCond(tc & 3) = (lo, hi)
+            } else {
+              require(v >= 1 && v <= 63, "bad AC conditioning Kx")
+              acCond(tc & 3) = v
+            }
+          }
+          require(r.pos == end, "DAC length mismatch")
         case 0xdd => require(r.u16() == 4); restartInterval = r.u16()
         case 0xda => // SOS
           require(comps != null, "SOS before SOF")
@@ -573,6 +779,19 @@ object JpegCodec {
             require(al < precision, "point transform out of range")
             r.pos = losslessScan(sc.map(c => comps.indexWhere(_.id == c.id)), ss, al)
             lossScans += 1
+          } else if (arithmetic) {
+            if (progressive) {
+              require(ss <= se && se <= 63, "bad spectral band")
+              require(if (ss == 0) se == 0 else ns == 1,
+                "DC band is [0,0]; AC scans are single-component")
+              require(ah == 0 || ah == al + 1, "successive approximation chain")
+            } else require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "sequential scans cover the full band")
+            if (grids == null)
+              grids = comps.indices.toArray.map(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64))
+            r.pos = arithScan(sc.map(c => comps.indexWhere(_.id == c.id)), ss, se, ah, al)
+            progScans += 1
           } else if (!progressive) {
             require(ns == comps.length, "baseline: one interleaved scan")
             require(ss == 0 && se == 63 && ah == 0 && al == 0,
@@ -591,7 +810,8 @@ object JpegCodec {
             progScans += 1
           }
         case 0xd9 => // EOI
-          if ((progressive && progScans > 0) || (lossless && lossScans > 0))
+          if (((progressive || arithmetic) && progScans > 0) ||
+              (lossless && lossScans > 0))
             finished = true
           else return None
         case _ => r.skip(r.u16() - 2) // APPn, COM, DNL, anything skippable
@@ -648,8 +868,8 @@ object JpegCodec {
         }
         ci += 1
       }
-    } else if (!progressive) {
-      // baseline: stream-decode the single interleaved scan
+    } else if (grids == null) {
+      // Huffman baseline: stream-decode the single interleaved scan
       val br = new BitReader(b, sosPos)
       val pred = new Array[Int](comps.length)
       var mcu = 0
@@ -702,7 +922,7 @@ object JpegCodec {
         mcu += 1
       }
     } else {
-      // progressive: dequantize the accumulated grids, IDCT every block
+      // progressive/arithmetic: dequantize the accumulated grids, IDCT every block
       var ci = 0
       while (ci < comps.length) {
         val q = qtab(comps(ci).tq); require(q != null, "missing qtable")

@@ -397,10 +397,10 @@ object Multimodal {
     * geometry (dims parsed from real bytes, fit arithmetic, output byte
     * estimate) for EVERY container format. Since r8 every Huffman JPEG
     * family also has a real pixel tier ([[PixelResizeKernel]] — GIF,
-    * PNG, baseline AND progressive JPEG, raw RGB); only
-    * arithmetic-coded/lossless JPEG stops here, and a planner still
-    * sizes the output shuffle from this tier before paying for pixel
-    * decode. Batch-
+    * PNG, sequential/progressive/lossless/arithmetic JPEG, raw RGB);
+    * only hierarchical and arithmetic-lossless JPEG stop here (r13),
+    * and a planner still sizes the output shuffle from this tier before
+    * paying for pixel decode. Batch-
     * shaped like [[HeaderDecoder]] so the shuffle stays byte-volume-
     * sized via [[decodeBatched]]. Unparseable payloads drop here (the
     * metadata pass already routed them to the quarantine lane).
@@ -456,11 +456,14 @@ object Multimodal {
     * pixel decode + nearest-neighbor resample for the formats whose
     * compression is pure-JVM-implementable — GIF (every frame, LZW via
     * [[GifCodec]]), PNG (DEFLATE via the JVM's Inflater + full scanline
-    * defiltering, [[PngCodec]]), baseline AND progressive JPEG
-    * (Huffman + successive approximation + dequant + exact IDCT +
-    * YCbCr→RGB via [[JpegCodec]] — the last r7 boundary, erased in r8),
-    * and raw RGB. Only arithmetic-coded/lossless JPEG still stops at
-    * the capacity-planning tier ([[ResizePlanKernel]]).
+    * defiltering, [[PngCodec]]), JPEG across its coding processes —
+    * sequential 8/12-bit, progressive, predictive lossless, and the
+    * QM-arithmetic variants of both DCT modes (Huffman + successive
+    * approximation + Annex D arithmetic + dequant + exact IDCT +
+    * YCbCr→RGB via [[JpegCodec]]; the r7 boundary erased in r8, the
+    * rest in r13) — and raw RGB. Only hierarchical and
+    * arithmetic-lossless JPEG still stop at the capacity-planning tier
+    * ([[ResizePlanKernel]]).
     *
     * Nearest-neighbor index map is pure integer math — src_x =
     * ⌊x·w/out_w⌋ — so the resample is exactly reproducible by an oracle
