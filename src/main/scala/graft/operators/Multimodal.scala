@@ -159,19 +159,31 @@ object Multimodal {
                        peak_abs: Long, sum_abs: Long, sum_sq: Long,
                        clipped: Long, ok: Boolean)
 
-  /** Real RIFF/WAVE parsing + PCM16 decode — the audio lane of the
+  /** Real RIFF/WAVE parsing + PCM decode — the audio lane of the
     * multimodal contract. Walks the chunk list (honoring RIFF's odd-size
-    * padding rule, tolerating unknown chunks before fmt/data), requires
-    * PCM (format 1) at 16 bits, and computes the signal statistics in one
-    * pass over the little-endian samples. Anything else — wrong magic,
-    * truncated chunks, non-PCM, odd data length — quarantines (`ok=false`),
-    * matching the HeaderDecoder discipline: garbage never kills a batch.
+    * padding rule, tolerating unknown chunks before fmt/data) and decodes
+    * every mainstream sample format (r13 widened from PCM16-only):
+    * integer PCM at 8 (unsigned), 16, 24 and 32 bits, IEEE float at 32
+    * and 64 bits (format 3), and WAVE_FORMAT_EXTENSIBLE (format 0xFFFE,
+    * sub-format resolved from the GUID prefix). Signal statistics are
+    * computed in ONE documented 16-bit domain so they stay LONG-exact
+    * and oracle-comparable across formats: 8-bit maps as (s−128)·256,
+    * 24/32-bit keep their top 16 bits (arithmetic shift), floats clamp
+    * to [−1,1] and scale by 32767 with half-up rounding. `clipped`
+    * counts NATIVE full-scale samples (0/255 at 8-bit, |s| ≥ 2^(bits−1)−1
+    * integer, |f| ≥ 1.0 float) — a downstream quality filter's clipping
+    * signal must not depend on the statistics quantization. Anything
+    * else — wrong magic, truncated chunks, compressed formats, odd data
+    * length — quarantines (`ok=false`), matching the HeaderDecoder
+    * discipline: garbage never kills a batch.
     */
   object WavDecoder extends Decoder[AudioMeta] {
     private def le16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], o: Int): Int =
       le16(b, o) | (le16(b, o + 2) << 16)
+    private def le64(b: Array[Byte], o: Int): Long =
+      (le32(b, o) & 0xffffffffL) | (le32(b, o + 4).toLong << 32)
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -179,7 +191,7 @@ object Multimodal {
       val b = r.media
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
       var o = 12
-      var fmt: Option[(Int, Int)] = None // (channels, rate) once PCM16-validated
+      var fmt: Option[(Int, Int, Int, Int)] = None // (format, bits, channels, rate)
       var data: Option[(Int, Int)] = None // (offset, len)
       while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
         val id = tag(b, o)
@@ -188,24 +200,63 @@ object Multimodal {
         // `o + 8 + size` negative and sneak past an Int guard
         if (size < 0 || o.toLong + 8L + size > b.length) return None // truncated chunk
         if (id == "fmt " && size >= 16) {
-          val audioFormat = le16(b, o + 8)
+          var audioFormat = le16(b, o + 8)
           val bits = le16(b, o + 22)
-          if (audioFormat != 1 || bits != 16) return None // not PCM16
-          fmt = Some((le16(b, o + 10), le32(b, o + 12)))
+          if (audioFormat == 0xfffe) {
+            // EXTENSIBLE: the real format is the sub-format GUID's first
+            // two bytes (cbSize >= 22, fmt chunk >= 40 bytes)
+            if (size < 40 || le16(b, o + 24) < 22) return None
+            audioFormat = le16(b, o + 32)
+          }
+          val valid = (audioFormat, bits) match {
+            case (1, 8) | (1, 16) | (1, 24) | (1, 32) => true // integer PCM
+            case (3, 32) | (3, 64) => true                    // IEEE float
+            case _ => false                                   // compressed etc.
+          }
+          if (!valid) return None
+          fmt = Some((audioFormat, bits, le16(b, o + 10), le32(b, o + 12)))
         } else if (id == "data") data = Some((o + 8, size))
         o += 8 + size + (size & 1) // RIFF pads odd chunks
       }
-      for ((ch, rate) <- fmt; (off, len) <- data;
-           if ch > 0 && rate > 0 && len % (2 * ch) == 0) yield {
-        val n = len / 2
+      for ((code, bits, ch, rate) <- fmt; (off, len) <- data;
+           if ch > 0 && rate > 0 && len % ((bits / 8) * ch) == 0) yield {
+        val bytesPer = bits / 8
+        val n = len / bytesPer
         var i = 0
         var peak = 0L; var sAbs = 0L; var sSq = 0L; var clip = 0L
         while (i < n) {
-          val s = le16(b, off + 2 * i).toShort.toLong
+          val p = off + bytesPer * i
+          // s: the 16-bit-domain statistics sample; nativeClip: at the
+          // format's own full scale
+          var s = 0L; var nativeClip = false
+          if (code == 1) bits match {
+            case 8 =>
+              val raw = b(p) & 0xff
+              s = (raw - 128).toLong << 8
+              nativeClip = raw == 0 || raw == 255
+            case 16 =>
+              val raw = le16(b, p).toShort.toLong
+              s = raw; nativeClip = math.abs(raw) >= 32767L
+            case 24 =>
+              val raw = (le16(b, p) | ((b(p + 2) & 0xff) << 16)) << 8 >> 8
+              s = raw.toLong >> 8; nativeClip = math.abs(raw.toLong) >= 0x7fffffL
+            case _ =>
+              val raw = le32(b, p)
+              s = raw.toLong >> 16; nativeClip = math.abs(raw.toLong) >= 0x7fffffffL
+          } else {
+            val f = if (bits == 32) java.lang.Float.intBitsToFloat(le32(b, p)).toDouble
+                    else java.lang.Double.longBitsToDouble(le64(b, p))
+            if (f.isNaN) { s = 0L; nativeClip = false }
+            else {
+              val cl = math.max(-1.0, math.min(1.0, f))
+              s = math.round(cl * 32767.0)
+              nativeClip = math.abs(f) >= 1.0
+            }
+          }
           val a = math.abs(s)
           if (a > peak) peak = a
           sAbs += a; sSq += s * s
-          if (a >= 32767L) clip += 1
+          if (nativeClip) clip += 1
           i += 1
         }
         val frames = n / ch

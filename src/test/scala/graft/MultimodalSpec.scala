@@ -329,18 +329,22 @@ class MultimodalSpec extends SparkSuite {
     assert(m.clipped == 2L)
   }
 
-  test("WAV decode: non-PCM, truncated, and wrong-magic payloads quarantine") {
+  test("WAV decode: compressed, truncated, and wrong-magic payloads quarantine") {
     def r(b: Array[Byte]) = Multimodal.MediaRow(1L, "audio", b, b.length.toLong)
     assert(Multimodal.WavDecoder.parse(r("not audio at all".getBytes)).isEmpty)
     assert(Multimodal.WavDecoder.parse(r("RIFF   WAVE".getBytes)).isEmpty)
-    // fmt declaring IEEE float (format 3) must quarantine
+    // a COMPRESSED format (2 = ADPCM) must quarantine, as must widths
+    // the formats don't come in (12-bit PCM, 16-bit float) and unknown
+    // codes (6 = A-law)
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
-    val fmtF = "fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++
-      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(32)
-    val body = "WAVE".getBytes ++ fmtF ++ "data".getBytes ++ le32(0)
-    val wav = "RIFF".getBytes ++ le32(body.length) ++ body
-    assert(Multimodal.WavDecoder.parse(r(wav)).isEmpty)
+    for ((code, bits) <- Seq((2, 4), (3, 16), (1, 12), (6, 8))) {
+      val fmtF = "fmt ".getBytes ++ le32(16) ++ le16(code) ++ le16(1) ++
+        le32(8000) ++ le32(32000) ++ le16(4) ++ le16(bits)
+      val body = "WAVE".getBytes ++ fmtF ++ "data".getBytes ++ le32(0)
+      val wav = "RIFF".getBytes ++ le32(body.length) ++ body
+      assert(Multimodal.WavDecoder.parse(r(wav)).isEmpty, s"($code,$bits)")
+    }
     // adversarial chunk size near Int.MaxValue: `o + 8 + size` wraps
     // negative in Int arithmetic — the Long-math guard must quarantine
     // instead of letting the sample loop run off the array (r7 advice)
@@ -353,6 +357,66 @@ class MultimodalSpec extends SparkSuite {
     // and through decode(): the poisoned row flows as ok=false data
     val out = Multimodal.WavDecoder.decode(Iterator(r(wav2))).toList
     assert(out.length == 1 && !out.head.ok)
+  }
+
+  test("WAV decode: 8/24/32-bit PCM, IEEE float and EXTENSIBLE map to the 16-bit stats domain") {
+    def r(b: Array[Byte]) = Multimodal.MediaRow(1L, "audio", b, b.length.toLong)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    def le24(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def le64(v: Long) = le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
+    def wav(code: Int, bits: Int, data: Array[Byte], ext: Boolean = false): Array[Byte] = {
+      val fmtC =
+        if (ext) "fmt ".getBytes ++ le32(40) ++ le16(0xfffe) ++ le16(1) ++
+          le32(8000) ++ le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits) ++
+          le16(22) ++ le16(bits) ++ le32(0) ++ // cbSize, validBits, channelMask
+          le16(code) ++ Array.fill(14)(0.toByte) // GUID: code in the first 2 bytes
+        else "fmt ".getBytes ++ le32(16) ++ le16(code) ++ le16(1) ++
+          le32(8000) ++ le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits)
+      val dataC = "data".getBytes ++ le32(data.length) ++ data
+      val body = "WAVE".getBytes ++ fmtC ++ dataC
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    def fbits(f: Float) = le32(java.lang.Float.floatToIntBits(f))
+    def dbits(d: Double) = le64(java.lang.Double.doubleToLongBits(d))
+
+    // 8-bit unsigned [128,255,0,129] -> s16 [0,32512,-32768,256]; 0/255 clip
+    val m8 = Multimodal.WavDecoder.parse(
+      r(wav(1, 8, Array(128, 255, 0, 129).map(_.toByte)))).get
+    assert(m8.ok && m8.n_frames == 4L && m8.peak_abs == 32768L && m8.clipped == 2L)
+    assert(m8.sum_abs == 32512L + 32768L + 256L)
+    assert(m8.sum_sq == 32512L * 32512 + 32768L * 32768 + 256L * 256)
+    // 24-bit: top 16 bits survive; native full scale clips
+    val m24 = Multimodal.WavDecoder.parse(r(wav(1, 24,
+      le24(0x7fffff) ++ le24(-0x800000) ++ le24(0x000100) ++ le24(-0x000100)))).get
+    assert(m24.ok && m24.peak_abs == 32768L && m24.clipped == 2L)
+    assert(m24.sum_abs == 32767L + 32768L + 1L + 1L)
+    // 32-bit
+    val m32 = Multimodal.WavDecoder.parse(r(wav(1, 32,
+      le32(0x7fffffff) ++ le32(Int.MinValue) ++ le32(0x00010000) ++ le32(-0x00010000)))).get
+    assert(m32.ok && m32.peak_abs == 32768L && m32.clipped == 2L)
+    assert(m32.sum_abs == 32767L + 32768L + 1L + 1L)
+    // float32: clamp to [-1,1], scale 32767, half-up; NaN contributes 0;
+    // |f| >= 1.0 is native clipping
+    val mf = Multimodal.WavDecoder.parse(r(wav(3, 32,
+      fbits(1.0f) ++ fbits(-1.0f) ++ fbits(0.5f) ++ fbits(2.0f) ++ fbits(Float.NaN)))).get
+    assert(mf.ok && mf.n_frames == 5L && mf.clipped == 3L)
+    assert(mf.peak_abs == 32767L)
+    assert(mf.sum_abs == 32767L + 32767L + 16384L + 32767L)
+    // float64
+    val md = Multimodal.WavDecoder.parse(r(wav(3, 64,
+      dbits(0.25) ++ dbits(-0.25) ++ dbits(1.5)))).get
+    assert(md.ok && md.clipped == 1L && md.peak_abs == 32767L)
+    assert(md.sum_abs == 8192L + 8192L + 32767L)
+    // EXTENSIBLE wrapping float32 decodes identically to plain format 3
+    val me = Multimodal.WavDecoder.parse(r(wav(3, 32,
+      fbits(1.0f) ++ fbits(-1.0f) ++ fbits(0.5f) ++ fbits(2.0f) ++ fbits(Float.NaN),
+      ext = true))).get
+    assert(me.ok && me.sum_abs == mf.sum_abs && me.sum_sq == mf.sum_sq &&
+      me.clipped == mf.clipped)
+    // EXTENSIBLE wrapping a compressed sub-format still quarantines
+    assert(Multimodal.WavDecoder.parse(r(wav(2, 4, Array.empty, ext = true))).isEmpty)
   }
 
   test("synthetic audio round-trips through the real RIFF walk exactly") {
