@@ -778,6 +778,28 @@ object SparkEntry {
           col("n_phone").cast("long").as("n_phone"))
         .orderBy("doc_id")
     }),
+    // HTML extraction with an EXACT oracle: each doc's text is escaped
+    // and wrapped into a full page (script/style/comment junk, inline
+    // markup, entities); the strip chain is RE2-compatible by design, so
+    // the oracle replays TextOps.htmlStripStages op-for-op in DuckDB
+    "q_text_html" -> ((s, d) => {
+      val id = col("doc_id")
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><title>doc "), id.cast("string"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && v > 3;</script>"),
+        lit("<style>p { margin: 0; }</style></head><body><!-- crawl junk -->"),
+        lit("<h1 class=\"t\">Doc "), id.cast("string"), lit("</h1><p>"),
+        esc,
+        lit("</p><div><a href=\"/next\">next &amp; prev</a>&nbsp;&#39;q&#39;</div>"),
+        lit("</body></html>"))
+      TextOps.htmlToText(Canon.documents(s, d).select(id, html.as("html")))
+        .select(id, col("n_tags").cast("long").as("n_tags"),
+          col("n_links").cast("long").as("n_links"),
+          col("n_blocks").cast("long").as("n_blocks"), col("text"))
+        .orderBy("doc_id")
+    }),
     "q_text_winnowing" -> ((s, d) => // splitmix64-valued; rows-only +
       // golden. A full-size DuckDB mirror costs ~100s of interpreted
       // lambda arithmetic per t2 run (and round 9's unbiased draft was
@@ -2304,6 +2326,30 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
         |  CAST(len(regexp_extract_all(t, '(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b')) AS BIGINT) AS n_phone
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the same page construction; the strip chain is generated from
+    // TextOps.htmlStripStages so both engines run the IDENTICAL stages
+    "q_text_html" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val chain = TextOps.htmlStripStages.foldLeft("h") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id,
+         |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title><script type="text/javascript">var x = 1 < 2 && v > 3;</script>' ||
+         |  '<style>p { margin: 0; }</style></head><body><!-- crawl junk -->' ||
+         |  '<h1 class="t">Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') ||
+         |  '</p><div><a href="/next">next &amp; prev</a>&nbsp;&#39;q&#39;</div>' ||
+         |  '</body></html>' AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags,
+         |  CAST(len(regexp_extract_all(h, '(?i)<a[\\s>]')) AS BIGINT) AS n_links,
+         |  CAST(len(regexp_extract_all(h, '(?is)<(script|style)[^>]*>')) AS BIGINT) AS n_blocks,
+         |  trim($chain) AS text
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "q_text_gopher" -> // rule flags compare UNROUNDED quotients of exact
       // integer counts (identical doubles in any engine); outputs rounded
       s"""WITH q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt,

@@ -252,6 +252,51 @@ object TextOps {
     withCounts.withColumn(textCol, redactPii(col(textCol)))
   }
 
+  /** HTML → text (r13) — the step BEFORE everything else in a web-crawl
+    * pipeline (the C4/Dolma extraction stage, simplified to a
+    * deterministic contract both engines can mirror): script/style
+    * blocks and comments are removed whole, block-level tags become
+    * newlines (paragraph structure survives for the chunker), every
+    * remaining tag becomes a space, the six universal entities decode
+    * (&amp; LAST, so "&amp;lt;" correctly yields a literal "&lt;"), and
+    * whitespace normalizes — runs of spaces collapse, newline runs
+    * collapse to one, ends trim. Pure column expression chain: scan
+    * speed, no shuffle, no UDF. Every pattern is RE2-compatible (no
+    * backreferences or lookarounds) so a DuckDB oracle can replay the
+    * chain op-for-op. Unclosed trailing tags (no '>') are text by this
+    * contract; a literal '<' in well-formed HTML arrives as &lt; and
+    * round-trips.
+    */
+  val htmlStripStages: Seq[(String, String)] = Seq(
+    ("(?is)<script[^>]*>.*?</script>", " "),
+    ("(?is)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote)(\\s[^>]*)?/?>", "\n"),
+    ("<[^>]+>", " "),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ("[ \\t\\x0B\\f\\r]+", " "),
+    ("\\s*\\n\\s*", "\n"),
+    // edge newlines: trim() (both engines) removes only spaces
+    ("^\\n+|\\n+$", ""))
+
+  def stripHtml(html: Column): Column =
+    trim(htmlStripStages.foldLeft(html) {
+      case (c, (p, r)) => regexp_replace(c, p, r) })
+
+  /** Extracted text plus the audit statistics a crawl pipeline logs:
+    * total tag count, anchor count (the link-density numerator
+    * boilerplate heuristics run on) and script/style block count — all
+    * counted on the RAW html before stripping.
+    */
+  def htmlToText(df: DataFrame, htmlCol: String = "html",
+                 idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(htmlCol), lit("<[^>]+>")).as("n_tags"),
+      regexp_count(col(htmlCol), lit("(?i)<a[\\s>]")).as("n_links"),
+      regexp_count(col(htmlCol), lit("(?is)<(script|style)[^>]*>")).as("n_blocks"),
+      stripHtml(col(htmlCol)).as("text"))
+
   /** Fixed-size overlapping token chunks — the pre-packing step of a
     * training pipeline (long documents become maxTokens-token windows
     * overlapping by `overlap`). Chunk starts are 0, step, 2·step, … with

@@ -68,6 +68,35 @@ class TextOpsSpec extends SparkSuite {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  test("stripHtml: scripts/styles/comments vanish, blocks break lines, entities decode") {
+    val html =
+      """<html><head><title>t</title><script type="x">if (a < b && c > d) { alert("<p>"); }</script>
+        |<style>p { color: red; }</style></head>
+        |<body><!-- junk --><h1 id="h">Head</h1>
+        |<p>one &amp; two &lt;three&gt;</p><p>four&nbsp;five&#39;s</p>
+        |<div><a href="/x">link</a> tail</div>
+        |<span>inline</span> text</body></html>""".stripMargin
+    val got = Seq(html).toDF("html").select(TextOps.stripHtml($"html")).as[String].head()
+    // title text survives (only script/style content is removed); block
+    // tags break lines; inline tags become spaces; whitespace normalizes
+    assert(got ==
+      "t\nHead\none & two <three>\nfour five's\nlink tail\ninline text")
+    // the audit stats count on the raw html
+    val stats = TextOps.htmlToText(Seq((1L, html)).toDF("doc_id", "html"))
+      .select("n_tags", "n_links", "n_blocks").head()
+    assert(stats.getInt(1) == 1 && stats.getInt(2) == 2, stats.toString)
+    // escaped markup inside text round-trips: wrap -> strip recovers it
+    val tricky = "a < b & c > d"
+    val esc = tricky.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val round = Seq(s"<p>$esc</p>").toDF("html")
+      .select(TextOps.stripHtml($"html")).as[String].head()
+    assert(round == tricky)
+    // "&amp;lt;" decodes to the literal text "&lt;", not to "<"
+    val amp = Seq("<p>&amp;lt;</p>").toDF("html")
+      .select(TextOps.stripHtml($"html")).as[String].head()
+    assert(amp == "&lt;")
+  }
+
   test("bpe-ish count adds subword pieces for long words") {
     val df = Seq(("a bb cccc ddddddddd", 1L)).toDF("text", "id")
     // 1 + 1 + 1 + ceil(9/4)=3 => 6
