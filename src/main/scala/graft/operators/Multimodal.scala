@@ -238,7 +238,7 @@ object Multimodal {
               val raw = le16(b, p).toShort.toLong
               s = raw; nativeClip = math.abs(raw) >= 32767L
             case 24 =>
-              val raw = (le16(b, p) | ((b(p + 2) & 0xff) << 16)) << 8 >> 8
+              val raw = ((le16(b, p) | ((b(p + 2) & 0xff) << 16)) << 8) >> 8
               s = raw.toLong >> 8; nativeClip = math.abs(raw.toLong) >= 0x7fffffL
             case _ =>
               val raw = le32(b, p)

@@ -74,7 +74,10 @@ object PngCodec {
               case (6, 8 | 16) => true
               case _ => false
             }
-            if (w <= 0 || h <= 0 || !legal || interlace > 1) return None
+            // pixel-volume cap (the JpegCodec bound): the 64 MB RAW guard
+            // alone lets a 1-bit image demand a 1.5 GB RGB allocation
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24) ||
+                !legal || interlace > 1) return None
           case "PLTE" =>
             if (len % 3 != 0 || len == 0 || len > 768) return None
             plte = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len.toInt)

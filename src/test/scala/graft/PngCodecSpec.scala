@@ -135,6 +135,14 @@ class PngCodecSpec extends SparkSuite {
     assert(PngCodec.decode("nope".getBytes).isEmpty)
     // oversized pixel stream (extra bytes after the expected scanlines)
     assert(PngCodec.decode(png(1, 1, 2, Array[Byte](0, 1, 2, 3, 0))).isEmpty)
+    // hostile dims: a 1-bit 16384x16384 image fits the 64MB raw guard
+    // but would demand a 768MB RGB plane — the pixel cap quarantines it
+    val big = new ByteArrayOutputStream()
+    big.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    big.write(chunk("IHDR", Array[Byte](0, 0, 0x40, 0, 0, 0, 0x40, 0, 1, 0, 0, 0, 0)))
+    big.write(chunk("IDAT", deflate(Array[Byte](0))))
+    big.write(chunk("IEND", Array.emptyByteArray))
+    assert(PngCodec.decode(big.toByteArray).isEmpty)
     // an ILLEGAL depth/type combination (depth 3 exists for no type)
     val ihdr3 = Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 3.toByte, 2, 0, 0, 0)
     val out = new ByteArrayOutputStream()
