@@ -745,6 +745,7 @@ object JpegCodec {
           val dacLen = r.u16(); val end = r.pos + dacLen - 2
           while (r.pos < end) {
             val tc = r.u8(); val v = r.u8()
+            require((tc >> 4) <= 1, "DAC class must be DC (0) or AC (1)")
             if ((tc >> 4) == 0) {
               val lo = v & 15; val hi = v >> 4
               require(lo <= hi, "bad DC conditioning bounds")
