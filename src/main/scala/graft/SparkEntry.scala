@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Tags
 import graft.model.Canon
-import graft.operators.{AsofJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sampling, Similarity, TableProfile, TextOps, TimeSeries => TS}
+import graft.operators.{AsofJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sampling, Similarity, TableProfile, TextOps, UrlOps, TimeSeries => TS}
 import graft.sources.{JsonIngest, TieredStore, VersionedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -798,6 +798,53 @@ object SparkEntry {
         .select(id, col("n_tags").cast("long").as("n_tags"),
           col("n_links").cast("long").as("n_links"),
           col("n_blocks").cast("long").as("n_blocks"), col("text"))
+        .orderBy("doc_id")
+    }),
+    // URL parsing + canonicalization with an EXACT oracle: id-derived
+    // URLs (UrlOps.syntheticUrls) hit every parser branch; the RFC 3986
+    // Appendix B regex and the eTLD+1 / normalize logic are RE2- and
+    // CASE-mirrorable, so DuckDB replays them verbatim
+    "q_url_parse" -> ((s, d) =>
+      UrlOps.parse(UrlOps.syntheticUrls(Canon.documents(s, d)))
+        .orderBy("doc_id")),
+    // per-domain cap (CCNet/RefinedWeb diversity control): keep the top-3
+    // docs per registrable domain by (n_chars desc, doc_id) — the engine
+    // runs the two-phase skew-safe top-k, the oracle the plain window;
+    // both are exact because the order is total
+    "q_url_domcap" -> ((s, d) =>
+      UrlOps.domainCap(UrlOps.syntheticUrls(Canon.documents(s, d)),
+          "url", cap = 3, rankCol = "n_chars")
+        .select(col("domain"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("domain", "rn")),
+    // WARC ingestion with an EXACT oracle: Spark assembles genuine
+    // ISO 28500 response records (Content-Length framing, HTTP headers,
+    // chunked transfer-encoding on the %5 schedule, 4 records per file),
+    // WarcIngest runs the real byte parser, and the oracle recomputes
+    // every field from the same id arithmetic over `documents`
+    "q_warc_records" -> ((s, d) =>
+      sources.WarcIngest.records(
+          sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
+          col("warc_type"), col("target_uri"), col("record_id"),
+          col("content_type"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"), col("payload_len"), col("body"))
+        .orderBy("file_id", "rec_idx")),
+    // the crawl front half composed end-to-end: WARC bytes → record
+    // parse → HTML extraction; the oracle replays the construction and
+    // the published htmlStripStages chain (same stages as q_text_html)
+    "q_warc_extract" -> ((s, d) => {
+      val recs = sources.WarcIngest.records(
+          sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+      TextOps.htmlToText(recs.select(
+          regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("body").as("html")))
+        .select(col("doc_id"), col("n_tags").cast("long").as("n_tags"),
+          col("text"))
         .orderBy("doc_id")
     }),
     "q_text_winnowing" -> ((s, d) => // splitmix64-valued; rows-only +
@@ -1933,6 +1980,53 @@ object SparkEntry {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val LTOKS =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  /** The URL-pipeline fixture + parse, shared by `q_url_parse` and
+    * `q_url_domcap`: CTE `u` replays UrlOps.syntheticUrls' id arithmetic,
+    * `d2` replays the RFC 3986 Appendix B extraction, host/port split,
+    * eTLD+1 and normalization — the Spark side is RE2- and CASE-mirrorable
+    * by construction, so every stage here is the same regex/arithmetic.
+    */
+  private val URL_RE = """^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?"""
+  private val URL_HOST_RE = """^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)"""
+  private val URL_BRACKET_RE = """^\["""
+  private val URL_IP_RE = """^([0-9]+\.){3}[0-9]+$"""
+  private def urlFixtureSql: String = {
+    val suffixes = graft.operators.UrlOps.twoLevelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (SELECT doc_id, n_chars,
+       |  ['https','http','HTTPS','https','ftp'][CAST(doc_id % 5 + 1 AS INT)] || '://' ||
+       |  (CASE WHEN doc_id % 13 = 0 THEN 'u:p@' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 17 = 0
+       |        THEN '192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST((doc_id * 3) % 250 AS VARCHAR)
+       |        ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+       |             ['example','data','crawl','News','archive','mirror'][CAST(doc_id % 6 + 1 AS INT)] || '.' ||
+       |             ['com','org','co.uk','io','com.au','net'][CAST(CAST(floor(doc_id / 6) AS BIGINT) % 6 + 1 AS INT)]
+       |   END) ||
+       |  (CASE WHEN doc_id % 7 = 0 THEN ':8080' WHEN doc_id % 7 = 1 THEN ':443' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/a' || CAST(doc_id % 10 AS VARCHAR) || '/page-' || CAST(doc_id AS VARCHAR) END) ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&x=1' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+       |FROM documents),
+       |p AS (SELECT doc_id, n_chars, url,
+       |  nullif(regexp_extract(url, '$URL_RE', 1), '') AS scheme,
+       |  nullif(regexp_extract(url, '$URL_RE', 2), '') AS auth,
+       |  nullif(regexp_extract(url, '$URL_RE', 3), '') AS path,
+       |  nullif(regexp_extract(url, '$URL_RE', 4), '') AS query,
+       |  nullif(regexp_extract(url, '$URL_RE', 5), '') AS fragment
+       |FROM u),
+       |hx AS (SELECT *,
+       |  nullif(regexp_extract(coalesce(auth, ''), '$URL_HOST_RE', 1), '') AS host,
+       |  CAST(nullif(regexp_extract(coalesce(auth, ''), ':([0-9]+)${"$"}', 1), '') AS BIGINT) AS port
+       |FROM p),
+       |dm AS (SELECT *, string_split(lower(host), '.') AS ls FROM hx),
+       |d2 AS (SELECT *,
+       |  CASE WHEN regexp_matches(lower(host), '$URL_BRACKET_RE') OR regexp_matches(lower(host), '$URL_IP_RE') THEN lower(host)
+       |       WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ($suffixes) THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |       WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+       |       ELSE lower(host) END AS domain
+       |FROM dm)""".stripMargin
+  }
+
   /** The KL drift oracle — shared by `q_drift` (batch) and
     * `q_stream_drift` (the streaming corpus monitor: exact integer
     * counts make the two paths bit-identical).
@@ -2347,6 +2441,59 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags,
          |  CAST(len(regexp_extract_all(h, '(?i)<a[\\s>]')) AS BIGINT) AS n_links,
          |  CAST(len(regexp_extract_all(h, '(?is)<(script|style)[^>]*>')) AS BIGINT) AS n_blocks,
+         |  trim($chain) AS text
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    // the URL fixture + parse CTEs are shared with q_url_domcap
+    // (urlFixtureSql); the final projection mirrors UrlOps.normalize
+    "q_url_parse" ->
+      s"""$urlFixtureSql
+         |SELECT doc_id, scheme, host, port, path, query, fragment, domain,
+         |  CASE WHEN auth IS NULL OR scheme IS NULL THEN url
+         |       ELSE lower(scheme) || '://' || lower(host) ||
+         |            (CASE WHEN port IS NULL
+         |                    OR (lower(scheme) = 'http' AND port = 80)
+         |                    OR (lower(scheme) = 'https' AND port = 443) THEN ''
+         |                  ELSE ':' || CAST(port AS VARCHAR) END) ||
+         |            coalesce(path, '/') ||
+         |            (CASE WHEN query IS NULL THEN '' ELSE '?' || query END)
+         |  END AS url_norm
+         |FROM d2 ORDER BY doc_id""".stripMargin,
+    // plain single window — the engine's two-phase salted top-k must
+    // produce the identical keep set because (n_chars DESC, doc_id) is a
+    // total order
+    "q_url_domcap" ->
+      s"""$urlFixtureSql,
+         |r AS (SELECT domain, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM d2)
+         |SELECT domain, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+         |FROM r WHERE rn <= 3 ORDER BY domain, rn""".stripMargin,
+    // expected parse of the synthetic WARC fixture, straight from the id
+    // arithmetic (the parser's framing/dechunking work cancels out by
+    // construction: the body round-trips to the page the fixture built)
+    "q_warc_records" ->
+      """SELECT CAST(floor(doc_id / 4) AS BIGINT) AS file_id,
+        |  CAST(doc_id % 4 AS BIGINT) AS rec_idx,
+        |  'response' AS warc_type,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  'application/http; msgtype=response' AS content_type,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  'text/html; charset=utf-8' AS http_content_type,
+        |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS payload_len,
+        |  '<html><body><p>' || text || '</p></body></html>' AS body
+        |FROM documents ORDER BY file_id, rec_idx""".stripMargin,
+    "q_warc_extract" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val chain = TextOps.htmlStripStages.foldLeft("h") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id,
+         |  '<html><body><p>' || text || '</p></body></html>' AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags,
          |  trim($chain) AS text
          |FROM p ORDER BY doc_id""".stripMargin
     },

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL / domain operators for crawl-curation pipelines (per-domain caps are
+  * the CCNet / RefinedWeb-style diversity control; URL canonicalization is
+  * the dedup key for re-crawled pages). All parsing is pure RE2-compatible
+  * column expressions over the RFC 3986 Appendix B grammar — codegen'd, no
+  * UDFs, mirrorable verbatim in any RE2 engine for exact oracles — and the
+  * per-domain cap is a two-phase top-k so one mega-domain (at crawl scale a
+  * single host can hold 1e9 pages) never serializes onto one task.
+  */
+object UrlOps {
+
+  /** RFC 3986 Appendix B, non-capturing variant: groups 1-5 are scheme,
+    * authority, path, query, fragment. Every part is optional, so the
+    * pattern matches ANY string — absent parts extract as '' in both Spark
+    * and DuckDB, normalized to NULL by [[part]].
+    */
+  val uriRe = "^(?:([^:/?#]+):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?"
+
+  /** Host inside an authority: strip optional userinfo, keep a bracketed
+    * IPv6 literal whole, else stop at the port colon.
+    */
+  val hostRe = "^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)"
+
+  val portRe = ":([0-9]+)$"
+
+  private def nullIfEmpty(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+
+  def scheme(url: Column): Column = nullIfEmpty(regexp_extract(url, uriRe, 1))
+  def authority(url: Column): Column = nullIfEmpty(regexp_extract(url, uriRe, 2))
+  def path(url: Column): Column = nullIfEmpty(regexp_extract(url, uriRe, 3))
+  def query(url: Column): Column = nullIfEmpty(regexp_extract(url, uriRe, 4))
+  def fragment(url: Column): Column = nullIfEmpty(regexp_extract(url, uriRe, 5))
+
+  def host(url: Column): Column =
+    nullIfEmpty(regexp_extract(regexp_extract(url, uriRe, 2), hostRe, 1))
+
+  def port(url: Column): Column =
+    nullIfEmpty(regexp_extract(regexp_extract(url, uriRe, 2), portRe, 1)).cast("long")
+
+  /** The two-label public suffixes a crawl corpus actually hits (documented
+    * SUBSET of the Mozilla Public Suffix List — the full list is a data
+    * file, not a grammar; swap in the complete set the same way). A host's
+    * registrable domain is one label above its public suffix.
+    */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "co.in", "co.kr", "co.za", "com.mx", "com.tr", "com.ar",
+    "com.sg", "com.hk", "com.tw")
+
+  /** eTLD+1 under [[twoLevelSuffixes]]: the last three labels when the last
+    * two are a listed suffix, else the last two, else the whole host.
+    * IP-literal and single-label hosts pass through unchanged.
+    */
+  def registrableDomain(hostCol: Column): Column = {
+    val h = lower(hostCol)
+    val ls = split(h, "\\.")
+    val n = size(ls)
+    val last2 = concat_ws(".", try_element_at(ls, lit(-2)), try_element_at(ls, lit(-1)))
+    val last3 = concat_ws(".", try_element_at(ls, lit(-3)), try_element_at(ls, lit(-2)),
+      try_element_at(ls, lit(-1)))
+    when(h.rlike("^\\[") || h.rlike("^([0-9]+\\.){3}[0-9]+$"), h)
+      .when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(h)
+  }
+
+  /** Canonical form for http(s) URLs — the dedup key for re-crawls:
+    * lowercase scheme+host, default port dropped, empty path becomes "/",
+    * fragment dropped (never sent to the server), query kept verbatim.
+    * Non-hierarchical URLs (no authority) pass through unchanged.
+    */
+  def normalize(url: Column): Column = {
+    val sch = lower(scheme(url))
+    val h = lower(host(url))
+    val p = port(url)
+    val defaultPort = (sch === "http" && p === 80L) || (sch === "https" && p === 443L)
+    val portPart = when(p.isNull || defaultPort, lit("")).otherwise(concat(lit(":"), p.cast("string")))
+    val pathPart = when(path(url).isNull, lit("/")).otherwise(path(url))
+    val queryPart = when(query(url).isNull, lit("")).otherwise(concat(lit("?"), query(url)))
+    when(authority(url).isNull || scheme(url).isNull, url)
+      .otherwise(concat(sch, lit("://"), h, portPart, pathPart, queryPart))
+  }
+
+  /** All parts as one projection (one regex state machine pass per part —
+    * still a scan-speed map; Catalyst subexpression-eliminates the shared
+    * authority extract).
+    */
+  def parse(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val u = col(urlCol)
+    df.select(col(idCol),
+      scheme(u).as("scheme"), host(u).as("host"), port(u).as("port"),
+      path(u).as("path"), query(u).as("query"), fragment(u).as("fragment"),
+      registrableDomain(host(u)).as("domain"),
+      normalize(u).as("url_norm"))
+  }
+
+  /** Deterministic id-derived URLs over the documents table — the corpus
+    * itself has no URL column, so (exactly like the synthetic-media
+    * assemblies in [[Multimodal]]) the fixture is column arithmetic both
+    * engines can replay: mixed-case schemes/hosts, userinfo, explicit
+    * default and non-default ports, empty paths, queries, fragments, IPv4
+    * hosts, and two-level public suffixes all appear on arithmetic
+    * schedules, so every branch of the parser and normalizer is hit.
+    */
+  def syntheticUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def pick(opts: Seq[String], idx: Column): Column =
+      element_at(array(opts.map(lit): _*), (idx + 1).cast("int"))
+    val schemePart = pick(Seq("https", "http", "HTTPS", "https", "ftp"), id % 5)
+    val user = when(id % 13 === 0, lit("u:p@")).otherwise(lit(""))
+    val word = pick(Seq("example", "data", "crawl", "News", "archive", "mirror"), id % 6)
+    val suffix = pick(Seq("com", "org", "co.uk", "io", "com.au", "net"),
+      floor(id / 6).cast("long") % 6)
+    val www = when(id % 3 === 0, lit("www.")).otherwise(lit(""))
+    val hostPart = when(id % 17 === 0,
+      concat(lit("192.168."), (id % 250).cast("string"), lit("."),
+        ((id * 3) % 250).cast("string")))
+      .otherwise(concat(www, word, lit("."), suffix))
+    val portPart = when(id % 7 === 0, lit(":8080"))
+      .when(id % 7 === 1, lit(":443")).otherwise(lit(""))
+    val pathPart = when(id % 11 === 0, lit(""))
+      .otherwise(concat(lit("/a"), (id % 10).cast("string"), lit("/page-"), id.cast("string")))
+    val queryPart = when(id % 3 === 0, concat(lit("?q="), id.cast("string"), lit("&x=1")))
+      .otherwise(lit(""))
+    val fragPart = when(id % 4 === 0, concat(lit("#sec"), (id % 5).cast("string")))
+      .otherwise(lit(""))
+    docs.select(id, col("n_chars"),
+      concat(schemePart, lit("://"), user, hostPart, portPart, pathPart,
+        queryPart, fragPart).as("url"))
+  }
+
+  /** Keep at most `cap` documents per registrable domain, preferring high
+    * `rankCol` (ties broken by `idCol` — a TOTAL order, which is what makes
+    * the two-phase evaluation exact).
+    *
+    * Scale shape: a single window over `domain` sorts every row of the
+    * biggest domain on one task — at crawl scale that's a 1e9-row task. So
+    * phase 1 takes the local top-`cap` within (domain, salt) — after the
+    * salted shuffle no task sees more than ~1/`salt` of a domain — and
+    * phase 2 re-ranks the surviving ≤ cap·salt rows per domain. Any row in
+    * the TRUE global top-cap is in its salt bucket's top-cap (the global
+    * order restricted to a subset preserves rank bounds), so phase 2 sees
+    * every true keeper: exact, never an approximation.
+    */
+  def domainCap(df: DataFrame, urlCol: String, cap: Int,
+                rankCol: String, idCol: String = "doc_id",
+                salt: Int = 32): DataFrame = {
+    require(cap > 0 && salt > 0, s"cap=$cap salt=$salt must be positive")
+    val dom = registrableDomain(host(col(urlCol)))
+    val ord = Seq(col(rankCol).desc, col(idCol).asc)
+    val local = Window.partitionBy(col("domain"), pmod(hash(col(idCol)), lit(salt)))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col("domain")).orderBy(ord: _*)
+    df.withColumn("domain", dom)
+      .withColumn("rn", row_number().over(local)).filter(col("rn") <= cap)
+      .withColumn("rn", row_number().over(global)).filter(col("rn") <= cap)
+  }
+}
