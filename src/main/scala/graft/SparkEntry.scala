@@ -1049,6 +1049,29 @@ object SparkEntry {
           col("sample_rate"), col("n_frames"), col("duration_us"),
           col("peak_abs"), col("sum_abs"), col("sum_sq"), col("clipped"))
         .orderBy("media_id")),
+    "q_video_meta" -> ((s, d) =>
+      // the VIDEO lane (ISO/IEC 14496-12): Spark assembles spec-valid
+      // isom files (ftyp/moov/mvhd/trak/tkhd/mdhd/hdlr/stbl with 16.16
+      // geometry, 90kHz media ticks, every-12th-sample stss, the doc
+      // text inside mdat), Mp4Meta walks the real box tree, and the
+      // oracle recomputes every field from the same id arithmetic
+      operators.Mp4Meta.videoMeta(
+          operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(col("media_id"), col("brand"), col("movie_duration_us"),
+          col("track_id"), col("handler"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("lang"),
+          col("n_samples"), col("n_keyframes"), col("duration_us"))
+        .orderBy("media_id")),
+    "q_video_frames" -> ((s, d) =>
+      // the video frame-sample plan: every 2nd sync sample of each parsed
+      // track — the row set a GPU decode stage would read
+      operators.Mp4Meta.keyframeSamplePlan(
+          operators.Mp4Meta.videoMeta(
+            operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d))),
+          stride = 2)
+        .orderBy("media_id", "k_idx")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
     "q_tpch_pricing" -> ((s, d) =>
       Canon.table(s, d, "lineitem")
@@ -3040,6 +3063,31 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq,
         |  CAST(len(list_filter(v, x -> abs(x) >= 32767)) AS BIGINT) AS clipped
         |FROM s ORDER BY media_id""".stripMargin,
+    // the video fixture's id arithmetic replayed directly; the walker's
+    // box-tree work cancels by construction (90kHz ticks → µs is
+    // dur_ms·90·1e6/9e4 = dur_ms·1000 on both sides, integer-exact)
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST((5000 + doc_id % 20 * 1000) * 1000 AS BIGINT) AS movie_duration_us,
+        |  CAST(1 AS BIGINT) AS track_id, 'vide' AS handler, 'avc1' AS codec,
+        |  CAST(320 + doc_id % 8 * 16 AS BIGINT) AS width,
+        |  CAST(240 + doc_id % 6 * 16 AS BIGINT) AS height,
+        |  'und' AS lang,
+        |  CAST(24 + doc_id % 48 AS BIGINT) AS n_samples,
+        |  CAST((24 + doc_id % 48 + 11) // 12 AS BIGINT) AS n_keyframes,
+        |  CAST((5000 + doc_id % 20 * 1000) * 1000 AS BIGINT) AS duration_us
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // stride-2 over the every-12th-sample sync table: kept positions are
+    // the even ones, sample numbers 24k+1
+    "q_video_frames" ->
+      """WITH k AS (SELECT doc_id,
+        |    (24 + doc_id % 48 + 11) // 12 AS nkey FROM documents),
+        |e AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(nkey - 1 AS BIGINT))) AS pos FROM k)
+        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track_id,
+        |  CAST(pos // 2 AS BIGINT) AS k_idx,
+        |  CAST(pos * 12 + 1 AS BIGINT) AS sample_no
+        |FROM e WHERE pos % 2 = 0 ORDER BY media_id, k_idx""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
