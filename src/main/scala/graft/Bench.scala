@@ -121,6 +121,47 @@ object Bench {
       }
     out.toMap
   }
+  /** r13 trim (the 142-query roster dropped the middle tier below its 85%
+    * detail floor): rendered short keys with the SUFFIX truncated to its
+    * shortest ≥`minLen`-char collision-free prefix over the whole roster
+    * (`d_containment` → `d_cont`; already-short keys untouched; a
+    * collision group extends together until distinct, so the map is
+    * deterministic and injective for any roster). Returns full name →
+    * rendered key. Applied by [[stdoutLine]] only when the uncompacted
+    * line overflows the budget — the sidecar always keeps full names.
+    */
+  private[graft] def compactKeys(names: Seq[String],
+                                 abbrev: Map[String, String],
+                                 minLen: Int = 3): Map[String, String] = {
+    def rendered(n: String): (String, String) = { // (prefix, suffix)
+      val bare = n.stripPrefix("q_")
+      val cut = bare.indexOf('_')
+      if (cut < 0) (bare, "")
+      else (abbrev.get(bare.substring(0, cut)).fold(bare.substring(0, cut))(identity),
+        bare.substring(cut + 1))
+    }
+    val parts = names.map(n => n -> rendered(n)).toMap
+    // every colliding group extends its members' truncation one char at a
+    // time until all keys differ; terminates because the UNtruncated short
+    // keys are distinct (spec-gated round-trip property)
+    val lens = scala.collection.mutable.Map(names.map(_ -> minLen): _*)
+    def keyOf(n: String): String = parts(n) match {
+      case (p, "") => p
+      // a truncation landing on '_' would render a dangling separator
+      case (p, s) => p + "_" + s.take(lens(n)).reverse.dropWhile(_ == '_').reverse
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      names.groupBy(keyOf).values.filter(_.size > 1).foreach { grp =>
+        grp.foreach { n =>
+          if (lens(n) < parts(n)._2.length) { lens(n) += 1; changed = true }
+        }
+      }
+    }
+    names.map(n => n -> keyOf(n)).toMap
+  }
+
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],
                                 sfDir: String, partial: Boolean,
                                 dp: Int = 1,
@@ -129,6 +170,7 @@ object Bench {
                                 overflow: Int = 0,
                                 totalOverride: Option[Double] = None,
                                 abbrevOverride: Option[Map[String, String]] = None,
+                                keyOverride: Option[Map[String, String]] = None,
                                 calibration: Option[(Double, Double, Int)] = None): String = {
     // abbrevOverride: the middle tier prints a SUBSET of the roster, and
     // auto-assignment is population-ordered — recomputing it over the
@@ -137,13 +179,14 @@ object Bench {
     // computes the assignment ONCE over the full roster and passes it in
     val abbrev = abbrevOverride.getOrElse(
       if (shortKeys) abbrevFor(ts.map(_._1) ++ failed) else famAbbrev)
-    def key(n: String): String = if (!shortKeys) n else {
-      val bare = n.stripPrefix("q_")
-      val cut = bare.indexOf('_')
-      if (cut < 0) bare
-      else abbrev.get(bare.substring(0, cut))
-        .fold(bare)(_ + bare.substring(cut))
-    }
+    def key(n: String): String = if (!shortKeys) n else
+      keyOverride.flatMap(_.get(n)).getOrElse {
+        val bare = n.stripPrefix("q_")
+        val cut = bare.indexOf('_')
+        if (cut < 0) bare
+        else abbrev.get(bare.substring(0, cut))
+          .fold(bare)(_ + bare.substring(cut))
+      }
     val qKey = if (shortKeys) "q" else "queries"
     val qs = ts.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, dp) }
       .mkString("{", ",", "}")
@@ -188,12 +231,21 @@ object Bench {
     val full = formatLine(snap, failed, sfBase, partial, shortKeys = true,
       abbrevOverride = Some(fullAbbrev), calibration = calibration)
     if (full.length <= stdoutBudget) return full
+    // r13 tier: compacted suffixes — keeps EVERY query on the line (the
+    // 85% detail floor) before any elision; computed over the full roster
+    // so the mapping is stable regardless of which subset prints
+    val compact = compactKeys(snap.map(_._1) ++ failed, fullAbbrev)
+    val compacted = formatLine(snap, failed, sfBase, partial, shortKeys = true,
+      abbrevOverride = Some(fullAbbrev), keyOverride = Some(compact),
+      calibration = calibration)
+    if (compacted.length <= stdoutBudget) return compacted
     val total = snap.map(_._2).sum
     val byTime = snap.sortBy { case (n, v) => (-v, n) }
     def lineFor(k: Int): String =
       formatLine(byTime.take(k).sortBy(_._1), failed, sfBase, partial,
         shortKeys = true, overflow = snap.size - k, totalOverride = Some(total),
-        abbrevOverride = Some(fullAbbrev), calibration = calibration)
+        abbrevOverride = Some(fullAbbrev), keyOverride = Some(compact),
+        calibration = calibration)
     // largest k whose line fits (monotone in k)
     var lo = 0; var hi = snap.size
     while (lo < hi) {

@@ -110,18 +110,26 @@ class BenchFormatSpec extends AnyFunSuite {
     // is the slowest-K middle tier: stdoutLine must fit the budget, keep
     // the FULL-roster total, and elide only the handful of fastest
     // queries (q_overflow accounts for every elided one).
+    // r13: the 142-query roster pushed the middle tier below its 85%
+    // detail floor — the next trim is suffix compaction (compactKeys):
+    // every query stays on the line under a truncated-but-injective key,
+    // and elision only resumes if even the compacted line overflows.
+    // calibration is always present on a real run (~45 chars) — the gate
+    // must measure the real stdout shape (r13: its absence here masked a
+    // 12-query elision on the live line)
     val roster = Bench.benchQueryNames.map(_ -> 1.234567)
-    val line = Bench.stdoutLine(roster, Nil, "sf0.1", partial = false)
+    val line = Bench.stdoutLine(roster, Nil, "sf0.1", partial = false,
+      calibration = Some((12.34, 12.89, 32)))
     assert(line.length <= 1895,
       s"bench stdout line ${line.length} chars — over the measured ~1925 budget")
     val n = mapper.readTree(line)
     val kept = n.get("q").size
     val overflow = Option(n.get("q_overflow")).map(_.asInt).getOrElse(0)
     assert(kept + overflow == roster.size, s"kept=$kept overflow=$overflow")
-    // the middle tier must stay detail-RICH: >= 85% of the roster on
-    // stdout (if this fires, the roster has outgrown the middle tier —
-    // find the next trim, never raise the budget)
-    assert(kept >= roster.size * 85 / 100, s"only $kept/${roster.size} kept")
+    // the line must stay detail-RICH: >= 95% of the roster on stdout now
+    // that suffix compaction keeps every query (if this fires, the roster
+    // has outgrown compaction — find the next trim, never raise the budget)
+    assert(kept >= roster.size * 95 / 100, s"only $kept/${roster.size} kept")
     assert(math.abs(n.get("value").asDouble - roster.map(_._2).sum) < 0.01)
   }
 
@@ -154,6 +162,34 @@ class BenchFormatSpec extends AnyFunSuite {
         else "q_" + inv.get(s.substring(0, cut)).fold(s)(_ + s.substring(cut))
       assert(restored == full, s"$s round-tripped to $restored not $full")
     }
+  }
+
+  test("compacted suffix keys are injective, deterministic prefixes") {
+    val names = Bench.benchQueryNames
+    val abbrev = Bench.abbrevFor(names)
+    val m = Bench.compactKeys(names, abbrev)
+    assert(m.size == names.size)
+    assert(m.values.toSeq.distinct.size == m.size, "compacted key collision")
+    // recomputing yields the identical mapping (no iteration-order leak)
+    assert(Bench.compactKeys(names.reverse, abbrev) == m)
+    // every compacted key is the rendered short key truncated, never mangled
+    names.foreach { n =>
+      val bare = n.stripPrefix("q_")
+      val cut = bare.indexOf('_')
+      val fullShort = if (cut < 0) bare
+        else abbrev.get(bare.substring(0, cut)).fold(bare)(_ + bare.substring(cut))
+      assert(fullShort.startsWith(m(n)), s"${m(n)} is not a prefix of $fullShort")
+      val sc = m(n).indexOf('_')
+      // ≥3 truncated chars before the trailing-underscore strip, and the
+      // rendered key never dangles a separator
+      if (cut >= 0) assert(m(n).length - sc - 1 >= math.min(2, bare.length - cut - 1) &&
+        !m(n).endsWith("_"),
+        s"${m(n)} suffix under the floor or dangling an underscore")
+    }
+    // a forced collision group extends together until distinct
+    val clash = Seq("q_dedup_container_a", "q_dedup_container_b", "q_dedup_cont")
+    val cm = Bench.compactKeys(clash, Map("dedup" -> "d"))
+    assert(cm.values.toSeq.distinct.size == 3, cm.toString)
   }
 
   test("budget guard: an outgrown roster falls back to a minimal parseable line") {
