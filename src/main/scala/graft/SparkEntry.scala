@@ -800,6 +800,25 @@ object SparkEntry {
           col("n_blocks").cast("long").as("n_blocks"), col("text"))
         .orderBy("doc_id")
     }),
+    // Unicode normalization with an EXACT oracle: the ASCII corpus gets
+    // planted non-NFC content (combining acute, ANGSTROM SIGN), a BEL
+    // control and a CRLF; the native NFC expression + published
+    // cleanupStages must agree with DuckDB's nfc_normalize + the same
+    // regex chain codepoint-for-codepoint
+    "q_text_normalize" -> ((s, d) => {
+      val planted = Canon.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" caf"), lit("e\u0301"), // decomposed: composes to U+00E9 under NFC
+          lit("\u0007"),               // BEL -> stripped by cleanupStages
+          lit("\r\n"),                 // CRLF -> LF
+          lit("\u212B"),               // ANGSTROM SIGN -> U+00C5 under NFC
+          lit("end")).as("text"))
+      TextOps.normalizeText(planted)
+        .select(col("doc_id"), col("text"),
+          col("n_chars_in").cast("long").as("n_chars_in"),
+          col("n_chars_out").cast("long").as("n_chars_out"), col("changed"))
+        .orderBy("doc_id")
+    }),
     // URL parsing + canonicalization with an EXACT oracle: id-derived
     // URLs (UrlOps.syntheticUrls) hit every parser branch; the RFC 3986
     // Appendix B regex and the eTLD+1 / normalize logic are RE2- and
@@ -2465,6 +2484,24 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(h, '(?i)<a[\\s>]')) AS BIGINT) AS n_links,
          |  CAST(len(regexp_extract_all(h, '(?is)<(script|style)[^>]*>')) AS BIGINT) AS n_blocks,
          |  trim($chain) AS text
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    // the same planted construction through DuckDB's nfc_normalize + the
+    // published cleanupStages chain (chr(): 769 = combining acute, 7 =
+    // BEL, 8491 = ANGSTROM SIGN)
+    "q_text_normalize" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val chain = TextOps.cleanupStages.foldLeft("nfc_normalize(t)") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' caf' || 'e' || chr(769) || chr(7) || chr(13) || chr(10)
+         |       || chr(8491) || 'end' AS t
+         |  FROM documents)
+         |SELECT doc_id, $chain AS text,
+         |  CAST(length(t) AS BIGINT) AS n_chars_in,
+         |  CAST(length($chain) AS BIGINT) AS n_chars_out,
+         |  ($chain <> t) AS changed
          |FROM p ORDER BY doc_id""".stripMargin
     },
     // the URL fixture + parse CTEs are shared with q_url_domcap

@@ -297,6 +297,45 @@ object TextOps {
       regexp_count(col(htmlCol), lit("(?is)<(script|style)[^>]*>")).as("n_blocks"),
       stripHtml(col(htmlCol)).as("text"))
 
+  /** Unicode NFC — native codegen'd expression (UnicodeExpressions):
+    * visually-identical strings with different codepoint sequences must
+    * hash/dedup/tokenize identically before any content-addressed stage.
+    */
+  def nfc(text: Column): Column =
+    graft.functions.UnicodeExpressions.unicode_normalize(text, "NFC")
+
+  /** NFKC — compatibility form (ligatures/width folds too); the right
+    * form before tokenization when lexical equivalence matters more than
+    * round-trip fidelity.
+    */
+  def nfkc(text: Column): Column =
+    graft.functions.UnicodeExpressions.unicode_normalize(text, "NFKC")
+
+  /** The pre-tokenization cleanup chain applied AFTER NFC by
+    * [[normalizeText]], published as (pattern, replacement) stages so an
+    * oracle replays it verbatim (the htmlStripStages pattern): newline
+    * canonicalization (CRLF/CR → LF), then C0-control + DEL strip — tab
+    * and LF survive, they carry structure.
+    */
+  val cleanupStages: Seq[(String, String)] = Seq(
+    ("\\r\\n?", "\n"),
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+
+  /** Canonical text for content-addressed stages: NFC + the cleanup
+    * chain, plus the audit columns a curation run logs (codepoint counts
+    * in/out, changed flag). Scan-speed: the NFC expression takes its
+    * ASCII/quick-check fast paths on the (typical) majority of rows.
+    */
+  def normalizeText(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val raw = col(textCol)
+    val out = cleanupStages.foldLeft(nfc(raw)) {
+      case (c, (p, r)) => regexp_replace(c, p, r) }
+    df.select(col(idCol), out.as("text"),
+      length(raw).as("n_chars_in"), length(out).as("n_chars_out"),
+      (out =!= raw).as("changed"))
+  }
+
   /** Fixed-size overlapping token chunks — the pre-packing step of a
     * training pipeline (long documents become maxTokens-token windows
     * overlapping by `overlap`). Chunk starts are 0, step, 2·step, … with
