@@ -866,6 +866,20 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")
     }),
+    // the whole crawl pipeline under ONE exact oracle: WARC bytes with
+    // id-derived URLs → record parse → HTML extraction → NFC/cleanup →
+    // quality gate → per-domain cap → per-domain rollup. Every stage is
+    // the published mirrorable formulation; the oracle replays them all.
+    "q_crawl_pipeline" -> ((s, d) => {
+      val recs = sources.WarcIngest.records(
+          sources.WarcIngest.syntheticWarcFromDocuments(
+            UrlOps.syntheticUrls(Canon.documents(s, d))))
+        .filter(col("ok") && col("http_status") === 200)
+      operators.Curation.crawlReport(recs.select(
+        regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("body").as("html")))
+    }),
     "q_text_winnowing" -> ((s, d) => // splitmix64-valued; rows-only +
       // golden. A full-size DuckDB mirror costs ~100s of interpreted
       // lambda arithmetic per t2 run (and round 9's unbiased draft was
@@ -2035,7 +2049,7 @@ object SparkEntry {
   private def urlFixtureSql: String = {
     val suffixes = graft.operators.UrlOps.twoLevelSuffixes
       .map(s => s"'$s'").mkString(", ")
-    s"""WITH u AS (SELECT doc_id, n_chars,
+    s"""WITH u AS (SELECT doc_id, n_chars, text,
        |  ['https','http','HTTPS','https','ftp'][CAST(doc_id % 5 + 1 AS INT)] || '://' ||
        |  (CASE WHEN doc_id % 13 = 0 THEN 'u:p@' ELSE '' END) ||
        |  (CASE WHEN doc_id % 17 = 0
@@ -2049,7 +2063,7 @@ object SparkEntry {
        |  (CASE WHEN doc_id % 3 = 0 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&x=1' ELSE '' END) ||
        |  (CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
        |FROM documents),
-       |p AS (SELECT doc_id, n_chars, url,
+       |p AS (SELECT doc_id, n_chars, text, url,
        |  nullif(regexp_extract(url, '$URL_RE', 1), '') AS scheme,
        |  nullif(regexp_extract(url, '$URL_RE', 2), '') AS auth,
        |  nullif(regexp_extract(url, '$URL_RE', 3), '') AS path,
@@ -2529,6 +2543,38 @@ object SparkEntry {
          |      FROM d2)
          |SELECT domain, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
          |FROM r WHERE rn <= 3 ORDER BY domain, rn""".stripMargin,
+    // the crawl chain replayed stage-for-stage: the WARC framing cancels
+    // by construction (body == the built page), then the SAME published
+    // strip/nfc-cleanup/quality/cap/rollup formulations the engine ran
+    "q_crawl_pipeline" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val strip = TextOps.htmlStripStages.foldLeft("h") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      val cleanup = TextOps.cleanupStages.foldLeft("nfc_normalize(x)") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""$urlFixtureSql,
+         |pg AS (SELECT doc_id, domain,
+         |  '<html><body><p>' || text || '</p></body></html>' AS h FROM d2),
+         |ex AS (SELECT doc_id, domain, trim($strip) AS x FROM pg),
+         |nx AS (SELECT doc_id, domain, $cleanup AS text FROM ex),
+         |tq AS (SELECT doc_id, domain, text, $TOKS AS t, $LTOKS AS lt FROM nx),
+         |r AS (SELECT doc_id, domain, len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM tq),
+         |sq AS (SELECT doc_id, domain, n_tokens, round(
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality FROM r),
+         |fq AS (SELECT * FROM sq WHERE quality >= 0.3),
+         |cq AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY quality DESC, doc_id) AS rn FROM fq)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 4) AS mean_quality
+         |FROM cq WHERE rn <= 3 GROUP BY domain ORDER BY domain""".stripMargin
+    },
     // expected parse of the synthetic WARC fixture, straight from the id
     // arithmetic (the parser's framing/dechunking work cancels out by
     // construction: the body round-trips to the page the fixture built)

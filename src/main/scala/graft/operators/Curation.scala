@@ -48,4 +48,39 @@ object Curation {
           / (count(lit(1)) * lit(1000000.0)), 4).as("mean_quality"))
       .orderBy(langCol)
   }
+
+  /** The crawl pipeline composed end-to-end from raw pages: HTML
+    * extraction (TextOps.htmlStripStages) → Unicode canonicalization
+    * (NFC + cleanupStages) → quality gate → per-domain cap
+    * (UrlOps.domainCap, the two-phase skew-safe top-k) → per-domain
+    * rollup. Every stage is the published mirrorable formulation, so the
+    * whole chain sits under one exact DuckDB oracle.
+    *
+    * Scale shape: extraction/normalization/quality are ONE scan stage of
+    * codegen'd expressions; rows reduce to (id, url, quality, n_tokens)
+    * before the cap's shuffles; the rollup aggregates the ≤ cap·domains
+    * survivors. Mean quality uses the exact micro-unit trick from
+    * [[report]].
+    */
+  def crawlReport(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html", idCol: String = "doc_id",
+                  minQuality: Double = 0.3, maxPerDomain: Int = 3): DataFrame = {
+    val ntok = "__graft_ntok"
+    val extracted = pages.select(col(idCol), col(urlCol),
+      TextOps.cleanupStages.foldLeft(TextOps.nfc(TextOps.stripHtml(col(htmlCol)))) {
+        case (c, (p, r)) => regexp_replace(c, p, r)
+      }.as("text"))
+    val scored = TextOps.withQuality(extracted, tokenCountCol = Some(ntok))
+      .filter(col("quality") >= minQuality)
+      .select(col(idCol), col(urlCol), col("quality"),
+        col(ntok).cast("long").as(ntok))
+    UrlOps.domainCap(scored, urlCol, maxPerDomain,
+        rankCol = "quality", idCol = idCol)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ntok).as("n_tokens"),
+        round(sum(round(col("quality") * 1000000).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1000000.0)), 4).as("mean_quality"))
+      .orderBy("domain")
+  }
 }

@@ -133,7 +133,7 @@ object UrlOps {
       .otherwise(lit(""))
     val fragPart = when(id % 4 === 0, concat(lit("#sec"), (id % 5).cast("string")))
       .otherwise(lit(""))
-    docs.select(id, col("n_chars"),
+    docs.select(id, col("n_chars"), col("text"),
       concat(schemePart, lit("://"), user, hostPart, portPart, pathPart,
         queryPart, fragPart).as("url"))
   }

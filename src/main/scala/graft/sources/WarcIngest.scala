@@ -194,6 +194,10 @@ object WarcIngest {
     */
   def syntheticWarcFromDocuments(docs: DataFrame, perFile: Int = 4): DataFrame = {
     val id = col("doc_id")
+    // a caller-supplied url column becomes the Target-URI (the crawl
+    // pipeline fixture routes UrlOps.syntheticUrls through here)
+    val uri = if (docs.columns.contains("url")) col("url")
+      else concat(lit("https://example.com/doc/"), id.cast("string"))
     val page = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
     val chunked = id % 5 === 0
     // chunked framing: 16-byte chunks ("10\r\n" + bytes + "\r\n"), then the
@@ -216,7 +220,7 @@ object WarcIngest {
     val rec = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
       id.cast("string"),
-      lit(">\r\nWARC-Target-URI: https://example.com/doc/"), id.cast("string"),
+      lit(">\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
       octet_length(http).cast("string"), lit("\r\n\r\n"), http, lit("\r\n\r\n"))
     docs.select(floor(id / perFile).cast("long").as("media_id"),
