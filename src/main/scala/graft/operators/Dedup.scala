@@ -60,6 +60,33 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** CCNet-style PARAGRAPH-level dedup — the boilerplate killer: crawl
+    * corpora repeat navigation blocks, cookie banners and license
+    * headers across millions of pages, and document-level dedup never
+    * sees them. Split every doc at newlines, keep each paragraph's FIRST
+    * corpus-wide occurrence (total order: (doc_id, paragraph index) — a
+    * shared banner survives only in the earliest doc), and reassemble;
+    * docs whose every paragraph was seen elsewhere drop out.
+    *
+    * Scale shape: one explode (fan-out ~paragraphs/doc), one hash
+    * shuffle on the 16-byte paragraph hash whose per-key fan-in is the
+    * paragraph's duplication count with a map-side partial
+    * WindowGroupLimit (rank 1), one re-group by doc. No doc-payload
+    * shuffle: rows carry single paragraphs.
+    */
+  def dedupParagraphs(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(col(idCol).asc, col("pidx").asc)
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pidx", "para")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
+          e => e.getField("para")), "\n").as("text"),
+        count(lit(1)).as("n_paras_kept"))
+  }
+
   /** Corpus duplication report — the first number any dedup pipeline
     * produces: how many docs, how many distinct contents, what fraction
     * is duplicated mass. One pass, two hash-aggregates (count +

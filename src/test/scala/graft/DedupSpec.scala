@@ -314,4 +314,23 @@ class DedupSpec extends SparkSuite {
     assert(tiny.subsetOf(exact))
     assert(tiny.size < exact.size) // FPs genuinely realized at 256 bits
   }
+
+  test("paragraph dedup: boilerplate survives only its first occurrence; fully-dup docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "banner\nalpha beta\nfooter"),
+      (1L, "banner\ngamma delta\nfooter"),
+      (2L, "banner\nfooter"), // nothing unique: vanishes entirely
+      (3L, "banner\nalpha beta")) // its middle para already in doc 0
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    assert(out(0) == ((0L, "banner\nalpha beta\nfooter", 3L)))
+    assert(out(1) == ((1L, "gamma delta", 1L)))
+    // order invariance: repartitioned input keeps the same first-occurrence set
+    val shuffled = Dedup.dedupParagraphs(docs.repartition(7))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(shuffled.toSeq == out.toSeq)
+  }
 }
