@@ -26,12 +26,19 @@ package graft.operators
   *   - **arithmetic-coded** (SOF9/SOF10, r13): the QM coder of Annex D
   *     ([[JpegArith]]) under the standard DC/AC context models with DAC
   *     conditioning, sequential and full progressive;
+  *   - **arithmetic lossless** (SOF11, late r13): the H.2 difference
+  *     model — the DC model's 5-way classification applied to BOTH
+  *     neighbor diffs (25 contexts, two magnitude-chain sets, 158 bins);
+  *   - **hierarchical** (Annex J, late r13): DHP/EXP markers, the
+  *     (a+b+1)>>1 ×2 reference upsampling filter, and every differential
+  *     process — SOF5/6/7 Huffman and SOF13/14/15 arithmetic — with
+  *     zero-prediction DC, no level shift on differential IDCT output,
+  *     clamped DCT folds and modulo-2^16 lossless folds;
   *   - multiple DQT/DHT segments, table redefinition between scans,
   *     APPn/COM skipped by length, restart markers (DRI/RSTn with
   *     predictor/statistics reset and realignment), 0xFF00 unstuffing.
-  * Hierarchical/differential processes (SOF5-7/13-15) and arithmetic
-  * lossless (SOF11) remain out of scope and flow through the
-  * capacity-planning tier (`Multimodal.ResizePlanKernel`).
+  * With these the T.81 coding-process matrix is COMPLETE — every SOF
+  * marker the standard defines decodes to pixels.
   *
   * Decode math: coefficients dequantize to Int, the IDCT is the exact
   * separable double-precision definition from T.81 A.3.3 (no fast
@@ -223,6 +230,18 @@ object JpegCodec {
     var lossless = false
     var arithmetic = false
     var precision = 8 // sample precision P from SOF (8/12 DCT, 2-16 lossless)
+    // hierarchical mode (T.81 Annex J): DHP seen; per-frame `differential`
+    // (SOF5-7/13-15: zero DC prediction, no level shift, output ADDS to
+    // the reference); refPlanes accumulate full-precision samples per
+    // component at the CURRENT level's unpadded dims; EXP (0xDF) queues a
+    // ×2 upsample applied when the next frame's dims are known
+    var hier = false
+    var differential = false
+    var refPlanes: Array[Array[Int]] = null
+    var refW: Array[Int] = null; var refH: Array[Int] = null
+    var pendingExpH = false; var pendingExpV = false
+    var framesDone = 0
+    var lastLossless = false
     // arithmetic conditioning (DAC, T.81 B.2.4.3); spec defaults
     val dcCond = Array.fill(4)((0, 1)) // (L, U) thresholds per table
     val acCond = Array.fill(4)(5)      // Kx per table
@@ -284,6 +303,189 @@ object JpegCodec {
       }
     }
 
+    /** Effective (unpadded) sample dims of component ci in the CURRENT
+      * frame — ceil(dim · samp / sampMax), the A.1.1 formula at sample
+      * granularity for both DCT and lossless processes.
+      */
+    def compDims(ci: Int): (Int, Int) = (
+      ((w.toLong * comps(ci).h + hMax - 1) / hMax).toInt.max(1),
+      ((h.toLong * comps(ci).v + vMax - 1) / vMax).toInt.max(1))
+
+    /** ×2 upsample of one reference plane per T.81 J.1.1.2 — x2i = Ri,
+      * x2i+1 = (Ri + Ri+1 + 1) >> 1 with the last value replicated —
+      * horizontal then vertical, cropped to (tw, th).
+      */
+    def expandPlane(src: Array[Int], sw: Int, sh: Int,
+                    eh: Boolean, ev: Boolean, tw: Int, th: Int): Array[Int] = {
+      val w1 = if (eh) sw * 2 else sw
+      val a = new Array[Int](w1 * sh)
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          val v = src(y * sw + x)
+          if (eh) {
+            val nxt = src(y * sw + math.min(x + 1, sw - 1))
+            a(y * w1 + 2 * x) = v
+            a(y * w1 + 2 * x + 1) = (v + nxt + 1) >> 1
+          } else a(y * w1 + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      val h1 = if (ev) sh * 2 else sh
+      val bArr = if (!ev) a else {
+        val o = new Array[Int](w1 * h1)
+        var yy = 0
+        while (yy < sh) {
+          var x = 0
+          while (x < w1) {
+            val v = a(yy * w1 + x)
+            val nxt = a(math.min(yy + 1, sh - 1) * w1 + x)
+            o(2 * yy * w1 + x) = v
+            o((2 * yy + 1) * w1 + x) = (v + nxt + 1) >> 1
+            x += 1
+          }
+          yy += 1
+        }
+        o
+      }
+      require(tw <= w1 && th <= h1,
+        s"EXP target ${tw}x$th exceeds expanded ${w1}x$h1")
+      val out = new Array[Int](tw * th)
+      var yy = 0
+      while (yy < th) {
+        System.arraycopy(bArr, yy * w1, out, yy * tw, tw)
+        yy += 1
+      }
+      out
+    }
+
+    /** Fold the in-flight hierarchical frame into the reference planes:
+      * full-precision samples (clamped [0, 2^P−1]) for non-differential
+      * frames; ref + diff (clamped for DCT, modulo 2^16 for lossless)
+      * for differential ones (T.81 J.1.1.4/J.1.1.5).
+      */
+    def finalizeFrame(): Unit = {
+      require(comps != null, "hierarchical frame with no SOF")
+      require((if (lossless) lossScans else progScans) > 0, "frame with no scans")
+      val sMax = (1 << precision) - 1
+      val vals = comps.indices.toArray.map { ci =>
+        val (cw, ch) = compDims(ci)
+        val out = new Array[Int](cw * ch)
+        if (lossless) {
+          val src = lossPlanes(ci); val stride = lossW(ci)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              out(y * cw + x) = (src(y * stride + x) << lossPt) & 0xffff
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          val q = qtab(comps(ci).tq); require(q != null, "missing qtable")
+          val g = grids(ci)
+          val cf = new Array[Int](64)
+          val sp = new Array[Double](64)
+          val shift = if (differential) 0 else 1 << (precision - 1)
+          var blk = 0
+          val nBlk = blocksW(ci) * blocksH(ci)
+          while (blk < nBlk) {
+            var i = 0
+            while (i < 64) { cf(i) = g(blk * 64 + i) * q(i); i += 1 }
+            idct(cf, sp)
+            val px = (blk % blocksW(ci)) * 8; val py = (blk / blocksW(ci)) * 8
+            var yy = 0
+            while (yy < 8) {
+              val oy = py + yy
+              if (oy < ch) {
+                var xx = 0
+                while (xx < 8) {
+                  val ox = px + xx
+                  if (ox < cw) {
+                    val v = math.round(sp(yy * 8 + xx)).toInt + shift
+                    out(oy * cw + ox) =
+                      if (differential) v // signed diff, clamp at fold
+                      else math.max(0, math.min(sMax, v))
+                  }
+                  xx += 1
+                }
+              }
+              yy += 1
+            }
+            blk += 1
+          }
+        }
+        out
+      }
+      if (!differential) {
+        refPlanes = vals
+        refW = comps.indices.toArray.map(ci => compDims(ci)._1)
+        refH = comps.indices.toArray.map(ci => compDims(ci)._2)
+      } else {
+        require(refPlanes != null, "differential frame before any reference")
+        comps.indices.foreach { ci =>
+          val (cw, ch) = compDims(ci)
+          require(cw == refW(ci) && ch == refH(ci),
+            s"differential frame dims ${cw}x$ch vs reference ${refW(ci)}x${refH(ci)}")
+          val ref = refPlanes(ci); val d = vals(ci)
+          var i = 0
+          while (i < ref.length) {
+            ref(i) =
+              if (lossless) (ref(i) + d(i)) & 0xffff
+              else math.max(0, math.min(sMax, ref(i) + d(i)))
+            i += 1
+          }
+        }
+      }
+      lastLossless = lossless
+      framesDone += 1
+    }
+
+    /** Reset per-frame state for the next hierarchical frame (entropy
+      * tables, DRI and DAC conditioning persist across frames, B.2/B.3).
+      */
+    def resetFrameState(): Unit = {
+      grids = null; lossPlanes = null
+      progScans = 0; lossScans = 0
+      progressive = false; lossless = false
+      arithmetic = false; differential = false
+      lossPt = 0
+    }
+
+    /** At a new SOF in hierarchical mode: fold the in-flight frame into
+      * the reference first. No-op outside hierarchical mode (a second
+      * SOF there keeps the legacy overwrite behavior).
+      */
+    def startFrame(): Unit =
+      if (hier && comps != null && (progScans > 0 || lossScans > 0)) {
+        finalizeFrame(); resetFrameState()
+      }
+
+    def startDiffFrame(): Unit = {
+      require(hier, "differential frame outside hierarchical mode")
+      startFrame()
+      require(framesDone > 0, "differential frame before any reference")
+      differential = true
+    }
+
+    /** EXP may only precede a differential frame (J.1.1.3). */
+    def noExp(): Unit =
+      require(!pendingExpH && !pendingExpV, "EXP before a non-differential frame")
+
+    def applyPendingExp(): Unit =
+      if (pendingExpH || pendingExpV) {
+        comps.indices.foreach { ci =>
+          val (cw, ch) = compDims(ci)
+          refPlanes(ci) = expandPlane(refPlanes(ci), refW(ci), refH(ci),
+            pendingExpH, pendingExpV, cw, ch)
+          refW(ci) = cw; refH(ci) = ch
+        }
+        pendingExpH = false; pendingExpV = false
+      }
+
     /** One progressive scan (T.81 G.2): decode entropy data starting at
       * r.pos into the coefficient grids, return the position after it.
       */
@@ -320,7 +522,9 @@ object JpegCodec {
           if (ah == 0) {
             val dc = dcTab(c.td); require(dc != null, "missing DC table")
             val t = br.decode(dc); require(t <= (if (precision == 12) 15 else 11), "DC category out of range")
-            pred(ci) += extend(br.bits(t), t)
+            // differential frames code DC with ZERO prediction (F.1.1.5.1)
+            if (differential) pred(ci) = extend(br.bits(t), t)
+            else pred(ci) += extend(br.bits(t), t)
             g(off) = pred(ci) << al
           } else if (br.bit() == 1) g(off) |= (1 << al)
         } else if (ah == 0) { // AC first scan for this band
@@ -426,6 +630,88 @@ object JpegCodec {
       br.pos
     }
 
+    /** One sequential Huffman scan decoded into the coefficient grids —
+      * the HIERARCHICAL path for SOF0/1/5 frames (a multi-frame stream
+      * can't use the single-frame baseline fast path, which streams to
+      * pixels after the marker loop). Stores UNQUANTIZED coefficients
+      * like progScan; dequantize + IDCT happen at frame finalize.
+      * Differential frames decode DC with zero prediction.
+      */
+    def seqHuffScan(scanIdx: Array[Int]): Int = {
+      val br = new BitReader(b, r.pos)
+      val pred = new Array[Int](comps.length)
+      var rstIdx = 0
+      var unit = 0
+
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+
+      def decodeBlock(ci: Int, off: Int): Unit = {
+        val c = comps(ci)
+        val g = grids(ci)
+        val dc = dcTab(c.td); val ac = acTab(c.ta)
+        require(dc != null && ac != null, "missing Huffman table")
+        val t = br.decode(dc)
+        require(t <= (if (precision == 12) 15 else 11), "DC category out of range")
+        if (differential) pred(ci) = extend(br.bits(t), t)
+        else pred(ci) += extend(br.bits(t), t)
+        g(off) = pred(ci)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decode(ac)
+          val run = rs >> 4; val size = rs & 15
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += run
+            require(k < 64, "AC index overflow")
+            g(off + zigzag(k)) = extend(br.bits(size), size)
+            k += 1
+          }
+        }
+      }
+
+      if (scanIdx.length == 1) {
+        val ci = scanIdx(0); val c = comps(ci)
+        val nbx = ((w * c.h + 8 * hMax - 1) / (8 * hMax)).max(1)
+        val nby = ((h * c.v + 8 * vMax - 1) / (8 * vMax)).max(1)
+        val total = nbx * nby
+        while (unit < total) {
+          maybeRestart()
+          decodeBlock(ci, ((unit / nbx) * blocksW(ci) + unit % nbx) * 64)
+          unit += 1
+        }
+      } else {
+        val total = mcusX * mcusY
+        while (unit < total) {
+          maybeRestart()
+          val mx = unit % mcusX; val my = unit / mcusX
+          var i = 0
+          while (i < scanIdx.length) {
+            val ci = scanIdx(i); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(ci,
+                  ((my * c.v + by) * blocksW(ci) + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          unit += 1
+        }
+      }
+      br.pos
+    }
+
     /** One lossless scan (T.81 H.2): predictor `psel` (1-7), point
       * transform `pt`; data units are single samples. Reconstruction is
       * modulo 2^16 (H.1.2.2). Scan-start (and post-restart) prediction:
@@ -459,8 +745,9 @@ object JpegCodec {
         // category 16 codes diff = 32768 with NO magnitude bits (H.2.3)
         val diff = if (t == 16) 32768 else extend(br.bits(t), t)
         val plane = lossPlanes(ci); val pw = lossW(ci)
-        val px =
-          if (fresh(ci)) { fresh(ci) = false; freshY(ci) = y; defaultPred }
+        val px = // differential frames code the difference itself (J.1.1.5)
+          if (differential) 0
+          else if (fresh(ci)) { fresh(ci) = false; freshY(ci) = y; defaultPred }
           else if (y == freshY(ci)) plane(y * pw + x - 1) // 1-D line: Ra
           else if (x == 0) plane((y - 1) * pw)            // line start: Rb
           else {
@@ -517,6 +804,138 @@ object JpegCodec {
       br.pos
     }
 
+    /** One arithmetic-coded LOSSLESS scan (T.81 H.2 over the Annex D QM
+      * coder): prediction, traversal and restart semantics identical to
+      * [[losslessScan]]; the entropy layer replaces Huffman categories
+      * with the two-dimensionally conditioned difference model — the DC
+      * model of F.2.2.1 with its 5-way diff classification applied to
+      * BOTH neighbors (Da left, Db above), giving 25 four-decision
+      * contexts plus two magnitude-chain bin sets (the second selected
+      * when Db classifies large): 158 statistics bins per table, the
+      * spec's stated lossless statistics-area size. Bin ORDER inside the
+      * area is this engine's documented layout (zero/sign/±magnitude
+      * start at 4·(5·cat(Db)+cat(Da)); chains at 100/129; per-chain
+      * low-bit bins at +14 — the DC layout shifted to the 2-D grid); the
+      * encoder dual in JpegArithLosslessSpec mirrors it bit-exactly.
+      */
+    def arithLosslessScan(scanIdx: Array[Int], psel: Int, pt: Int): Int = {
+      val dec = new JpegArith.Decoder(b, r.pos)
+      lossPt = pt
+      val defaultPred = 1 << (precision - pt - 1)
+      val stats = Array.fill(4)(JpegArith.stats(158))
+      // conditioning: the diff CATEGORY (0 zero, 1/2 small ±, 3/4 large ±)
+      // decoded at each column of the previous row (Db) and at the left
+      // neighbor (Da); zero at edges and after every reset
+      val catRow = comps.indices.toArray.map(i => new Array[Int](lossW(i).max(1)))
+      // Da per (component, row-within-MCU-row): the interleaved walk keeps
+      // c.v rows in flight per component, each needing its own left-cat
+      val catLeft = comps.indices.toArray.map(i => new Array[Int](comps(i).v))
+      val fresh = Array.fill(comps.length)(true)
+      val freshY = Array.fill(comps.length)(0)
+      var rstIdx = 0
+      var unit = 0
+
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          dec.restart(rstIdx); rstIdx = (rstIdx + 1) & 7
+          stats.foreach(java.util.Arrays.fill(_, 0.toByte))
+          catRow.foreach(java.util.Arrays.fill(_, 0))
+          catLeft.foreach(java.util.Arrays.fill(_, 0))
+          java.util.Arrays.fill(fresh, true)
+        }
+
+      def decodeSample(ci: Int, x: Int, y: Int): Unit = {
+        val c = comps(ci)
+        val st = stats(c.td)
+        val (condL, condU) = dcCond(c.td)
+        val ca = if (x == 0) 0 else catLeft(ci)(y % c.v)
+        val cb = catRow(ci)(x)
+        val ctx = 4 * (5 * cb + ca)
+        var diff = 0
+        var cat = 0
+        if (dec.decode(st, ctx) != 0) {
+          val sign = dec.decode(st, ctx + 1)
+          var sp = ctx + 2 + sign
+          var m = dec.decode(st, sp)
+          if (m != 0) {
+            sp = if (cb >= 3) 129 else 100
+            while (dec.decode(st, sp) != 0) {
+              m <<= 1; require(m != 0x8000, "lossless magnitude overflow"); sp += 1
+            }
+          }
+          // classification for the NEXT samples' conditioning — the same
+          // category-bound comparison the DC model uses (F.1.4.4.1.2)
+          cat =
+            if (m < ((1 << condL) >> 1)) 0
+            else if (m > ((1 << condU) >> 1)) 3 + sign
+            else 1 + sign
+          var v = m
+          sp += 14
+          m >>= 1
+          while (m != 0) { if (dec.decode(st, sp) != 0) v |= m; m >>= 1 }
+          v += 1
+          diff = if (sign == 1) -v else v
+        }
+        catLeft(ci)(y % c.v) = cat
+        catRow(ci)(x) = cat
+        val plane = lossPlanes(ci); val pw = lossW(ci)
+        val px = // differential frames code the difference itself (J.1.1.5)
+          if (differential) 0
+          else if (fresh(ci)) { fresh(ci) = false; freshY(ci) = y; defaultPred }
+          else if (y == freshY(ci)) plane(y * pw + x - 1)
+          else if (x == 0) plane((y - 1) * pw)
+          else {
+            val ra = plane(y * pw + x - 1)
+            val rb = plane((y - 1) * pw + x)
+            val rc = plane((y - 1) * pw + x - 1)
+            psel match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        plane(y * pw + x) = (px + diff) & 0xffff
+      }
+
+      if (scanIdx.length == 1) {
+        val ci = scanIdx(0); val c = comps(ci)
+        val cw = ((w.toLong * c.h + hMax - 1) / hMax).toInt.max(1)
+        val chh = ((h.toLong * c.v + vMax - 1) / vMax).toInt.max(1)
+        val total = cw * chh
+        while (unit < total) {
+          maybeRestart()
+          decodeSample(ci, unit % cw, unit / cw)
+          unit += 1
+        }
+      } else {
+        val total = lossMcuX * lossMcuY
+        while (unit < total) {
+          maybeRestart()
+          val mx = unit % lossMcuX; val my = unit / lossMcuX
+          var i = 0
+          while (i < scanIdx.length) {
+            val ci = scanIdx(i); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeSample(ci, mx * c.h + bx, my * c.v + by)
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          unit += 1
+        }
+      }
+      dec.end()
+    }
+
     /** One arithmetic-coded scan (T.81 F.2.2 sequential, G.2
       * progressive) into the coefficient grids. Context models are the
       * standard's exactly (the public libjpeg jdarith rendering of
@@ -554,8 +973,10 @@ object JpegCodec {
         val st = dcStats(c.td)
         val (condL, condU) = dcCond(c.td)
         val ctx = dcCtx(ci)
-        if (dec.decode(st, ctx) == 0) dcCtx(ci) = 0
-        else {
+        if (dec.decode(st, ctx) == 0) {
+          dcCtx(ci) = 0
+          if (differential) pred(ci) = 0 // zero prediction: this block's DC is 0
+        } else {
           val sign = dec.decode(st, ctx + 1)
           var sp = ctx + 2 + sign
           var m = dec.decode(st, sp)
@@ -575,7 +996,10 @@ object JpegCodec {
           m >>= 1
           while (m != 0) { if (dec.decode(st, sp) != 0) v |= m; m >>= 1 }
           v += 1
-          pred(ci) += (if (sign == 1) -v else v)
+          // differential frames: zero prediction per block (F.1.1.5.1) —
+          // conditioning still follows the coded value
+          if (differential) pred(ci) = (if (sign == 1) -v else v)
+          else pred(ci) += (if (sign == 1) -v else v)
         }
         pred(ci)
       }
@@ -729,18 +1153,51 @@ object JpegCodec {
             if ((tc >> 4) == 0) dcTab(tc & 3) = t else acTab(tc & 3) = t
           }
           require(r.pos == end, "DHT length mismatch")
-        case 0xc0 | 0xc1 => parseSof(prog = false, loss = false)
-        case 0xc2 => parseSof(prog = true, loss = false)
+        case 0xc0 | 0xc1 => startFrame(); parseSof(prog = false, loss = false); noExp()
+        case 0xc2 => startFrame(); parseSof(prog = true, loss = false); noExp()
         case 0xc3 =>
+          startFrame()
           parseSof(prog = false, loss = true)
           require(comps.length == 1 || comps.length == 3,
             "lossless: 1 (gray) or 3 (RGB) components")
-        case 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
-          return None // differential/hierarchical: planning tier only
-        case 0xc9 => arithmetic = true; parseSof(prog = false, loss = false)
-        case 0xca => arithmetic = true; parseSof(prog = true, loss = false)
+          noExp()
+        case 0xc5 => // differential sequential (hierarchical only)
+          startDiffFrame(); parseSof(prog = false, loss = false); applyPendingExp()
+        case 0xc6 => // differential progressive
+          startDiffFrame(); parseSof(prog = true, loss = false); applyPendingExp()
+        case 0xc7 => // differential lossless
+          startDiffFrame(); parseSof(prog = false, loss = true); applyPendingExp()
+        case 0xc9 => startFrame(); arithmetic = true; parseSof(prog = false, loss = false); noExp()
+        case 0xca => startFrame(); arithmetic = true; parseSof(prog = true, loss = false); noExp()
         case 0xcb =>
-          return None // arithmetic lossless: planning tier only
+          startFrame()
+          arithmetic = true
+          parseSof(prog = false, loss = true)
+          require(comps.length == 1 || comps.length == 3,
+            "lossless: 1 (gray) or 3 (RGB) components")
+          noExp()
+        case 0xcd => // differential sequential, arithmetic
+          startDiffFrame(); arithmetic = true
+          parseSof(prog = false, loss = false); applyPendingExp()
+        case 0xce => // differential progressive, arithmetic
+          startDiffFrame(); arithmetic = true
+          parseSof(prog = true, loss = false); applyPendingExp()
+        case 0xcf => // differential lossless, arithmetic
+          startDiffFrame(); arithmetic = true
+          parseSof(prog = false, loss = true); applyPendingExp()
+        case 0xde => // DHP: declares hierarchical mode (SOF syntax; the
+          // per-level frame headers carry the authoritative dims)
+          require(!hier, "duplicate DHP")
+          require(comps == null, "DHP after a frame")
+          hier = true
+          r.skip(r.u16() - 2)
+        case 0xdf => // EXP: ×2 reference upsample before the next
+          // differential frame (applied once that frame's dims are known)
+          require(hier, "EXP outside hierarchical mode")
+          require(r.u16() == 3, "bad EXP length")
+          val e = r.u8()
+          require((e >> 4) <= 1 && (e & 15) <= 1, "EXP values are 0/1")
+          pendingExpH = (e >> 4) == 1; pendingExpV = (e & 15) == 1
         case 0xcc => // DAC: arithmetic conditioning (T.81 B.2.4.3)
           val dacLen = r.u16(); val end = r.pos + dacLen - 2
           while (r.pos < end) {
@@ -774,12 +1231,27 @@ object JpegCodec {
           val ss = r.u8(); val se = r.u8()
           val aa = r.u8(); val ah = aa >> 4; val al = aa & 15
           if (lossless) {
-            // lossless scan header (T.81 H.2.2): Ss = predictor, Al = Pt
-            require(ss >= 1 && ss <= 7, "lossless predictor 1-7")
+            // lossless scan header (T.81 H.2.2): Ss = predictor, Al = Pt;
+            // differential lossless codes raw differences — Ss must be 0
+            if (differential) require(ss == 0, "differential lossless: Ss must be 0")
+            else require(ss >= 1 && ss <= 7, "lossless predictor 1-7")
             require(se == 0 && ah == 0, "bad lossless scan header")
             require(al < precision, "point transform out of range")
-            r.pos = losslessScan(sc.map(c => comps.indexWhere(_.id == c.id)), ss, al)
+            val idx = sc.map(c => comps.indexWhere(_.id == c.id))
+            r.pos = if (arithmetic) arithLosslessScan(idx, ss, al)
+                    else losslessScan(idx, ss, al)
             lossScans += 1
+          } else if (!progressive && !arithmetic && hier) {
+            // hierarchical sequential Huffman: must decode INLINE (the
+            // single-frame baseline fast path streams to pixels after
+            // the marker loop, which a multi-frame stream cannot use)
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "sequential scans cover the full band")
+            if (grids == null)
+              grids = comps.indices.toArray.map(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64))
+            r.pos = seqHuffScan(sc.map(c => comps.indexWhere(_.id == c.id)))
+            progScans += 1
           } else if (arithmetic) {
             if (progressive) {
               require(ss <= se && se <= 63, "bad spectral band")
@@ -811,7 +1283,12 @@ object JpegCodec {
             progScans += 1
           }
         case 0xd9 => // EOI
-          if (((progressive || arithmetic) && progScans > 0) ||
+          if (hier) {
+            if (comps != null && (progScans > 0 || lossScans > 0)) {
+              finalizeFrame(); resetFrameState()
+            }
+            if (framesDone > 0) finished = true else return None
+          } else if (((progressive || arithmetic) && progScans > 0) ||
               (lossless && lossScans > 0))
             finished = true
           else return None
@@ -819,14 +1296,17 @@ object JpegCodec {
       }
     }
 
-    // per-component 8-bit plane at its own resolution (MCU-padded);
+    // per-component 8-bit plane at its own resolution (MCU-padded for
+    // single-frame decodes; the unpadded reference dims for hierarchical);
     // 12-bit DCT and deep lossless samples land here already scaled to
     // 8 bits (the frame contract is RGB24 — documented top-bits scaling)
     val planeW = comps.indices.toArray.map(i =>
-      if (lossless) lossW(i) else mcusX * comps(i).h * 8)
+      if (hier) refW(i)
+      else if (lossless) lossW(i) else mcusX * comps(i).h * 8)
     val planes = comps.indices.toArray.map(i =>
       new Array[Byte](planeW(i) *
-        (if (lossless) lossH(i) else mcusY * comps(i).v * 8)))
+        (if (hier) refH(i)
+         else if (lossless) lossH(i) else mcusY * comps(i).v * 8)))
     val coef = new Array[Int](64)
     val spatial = new Array[Double](64)
     // DCT level shift / clamp / 8-bit scale, all from the SOF precision
@@ -853,7 +1333,22 @@ object JpegCodec {
       }
     }
 
-    if (lossless) {
+    if (hier) {
+      // hierarchical: the reference planes hold full-precision samples
+      // (point transforms already undone at frame finalize)
+      var ci = 0
+      while (ci < comps.length) {
+        val src = refPlanes(ci); val dst = planes(ci)
+        var i = 0
+        while (i < src.length) {
+          val v8 = if (precision >= 8) src(i) >> (precision - 8)
+                   else src(i) << (8 - precision)
+          dst(i) = (if (v8 > 255) 255 else v8).toByte
+          i += 1
+        }
+        ci += 1
+      }
+    } else if (lossless) {
       // lossless: planes hold reconstructed P−Pt bit samples; undo the
       // point transform (<< Pt, H.1.2.3) and take the top 8 bits
       var ci = 0
@@ -951,7 +1446,7 @@ object JpegCodec {
       planes(ci)(sy * planeW(ci) + sx) & 0xff
     }
     var y = 0
-    if (lossless && comps.length == 3) {
+    if ((if (hier) lastLossless else lossless) && comps.length == 3) {
       while (y < h) {
         var x = 0
         while (x < w) {

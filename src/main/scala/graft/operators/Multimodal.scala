@@ -448,9 +448,9 @@ object Multimodal {
     * geometry (dims parsed from real bytes, fit arithmetic, output byte
     * estimate) for EVERY container format. Since r8 every Huffman JPEG
     * family also has a real pixel tier ([[PixelResizeKernel]] — GIF,
-    * PNG, sequential/progressive/lossless/arithmetic JPEG, raw RGB);
-    * only hierarchical and arithmetic-lossless JPEG stop here (r13),
-    * and a planner still sizes the output shuffle from this tier before
+    * PNG, sequential/progressive/lossless/arithmetic/hierarchical JPEG,
+    * raw RGB — the full T.81 matrix as of late r13), and a planner
+    * still sizes the output shuffle from this tier before
     * paying for pixel decode. Batch-
     * shaped like [[HeaderDecoder]] so the shuffle stays byte-volume-
     * sized via [[decodeBatched]]. Unparseable payloads drop here (the
@@ -512,9 +512,9 @@ object Multimodal {
     * QM-arithmetic variants of both DCT modes (Huffman + successive
     * approximation + Annex D arithmetic + dequant + exact IDCT +
     * YCbCr→RGB via [[JpegCodec]]; the r7 boundary erased in r8, the
-    * rest in r13) — and raw RGB. Only hierarchical and
-    * arithmetic-lossless JPEG still stop at the capacity-planning tier
-    * ([[ResizePlanKernel]]).
+    * rest — arithmetic, then SOF11 + the full hierarchical Annex J —
+    * in r13) — and raw RGB. Every T.81 coding process now reaches
+    * pixels; nothing stops at the planning tier by capability.
     *
     * Nearest-neighbor index map is pure integer math — src_x =
     * ⌊x·w/out_w⌋ — so the resample is exactly reproducible by an oracle

@@ -448,9 +448,9 @@ class JpegExtSpec extends AnyFunSuite {
         (bs(i) & 0xff) == 0xff && (bs(i + 1) & 0xff) == m).get
     val sofAt = findMarker(good, 0xc3)
     val sosAt = findMarker(good, 0xda)
-    // arithmetic lossless (SOF11) is out of scope
-    assert(JpegCodec.decode(patched(_(sofAt + 1) = 0xcb.toByte)).isEmpty)
-    // hierarchical
+    // a differential frame OUTSIDE hierarchical mode (no DHP) quarantines
+    // (SOF11 and the hierarchical processes are in scope since r13 —
+    // JpegArithLosslessSpec / JpegHierSpec carry their positive paths)
     assert(JpegCodec.decode(patched(_(sofAt + 1) = 0xc5.toByte)).isEmpty)
     // predictor 0 (differential-only) and 8+ are invalid scan headers
     assert(JpegCodec.decode(patched(_(sosAt + 7) = 0.toByte)).isEmpty)
