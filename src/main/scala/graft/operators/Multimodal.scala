@@ -127,7 +127,10 @@ object Multimodal {
         else {
           val len = be16(b, o + 2)
           if (len < 2 || o + 2 + len > b.length) return None
-          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          // DHP (0xde, hierarchical) uses SOF syntax and carries the
+          // FULL-resolution dims — the per-level SOFs after it are smaller
+          val isSof = (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) ||
+            m == 0xde
           if (isSof) {
             if (len < 7) return None
             return Some(("jpeg", be16(b, o + 7), be16(b, o + 5), 1))

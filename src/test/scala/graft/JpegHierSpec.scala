@@ -263,6 +263,10 @@ class JpegHierSpec extends AnyFunSuite {
     val expanded = refExpand(base, w0, h0, w1, h1)
     val want = expanded.zip(diffs).map { case (r, d) => (r + d) & 0xffff }
     assertPixels(bw.out.toArray, w1, h1, grayRgb(w1, h1, want))
+    // the metadata lane reads the DHP's FULL-resolution dims, not the
+    // reduced first level's
+    assert(graft.operators.Multimodal.HeaderDecoder.parse(bw.out.toArray)
+      .contains(("jpeg", w1, h1, 1)))
   }
 
   test("DCT pyramid: SOF0 base + SOF5 differential (no level shift, clamped fold)") {
