@@ -744,6 +744,13 @@ object SparkEntry {
       TextOps.driftReportMetric(Canon.documents(s, d), "psi", vocabSize = 24)),
     "q_drift_jsd" -> ((s, d) => // Jensen-Shannon variant: bounded by ln 2, comparable across sources
       TextOps.driftReportMetric(Canon.documents(s, d), "jsd", vocabSize = 24)),
+    // CCNet-style LM quality filter: bigram add-one model trained on the
+    // 'en' slice, every doc scored; the ln lands inside the drift-report
+    // nano-unit trick so both engines sum exact integers
+    "q_text_lmscore" -> ((s, d) =>
+      TextOps.lmScore(Canon.documents(s, d),
+          Canon.documents(s, d).filter(col("lang") === "en"))
+        .orderBy("doc_id")),
     "q_text_bm25" -> ((s, d) => // BM25 top-50 for a fixed query (Lucene
       // formulation); corpus stats reduce to driver literals, top-k is
       // TakeOrderedAndProject — no full sort, no shuffle but k rows
@@ -2616,6 +2623,25 @@ object SparkEntry {
          |  trim($chain) AS text
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // the bigram model replayed: same tokenizer, same add-one smoothing,
+    // same nano-unit ln rounding (the drift-report precedent)
+    "q_text_lmscore" ->
+      s"""WITH rt AS (SELECT $TOKS AS t FROM documents WHERE lang = 'en'),
+         |rb AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |       FROM rt WHERE len(t) >= 2),
+         |big AS (SELECT bg, count(*) AS c2 FROM rb GROUP BY bg),
+         |pfx AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM rb GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok) + 1 AS v FROM (SELECT unnest(t) AS tok FROM rt)),
+         |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |       FROM (SELECT doc_id, $TOKS AS t FROM documents) WHERE len(t) >= 2),
+         |sc AS (SELECT doc_id,
+         |         CAST(round(-ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+         |           (coalesce(c1, 0) + (SELECT v FROM vv))) * 1e9) AS BIGINT) AS nll
+         |       FROM db LEFT JOIN big USING (bg)
+         |               LEFT JOIN pfx ON string_split(db.bg, ' ')[1] = pfx.w1)
+         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nll) AS BIGINT) AS nll_nano,
+         |  round(CAST(sum(nll) AS DOUBLE) / 1e9 / count(*), 4) AS mean_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_gopher" -> // rule flags compare UNROUNDED quotients of exact
       // integer counts (identical doubles in any engine); outputs rounded
       s"""WITH q AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt,

@@ -491,6 +491,61 @@ object TextOps {
           .as("mean_token_freq"))
   }
 
+  /** CCNet-style language-model quality score: per-doc mean negative
+    * log-likelihood under an add-one-smoothed BIGRAM model trained on a
+    * reference corpus — the classic "wiki-LM perplexity" filter (CCNet,
+    * Wenzek et al. 2020) that ranks fluent text above gibberish far
+    * better than token-count heuristics. p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V)
+    * with V = |reference vocab|+1 (the OOV mass), so unseen bigrams and
+    * unseen prefixes both score finitely.
+    *
+    * Determinism discipline: the `ln` lands inside the drift-report
+    * nano-unit trick — each token contributes round(−ln(p)·1e9) as a
+    * LONG, the per-doc sum is order-independent exact integer math, and
+    * the one final double division rounds at 4dp. Outputs: `n_bigrams`,
+    * `nll_nano` (exact), `mean_nll` (nats/token, 4dp; perplexity =
+    * e^mean_nll, monotone in it — filters threshold either).
+    *
+    * Scale shape: TWO corpus scans (reference → counts, docs → bigrams),
+    * two shuffle-hash joins against slim (bigram, count)/(prefix, count)
+    * build rows — never broadcast (a 100 TB reference's bigram table is
+    * corpus-scale), one per-doc aggregate. V is the single
+    * driver-collected model parameter (O(1) row).
+    */
+  def lmScore(docs: DataFrame, ref: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    require(!Set("n_bigrams", "nll_nano", "mean_nll").contains(idCol),
+      s"idCol '$idCol' collides with an lmScore output column")
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val t = tokens(col(textCol))
+      val n = size(t)
+      df.select(keep :+ explode(zip_with(
+          slice(t, lit(1), greatest(n - 1, lit(0))),
+          slice(t, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("__graft_bg"): _*)
+    }
+    val refBg = bigrams(ref, Seq.empty).trackedCache
+    val big = refBg.groupBy("__graft_bg").agg(count(lit(1)).as("__graft_c2"))
+    val pfx = refBg
+      .select(substring_index(col("__graft_bg"), " ", 1).as("__graft_w1"))
+      .groupBy("__graft_w1").agg(count(lit(1)).as("__graft_c1"))
+    val v = ref.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0) + 1L
+    bigrams(docs, Seq(col(idCol)))
+      .withColumn("__graft_w1", substring_index(col("__graft_bg"), " ", 1))
+      .join(big.hint("shuffle_hash"), Seq("__graft_bg"), "left")
+      .join(pfx.hint("shuffle_hash"), Seq("__graft_w1"), "left")
+      .select(col(idCol),
+        round(-log((coalesce(col("__graft_c2"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__graft_c1"), lit(0L)) + v).cast("double")) * 1e9)
+          .cast("long").as("__graft_nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__graft_nll").as("nll_nano"))
+      .select(col(idCol), col("n_bigrams"), col("nll_nano"),
+        round(col("nll_nano").cast("double") / 1e9 / col("n_bigrams"), 4)
+          .as("mean_nll"))
+  }
+
   /** Top-k SALIENT terms per document — the tf-idf shape in exact
     * rational arithmetic: salience = tf / df (the document's term count
     * over the term's corpus document frequency), which ranks identically

@@ -402,4 +402,26 @@ class TextOpsSpec extends SparkSuite {
       assert(est <= tc && tc - est <= n / cap, s"$t est=$est true=$tc")
     }
   }
+
+  test("lmScore: reference-like text scores lower nll than shuffled gibberish") {
+    val ref = (0 until 40).map(i => (i.toLong, "the quick fox jumps over the lazy dog " +
+      "and the dog runs after the quick fox"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick fox jumps over the lazy dog"), // in-distribution
+      (101L, "dog the after lazy jumps runs fox the")) // same words, broken order
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(probe, ref)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(100L, 101L))
+    assert(got(0)._2 == 7 && got(1)._2 == 7) // 8 tokens -> 7 bigrams
+    assert(got(0)._4 < got(1)._4,
+      s"fluent ${got(0)._4} should beat shuffled ${got(1)._4}")
+    // exact integer nll: recompute one doc by hand-counting the model
+    assert(got(0)._3 > 0 && got(0)._3 == math.round(got(0)._4 * 7 * 1e9 / 1e0) ||
+      math.abs(got(0)._3 / 1e9 / 7 - got(0)._4) < 5e-5) // 4dp rounding consistency
+    // docs shorter than 2 tokens produce no row
+    val tiny = TextOps.lmScore(Seq((1L, "solo")).toDF("doc_id", "text"), ref)
+    assert(tiny.count() == 0)
+  }
 }
