@@ -132,7 +132,7 @@ object Bench {
     */
   private[graft] def compactKeys(names: Seq[String],
                                  abbrev: Map[String, String],
-                                 minLen: Int = 3): Map[String, String] = {
+                                 minLen: Int = 2): Map[String, String] = {
     def rendered(n: String): (String, String) = { // (prefix, suffix)
       val bare = n.stripPrefix("q_")
       val cut = bare.indexOf('_')
@@ -372,9 +372,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // 75 queries × several codegen stages exceed the default 100-entry
-      // janino cache; evictions recompile mid-measurement
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // 75 queries × several codegen stages exceeded the default 100-entry
+      // janino cache; evictions recompile mid-measurement. 4000 = headroom
+      // for the 146-query r13 roster (a controlled 8000-cap run changed
+      // NOTHING — the r13 q_tier_cdc drift was host-window, not eviction;
+      // see REGRESSIONS.md r12→r13)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
