@@ -514,8 +514,9 @@ object TextOps {
     */
   def lmScore(docs: DataFrame, ref: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    require(!Set("n_bigrams", "nll_nano", "mean_nll").contains(idCol),
-      s"idCol '$idCol' collides with an lmScore output column")
+    require(!Set("n_bigrams", "nll_nano", "mean_nll",
+        "__graft_bg", "__graft_w1").contains(idCol),
+      s"idCol '$idCol' collides with an lmScore output or internal column")
     def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = {
       val t = tokens(col(textCol))
       val n = size(t)

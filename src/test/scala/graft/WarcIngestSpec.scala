@@ -103,6 +103,45 @@ class WarcIngestSpec extends SparkSuite {
     } finally recs.unpersist()
   }
 
+  test("records() decodes a STREAMING frame of WARC files (micro-batch crawl ingest)") {
+    // the established file-stream pattern: two parquet files +
+    // maxFilesPerTrigger=1, so the parse runs across micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toFile
+    try {
+      val f1 = record(1, "stream-one") ++ record(2, "stream-two")
+      val f2 = gzipMember(record(3, "stream-three"))
+      for ((fid, bytes, name) <- Seq((7L, f1, "a"), (8L, f2, "b"))) {
+        val tmp = java.nio.file.Files.createTempDirectory("warc_split").toString
+        Seq((fid, "warc", bytes, bytes.length.toLong))
+          .toDF("media_id", "kind", "media", "n_bytes")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      }
+      val schema = Seq((0L, "", Array.emptyByteArray, 0L))
+        .toDF("media_id", "kind", "media", "n_bytes").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = WarcIngest.records(stream).writeStream
+        .format("memory").queryName("warc_stream").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L))
+      val got = spark.table("warc_stream")
+        .select("file_id", "rec_idx", "body", "ok")
+        .as[(Long, Int, String, Boolean)].collect().sortBy(r => (r._1, r._2))
+      assert(got.forall(_._4))
+      assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+        (7L, 0, "stream-one"), (7L, 1, "stream-two"), (8L, 0, "stream-three")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("readFiles round-trips through the binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("warc_t").toFile
     try {
