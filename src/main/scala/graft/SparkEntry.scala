@@ -913,11 +913,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Canon.documents(s, d), n = 3, tau = 0.6)),
     // paragraph-level dedup (CCNet boilerplate removal): a banner planted
     // in EVERY doc and a footer on the evens must survive only in doc 0;
-    // the corpus's own duplicate texts dedup as middle paragraphs too
+    // the corpus's own duplicate texts dedup as middle paragraphs too,
+    // while the %3 docs' blank line (empty paragraph = structure, not
+    // content) survives in every one of them
     "q_dedup_paragraphs" -> ((s, d) => {
       val id = col("doc_id")
       val planted = Canon.documents(s, d).select(id,
         concat(lit("subscribe to our newsletter\n"), col("text"),
+          when(id % 3 === 0, lit("\n")).otherwise(lit("")),
           when(id % 2 === 0, lit("\nall rights reserved")).otherwise(lit("")),
           lit("\nunique tail "), id.cast("string")).as("text"))
       Dedup.dedupParagraphs(planted)
@@ -2881,10 +2884,13 @@ object SparkEntry {
          |FROM pairs WHERE c >= ceil(na * 0.8) ORDER BY id_a, id_b""".stripMargin,
     // first-occurrence paragraph keep under the same (doc_id, pidx) total
     // order; partitioning by the paragraph VALUE equals the engine's
-    // 16-byte-hash partitioning (same groups, cheaper Spark shuffle)
+    // 16-byte-hash partitioning (same groups, cheaper Spark shuffle);
+    // empty paragraphs are structure and always kept (the engine routes
+    // them around the window — same result, no skewed partition)
     "q_dedup_paragraphs" ->
       """WITH p AS (SELECT doc_id,
         |    'subscribe to our newsletter' || chr(10) || text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) ELSE '' END) ||
         |    (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) ||
         |    chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
         |  FROM documents),
@@ -2893,7 +2899,7 @@ object SparkEntry {
         |k AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn FROM e)
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text,
         |       count(*) AS n_paras_kept
-        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM k WHERE rn = 1 OR para = '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // connected components of the verified pair graph via transitive
     // closure (recursive CTE; UNION dedups → termination). Tiny at oracle
     // scale; the Spark side is the iterative min-label-propagation loop.

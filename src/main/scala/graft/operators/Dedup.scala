@@ -78,9 +78,18 @@ object Dedup {
                       idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("para"))).orderBy(col(idCol).asc, col("pidx").asc)
-    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pidx", "para")))
+    val parts = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pidx", "para")))
+    // EMPTY paragraphs (blank lines) are document STRUCTURE, not content:
+    // deduping them would strip blank-line separation from every doc but
+    // the globally first — and would also funnel every blank line in the
+    // corpus into ONE window partition (a skew bomb at 100 TB). They
+    // bypass the window entirely and are always kept.
+    val kept = parts.filter(col("para") =!= "")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(idCol)
+      .drop("rn")
+      .unionByName(parts.filter(col("para") === ""))
+    kept.groupBy(idCol)
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
           e => e.getField("para")), "\n").as("text"),

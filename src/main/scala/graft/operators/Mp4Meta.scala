@@ -99,8 +99,12 @@ object Mp4Meta {
       val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
         .getOrElse(return fail("no moov box"))
 
-      val movieUs = child(b, moov._1, moov._2, "mvhd").map { case (s, _) =>
+      val movieUs = child(b, moov._1, moov._2, "mvhd").map { case (s, e) =>
         val v = b(s) & 0xff
+        // every fixed-layout read is bounds-checked against the BOX end:
+        // reads past a box land in sibling bytes and fabricate silent
+        // garbage long before they ever leave the file array
+        require(e - s >= (if (v == 1) 32 else 20), "mvhd too short")
         if (v == 1) toUs(be64(b, s + 24), be32(b, s + 20))
         else toUs(be32(b, s + 16), be32(b, s + 12))
       }.getOrElse(-1L)
@@ -108,8 +112,9 @@ object Mp4Meta {
       val traks = children(b, moov._1, moov._2).filter(_._1 == "trak")
       if (traks.isEmpty) return fail("no trak boxes")
       traks.map { case (_, ts, te) =>
-        val (trackId, w, h) = child(b, ts, te, "tkhd").map { case (s, _) =>
+        val (trackId, w, h) = child(b, ts, te, "tkhd").map { case (s, e) =>
           val v = b(s) & 0xff
+          require(e - s >= (if (v == 1) 96 else 84), "tkhd too short")
           val idOff = if (v == 1) s + 20 else s + 12
           // width/height are the LAST 8 payload bytes (16.16 fixed)
           val geomOff = if (v == 1) s + 88 else s + 76
@@ -119,8 +124,9 @@ object Mp4Meta {
 
         val mdia = child(b, ts, te, "mdia")
         val (trackUs, lang) = mdia.flatMap { case (ms, me) =>
-          child(b, ms, me, "mdhd").map { case (s, _) =>
+          child(b, ms, me, "mdhd").map { case (s, e) =>
             val v = b(s) & 0xff
+            require(e - s >= (if (v == 1) 36 else 24), "mdhd too short")
             val (scale, dur, langOff) =
               if (v == 1) (be32(b, s + 20), be64(b, s + 24), s + 32)
               else (be32(b, s + 12), be32(b, s + 16), s + 20)
@@ -134,7 +140,8 @@ object Mp4Meta {
         }.getOrElse((-1L, ""))
 
         val handler = mdia.flatMap { case (ms, me) =>
-          child(b, ms, me, "hdlr").map { case (s, _) => fourcc(b, s + 8) }
+          child(b, ms, me, "hdlr").map { case (s, e) =>
+            require(e - s >= 12, "hdlr too short"); fourcc(b, s + 8) }
         }.getOrElse("")
 
         val stbl = mdia.flatMap { case (ms, me) => child(b, ms, me, "minf") }
@@ -147,12 +154,16 @@ object Mp4Meta {
         }.getOrElse("")
 
         val nSamples = stbl.flatMap { case (ss, se) =>
-          child(b, ss, se, "stsz").map { case (s, _) => be32(b, s + 8) }
+          child(b, ss, se, "stsz").map { case (s, e) =>
+            require(e - s >= 12, "stsz too short"); be32(b, s + 8) }
         }.getOrElse(-1L)
 
         val keyframes = stbl.flatMap { case (ss, se) =>
-          child(b, ss, se, "stss").map { case (s, _) =>
+          child(b, ss, se, "stss").map { case (s, e) =>
             val n = be32(b, s + 4).toInt
+            // a count overrunning the box would read sibling bytes as
+            // sample numbers — fabricated keyframes with ok=true
+            require(n >= 0 && 8L + 4L * n <= e - s, "stss count overruns box")
             (0 until math.min(n, MaxKeyframes)).map(i => be32(b, s + 8 + 4 * i))
           }
         }

@@ -511,6 +511,11 @@ object TextOps {
     * build rows — never broadcast (a 100 TB reference's bigram table is
     * corpus-scale), one per-doc aggregate. V is the single
     * driver-collected model parameter (O(1) row).
+    *
+    * CONTRACT: documents with fewer than 2 tokens have no bigrams and
+    * produce NO output row — a thresholding pipeline must decide their
+    * fate explicitly (left-join and treat null mean_nll as reject is the
+    * usual CCNet choice; an inner join silently drops them).
     */
   def lmScore(docs: DataFrame, ref: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {

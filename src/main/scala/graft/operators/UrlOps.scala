@@ -155,6 +155,10 @@ object UrlOps {
                 rankCol: String, idCol: String = "doc_id",
                 salt: Int = 32): DataFrame = {
     require(cap > 0 && salt > 0, s"cap=$cap salt=$salt must be positive")
+    // `domain` and `rn` are OUTPUT columns of this operator — silently
+    // overwriting a caller's same-named column would clobber their data
+    require(!df.columns.contains("domain") && !df.columns.contains("rn"),
+      "domainCap emits 'domain' and 'rn' columns — rename the input's")
     val dom = registrableDomain(host(col(urlCol)))
     val ord = Seq(col(rankCol).desc, col(idCol).asc)
     val local = Window.partitionBy(col("domain"), pmod(hash(col(idCol)), lit(salt)))

@@ -40,15 +40,35 @@ object WarcIngest {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
+  /** Hard cap on a file's decompressed size. A JVM byte array tops out
+    * at ~2 GiB anyway; past the cap the file quarantines LOUDLY instead
+    * of dying on an uncatchable OutOfMemoryError mid-grow — at crawl
+    * scale the fix for bigger archives is smaller files, not bigger
+    * heaps. (Real .warc.gz shards are ~1 GiB compressed and well under
+    * this decompressed per-file.)
+    */
+  private[sources] val MaxGunzipBytes: Long = 1L << 30
+
   private def gunzipAll(b: Array[Byte]): Array[Byte] = {
     // GZIPInputStream consumes concatenated members (the .warc.gz layout:
     // one member per record) into one logical stream; records stay
-    // self-delimiting via Content-Length, so member boundaries are noise
+    // self-delimiting via Content-Length, so member boundaries are noise.
+    // The initial buffer sizing must stay in Int range (b.length * 4
+    // overflows for inputs past 512 MB).
     val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 << 10)
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, 16L << 20).toInt)
     val buf = new Array[Byte](64 << 10)
+    var total = 0L
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      total += n
+      if (total > MaxGunzipBytes)
+        throw new java.util.zip.ZipException(
+          s"decompressed size exceeds $MaxGunzipBytes bytes")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 
@@ -80,26 +100,28 @@ object WarcIngest {
 
   /** De-chunk an HTTP/1.1 chunked body: hex-size lines, each chunk
     * CRLF-terminated, a 0-size chunk ends the stream (trailers ignored).
+    * Returns None on malformed framing (unparseable size line, a chunk
+    * overrunning the Content-Length block, or input ending before the
+    * 0-chunk terminator) — the caller quarantines; a silently-truncated
+    * body must never flow downstream as ok=true.
     */
-  private def dechunk(b: Array[Byte], p0: Int, end: Int): Array[Byte] = {
+  private def dechunk(b: Array[Byte], p0: Int, end: Int): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream(end - p0)
     var p = p0
-    var done = false
-    while (!done) line(b, p) match {
-      case Some((sz, np)) =>
+    while (true) line(b, p) match {
+      case Some((sz, np)) if np <= end =>
         val n = try Integer.parseInt(sz.split(';')(0).trim, 16)
                 catch { case _: NumberFormatException => -1 }
-        if (n <= 0 || np + n > end) done = true
-        else {
-          out.write(b, np, n)
-          p = np + n
-          // consume the chunk's trailing CRLF
-          if (p + 1 < end && b(p) == '\r' && b(p + 1) == '\n') p += 2
-          else if (p < end && b(p) == '\n') p += 1
-        }
-      case None => done = true
+        if (n == 0) return Some(out.toByteArray) // terminator chunk
+        if (n < 0 || np + n > end) return None   // malformed framing
+        out.write(b, np, n)
+        p = np + n
+        // consume the chunk's trailing CRLF
+        if (p + 1 < end && b(p) == '\r' && b(p + 1) == '\n') p += 2
+        else if (p < end && b(p) == '\n') p += 1
+      case _ => return None // ran out before the terminator
     }
-    out.toByteArray
+    None // unreachable
   }
 
   /** Parse every record of one (decompressed-if-needed) WARC file. */
@@ -130,23 +152,29 @@ object WarcIngest {
               val isHttpResp = ct.replace(" ", "").toLowerCase
                 .startsWith("application/http") &&
                 h.getOrElse("warc-type", "") == "response"
-              val (status, httpCt, payload) =
+              val parsed: Either[String, (Int, String, Array[Byte])] =
                 if (isHttpResp) {
                   val st = line(b, bp).map(_._1).getOrElse("")
                   val code = st.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(-1)
                   val (hh, hp) = headerBlock(b, line(b, bp).map(_._2).getOrElse(bp))
                   val chunked = hh.getOrElse("transfer-encoding", "")
                     .toLowerCase.contains("chunked")
-                  val body =
-                    if (chunked) dechunk(b, hp, blockEnd)
-                    else java.util.Arrays.copyOfRange(b, hp, blockEnd)
-                  (code, hh.getOrElse("content-type", ""), body)
-                } else (-1, "", java.util.Arrays.copyOfRange(b, bp, blockEnd))
-              out += WarcRecord(fileId, idx,
-                h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
-                h.getOrElse("warc-record-id", ""), ct, status, httpCt,
-                payload.length.toLong, new String(payload, UTF_8),
-                ok = true, err = "")
+                  if (chunked) dechunk(b, hp, blockEnd) match {
+                    case Some(body) => Right((code, hh.getOrElse("content-type", ""), body))
+                    case None => Left("malformed chunked framing")
+                  }
+                  else Right((code, hh.getOrElse("content-type", ""),
+                    java.util.Arrays.copyOfRange(b, hp, blockEnd)))
+                } else Right((-1, "", java.util.Arrays.copyOfRange(b, bp, blockEnd)))
+              parsed match {
+                case Right((status, httpCt, payload)) =>
+                  out += WarcRecord(fileId, idx,
+                    h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
+                    h.getOrElse("warc-record-id", ""), ct, status, httpCt,
+                    payload.length.toLong, new String(payload, UTF_8),
+                    ok = true, err = "")
+                case Left(msg) => out += quarantine(idx, msg)
+              }
               idx += 1
               p = blockEnd
           }

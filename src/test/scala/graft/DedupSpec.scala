@@ -328,6 +328,16 @@ class DedupSpec extends SparkSuite {
     assert(out.map(_._1).toSeq == Seq(0L, 1L))
     assert(out(0) == ((0L, "banner\nalpha beta\nfooter", 3L)))
     assert(out(1) == ((1L, "gamma delta", 1L)))
+    // blank lines are document STRUCTURE: every doc keeps its own — only
+    // the banner dedups, never the paragraph separation
+    val blanky = Seq(
+      (0L, "banner\na\n\nb"),
+      (1L, "banner\nx\n\ny"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupParagraphs(blanky)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(kept(0)._2 == "banner\na\n\nb")
+    assert(kept(1)._2 == "x\n\ny", kept(1)._2)
     // order invariance: repartitioned input keeps the same first-occurrence set
     val shuffled = Dedup.dedupParagraphs(docs.repartition(7))
       .as[(Long, String, Long)].collect().sortBy(_._1)

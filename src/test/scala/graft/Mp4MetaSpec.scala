@@ -101,6 +101,20 @@ class Mp4MetaSpec extends SparkSuite {
     val torn = mp4(track(1, "vide", "avc1", 64, 64, 5, None)).dropRight(40)
     // either parses what remains or quarantines — must not throw
     Mp4Meta.parse(1L, torn)
+    // an stss count overrunning its box must quarantine, not fabricate
+    // keyframes from sibling-box bytes
+    val lying = mp4(track(1, "vide", "avc1", 64, 64, 9,
+      Some(Seq(1L, 4L, 7L))))
+    val at = {
+      // locate the stss box and corrupt its entry count to 9999
+      val idx = (0 until lying.length - 4)
+        .find(i => new String(lying.slice(i, i + 4), "ISO-8859-1") == "stss").get
+      idx + 8 // version/flags(4) then count
+    }
+    val corrupt = lying.clone()
+    corrupt(at) = 0; corrupt(at + 1) = 0; corrupt(at + 2) = 0x27; corrupt(at + 3) = 0x0f.toByte
+    val rows = Mp4Meta.parse(1L, corrupt)
+    assert(rows.forall(!_.ok) && rows.head.err.contains("stss"))
   }
 
   test("keyframe sample plan: stride filters the sync table") {

@@ -75,6 +75,27 @@ class WarcIngestSpec extends SparkSuite {
     assert(junk.length == 1 && !bad.head.ok && bad.head.err.startsWith("gzip"))
   }
 
+  test("malformed chunked framing quarantines instead of truncating silently") {
+    // corrupt size line (non-hex)
+    val badSize = record(1, "zz\r\nbody\r\n0\r\n\r\n",
+      extra = "Transfer-Encoding: chunked\r\n")
+    val r1 = WarcIngest.parseFile(1L, badSize)
+    assert(r1.length == 1 && !r1.head.ok && r1.head.err.contains("chunked"))
+    // declared chunk overruns the Content-Length block
+    val overrun = record(2, "ff\r\nshort\r\n0\r\n\r\n",
+      extra = "Transfer-Encoding: chunked\r\n")
+    val r2 = WarcIngest.parseFile(1L, overrun)
+    assert(!r2.head.ok && r2.head.err.contains("chunked"))
+    // missing 0-terminator
+    val noTerm = record(3, "5\r\nhello\r\n",
+      extra = "Transfer-Encoding: chunked\r\n")
+    assert(!WarcIngest.parseFile(1L, noTerm).head.ok)
+    // and a bad chunked record doesn't halt the file: the NEXT record parses
+    val mixed = badSize ++ record(4, "fine")
+    val rs = WarcIngest.parseFile(1L, mixed)
+    assert(rs.length == 2 && !rs(0).ok && rs(1).ok && rs(1).body == "fine")
+  }
+
   test("binary-safe blocks: Content-Length framing survives CRLFs in the body") {
     val body = "line1\r\n\r\nWARC/1.0 fake\r\nline2"
     val recs = WarcIngest.parseFile(1L, record(9, body))
