@@ -873,6 +873,20 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")
     }),
+    // charset-aware body decode under an EXACT oracle: the fixture plants
+    // raw windows-1252 / Shift-JIS / BOM bytes (ISO-8859-1 file encoding
+    // makes chr(n) == byte n), the parser sniffs per the WHATWG
+    // precedence (BOM > transport > <meta> prescan > Latin-1), and the
+    // oracle pins the decoded Unicode with plain literals
+    "q_warc_charset" -> ((s, d) =>
+      sources.WarcIngest.records(
+          sources.WarcIngest.syntheticCharsetWarc(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("charset"), col("payload_len"), col("body"))
+        .orderBy("doc_id")),
     // the whole crawl pipeline under ONE exact oracle: WARC bytes with
     // id-derived URLs → record parse → HTML extraction → NFC/cleanup →
     // quality gate → per-domain cap → per-domain rollup. Every stage is
@@ -2626,6 +2640,31 @@ object SparkEntry {
          |  trim($chain) AS text
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // charset sniffing replayed: the decoded text per variant is plain
+    // Unicode literal arithmetic (0x93/0x94 → U+201C/U+201D under 1252,
+    // 0x93 0xFA → U+65E5 under Shift-JIS, BOM stripped under UTF-8);
+    // payload_len counts the raw planted bytes incl. BOM
+    "q_warc_charset" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  '<html><body><p>' || text || '</p></body></html>' AS page,
+        |  CAST(doc_id % 5 AS INT) AS v FROM documents)
+        |SELECT doc_id,
+        |  CASE v WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'shift_jis'
+        |         WHEN 3 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+        |  CAST(CASE v
+        |    WHEN 1 THEN strlen(page) + 2
+        |    WHEN 2 THEN strlen(page) + 2
+        |    WHEN 3 THEN strlen('<html><head><meta charset="windows-1252"></head><body><p>')
+        |                + 1 + strlen(text) + strlen('</p></body></html>')
+        |    WHEN 4 THEN strlen(page) + 3
+        |    ELSE strlen(page) END AS BIGINT) AS payload_len,
+        |  CASE v
+        |    WHEN 1 THEN '“' || page || '”'
+        |    WHEN 2 THEN '日' || page
+        |    WHEN 3 THEN '<html><head><meta charset="windows-1252"></head><body><p>“'
+        |                || text || '</p></body></html>'
+        |    ELSE page END AS body
+        |FROM p ORDER BY doc_id""".stripMargin,
     // the bigram model replayed: same tokenizer, same add-one smoothing,
     // same nano-unit ln rounding (the drift-report precedent)
     "q_text_lmscore" ->

@@ -1,12 +1,13 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
-import java.nio.charset.StandardCharsets.UTF_8
+import java.io.{ByteArrayInputStream, InputStream}
+import java.nio.charset.Charset
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.util.zip.GZIPInputStream
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{Decoder, MediaRow}
-import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500) ingestion — the container format crawl corpora ship in
@@ -18,62 +19,123 @@ import org.apache.spark.sql.functions._
   * never by file count — a directory of one 10 GB file and ten thousand
   * 1 MB files schedules the same either way.
   *
+  * The parse is STREAMING: records are consumed one at a time off the
+  * (gunzipping) input stream, so task memory is bounded by the compressed
+  * file (the source column) plus ONE record — never the decompressed
+  * archive. Real .warc.gz shards are ~1 GiB compressed and 3-5 GiB
+  * decompressed; the .warc.gz one-gzip-member-per-record layout exists
+  * precisely so readers can stream, and `GZIPInputStream` consumes
+  * concatenated members natively. A record above [[MaxRecordBytes]]
+  * quarantines and is SKIPPED (its length is known, so the stream
+  * resynchronizes at the next record) instead of sinking the file.
+  *
   * Supported per the spec: WARC/1.0 and 1.1 version lines, case-insensitive
   * named fields, Content-Length-delimited blocks (binary-safe), per-record
   * or whole-file gzip (concatenated members — the standard .warc.gz
   * layout), HTTP response blocks (status line + headers + body) including
-  * chunked transfer-encoding dechunking. Malformed records quarantine as
-  * `ok=false` rows with the error; a torn tail never throws the task.
+  * chunked transfer-encoding dechunking, and charset-aware body decoding
+  * (BOM > HTTP `Content-Type` charset > HTML `<meta charset>` prescan >
+  * ISO-8859-1 fallback — the WHATWG encoding-sniffing precedence).
+  * Malformed records quarantine as `ok=false` rows with the error; a torn
+  * tail never throws the task.
   */
 object WarcIngest {
 
-  /** One parsed record. `body` is the HTTP payload decoded as UTF-8 for
-    * `application/http` response blocks, else the raw block; `payload_len`
-    * is its pre-decode byte length.
+  /** One parsed record. `body` is the HTTP payload decoded per the sniffed
+    * charset (recorded in `charset`) for `application/http` response
+    * blocks, else the raw block as UTF-8; `payload_len` is its pre-decode
+    * byte length (including any BOM).
     */
   case class WarcRecord(file_id: Long, rec_idx: Int, warc_type: String,
                         target_uri: String, record_id: String,
                         content_type: String, http_status: Int,
                         http_content_type: String, payload_len: Long,
-                        body: String, ok: Boolean, err: String)
+                        body: String, charset: String, ok: Boolean, err: String)
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  /** Hard cap on a file's decompressed size. A JVM byte array tops out
-    * at ~2 GiB anyway; past the cap the file quarantines LOUDLY instead
-    * of dying on an uncatchable OutOfMemoryError mid-grow — at crawl
-    * scale the fix for bigger archives is smaller files, not bigger
-    * heaps. (Real .warc.gz shards are ~1 GiB compressed and well under
-    * this decompressed per-file.)
+  /** Hard cap on a single RECORD's block size (the streaming successor to
+    * the r13 whole-file decompression cap). A record past the cap
+    * quarantines loudly and is skipped by length — the rest of the file
+    * still parses. 1 GiB: a JVM byte array tops out at ~2 GiB, and at
+    * crawl scale a bigger single payload is a data bug, not a reason for
+    * bigger heaps.
     */
-  private[sources] val MaxGunzipBytes: Long = 1L << 30
+  private[sources] val MaxRecordBytes: Long = 1L << 30
 
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream consumes concatenated members (the .warc.gz layout:
-    // one member per record) into one logical stream; records stay
-    // self-delimiting via Content-Length, so member boundaries are noise.
-    // The initial buffer sizing must stay in Int range (b.length * 4
-    // overflows for inputs past 512 MB).
-    val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 << 10)
-    val out = new java.io.ByteArrayOutputStream(
-      math.min(b.length.toLong * 4, 16L << 20).toInt)
-    val buf = new Array[Byte](64 << 10)
-    var total = 0L
-    var n = in.read(buf)
-    while (n >= 0) {
-      total += n
-      if (total > MaxGunzipBytes)
-        throw new java.util.zip.ZipException(
-          s"decompressed size exceeds $MaxGunzipBytes bytes")
-      out.write(buf, 0, n)
-      n = in.read(buf)
+  /** Cap on one header LINE (WARC or HTTP). A "line" that long is not a
+    * header, it's a binary block being misread — quarantine instead of
+    * buffering it.
+    */
+  private[sources] val MaxHeaderLineBytes: Int = 1 << 20
+
+  /** Malformed-framing signal inside the record loop; always caught and
+    * turned into a quarantine row, never escapes the task.
+    */
+  private final class Malformed(val msg: String, val halt: Boolean)
+    extends Exception(msg)
+
+  /** Minimal buffered byte reader over an InputStream — the streaming
+    * primitive the record loop consumes. Not java.io.BufferedInputStream:
+    * per-byte reads there are synchronized, and we want readFully/skip
+    * loops over the internal buffer.
+    */
+  private final class ByteReader(in: InputStream) {
+    private val buf = new Array[Byte](64 << 10)
+    private var len = 0
+    private var pos = 0
+    private def fill(): Boolean = {
+      if (pos < len) return true
+      len = in.read(buf); pos = 0
+      len > 0
     }
-    out.toByteArray
+    /** CRLF (or bare-LF, tolerated) terminated line; None at EOF. */
+    def readLine(): Option[String] = {
+      if (!fill()) return None
+      val out = new java.io.ByteArrayOutputStream(96)
+      var done = false
+      while (!done) {
+        if (!fill()) done = true // EOF terminates the last line
+        else {
+          var i = pos
+          while (i < len && buf(i) != '\n') i += 1
+          out.write(buf, pos, i - pos)
+          if (out.size > MaxHeaderLineBytes)
+            throw new Malformed("header line exceeds 1 MiB", halt = true)
+          if (i < len) { pos = i + 1; done = true } else pos = i
+        }
+      }
+      val b = out.toByteArray
+      val e = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+      Some(new String(b, 0, e, UTF_8))
+    }
+    /** Exactly n bytes, or None if the stream ends first. */
+    def readFully(n: Int): Option[Array[Byte]] = {
+      val dst = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        if (!fill()) return None
+        val take = math.min(n - off, len - pos)
+        System.arraycopy(buf, pos, dst, off, take)
+        pos += take; off += take
+      }
+      Some(dst)
+    }
+    /** Discard exactly n bytes; false if the stream ends first. */
+    def skipFully(n: Long): Boolean = {
+      var left = n
+      while (left > 0) {
+        if (!fill()) return false
+        val take = math.min(left, (len - pos).toLong).toInt
+        pos += take; left -= take
+      }
+      true
+    }
   }
 
-  /** CRLF (or bare-LF, tolerated) terminated line starting at `p`; returns
-    * (line-without-terminator, next offset). None at end of input.
+  /** CRLF (or bare-LF) terminated line starting at `p` within an
+    * already-materialized block; returns (line, next offset). None at end.
     */
   private def line(b: Array[Byte], p: Int): Option[(String, Int)] = {
     if (p >= b.length) return None
@@ -83,19 +145,24 @@ object WarcIngest {
     Some((new String(b, p, end - p, UTF_8), math.min(i + 1, b.length)))
   }
 
-  private def headerBlock(b: Array[Byte], p0: Int): (Map[String, String], Int) = {
+  /** Header lines from `p0` until the blank separator. `terminated` is
+    * false when the block ran out before the blank line — an HTTP header
+    * section that never ends is malformed framing, not an empty body.
+    */
+  private def headerBlock(b: Array[Byte], p0: Int): (Map[String, String], Int, Boolean) = {
     var p = p0
     val m = Map.newBuilder[String, String]
     var done = false
+    var terminated = false
     while (!done) line(b, p) match {
       case Some((l, np)) if l.nonEmpty =>
         val i = l.indexOf(':')
         if (i > 0) m += l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
         p = np
-      case Some((_, np)) => p = np; done = true
+      case Some((_, np)) => p = np; done = true; terminated = true
       case None => done = true
     }
-    (m.result(), p)
+    (m.result(), p, terminated)
   }
 
   /** De-chunk an HTTP/1.1 chunked body: hex-size lines, each chunk
@@ -106,7 +173,7 @@ object WarcIngest {
     * body must never flow downstream as ok=true.
     */
   private def dechunk(b: Array[Byte], p0: Int, end: Int): Option[Array[Byte]] = {
-    val out = new java.io.ByteArrayOutputStream(end - p0)
+    val out = new java.io.ByteArrayOutputStream(math.max(end - p0, 16))
     var p = p0
     while (true) line(b, p) match {
       case Some((sz, np)) if np <= end =>
@@ -124,72 +191,223 @@ object WarcIngest {
     None // unreachable
   }
 
-  /** Parse every record of one (decompressed-if-needed) WARC file. */
-  private[graft] def parseFile(fileId: Long, raw: Array[Byte]): Seq[WarcRecord] = {
-    def quarantine(idx: Int, msg: String) =
-      WarcRecord(fileId, idx, "", "", "", "", -1, "", -1L, "", ok = false, err = msg)
-    val b =
-      try { if (isGzip(raw)) gunzipAll(raw) else raw }
-      catch { case e: Exception => return Seq(quarantine(0, s"gzip: ${e.getMessage}")) }
-    val out = Seq.newBuilder[WarcRecord]
-    var idx = 0
-    var p = 0
-    var halted = false
-    while (!halted && p < b.length) {
-      // tolerate blank padding between records
-      line(b, p) match {
-        case Some((l, np)) if l.isEmpty => p = np
-        case Some((ver, np)) if ver.startsWith("WARC/") =>
-          val (h, bp) = headerBlock(b, np)
-          h.get("content-length").flatMap(_.toLongOption) match {
-            case None =>
-              out += quarantine(idx, "missing Content-Length"); halted = true
-            case Some(len) if bp + len > b.length =>
-              out += quarantine(idx, s"truncated block: need $len bytes"); halted = true
-            case Some(len) =>
-              val blockEnd = bp + len.toInt
-              val ct = h.getOrElse("content-type", "")
-              val isHttpResp = ct.replace(" ", "").toLowerCase
-                .startsWith("application/http") &&
-                h.getOrElse("warc-type", "") == "response"
-              val parsed: Either[String, (Int, String, Array[Byte])] =
-                if (isHttpResp) {
-                  val st = line(b, bp).map(_._1).getOrElse("")
-                  val code = st.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(-1)
-                  val (hh, hp) = headerBlock(b, line(b, bp).map(_._2).getOrElse(bp))
-                  val chunked = hh.getOrElse("transfer-encoding", "")
-                    .toLowerCase.contains("chunked")
-                  if (chunked) dechunk(b, hp, blockEnd) match {
-                    case Some(body) => Right((code, hh.getOrElse("content-type", ""), body))
-                    case None => Left("malformed chunked framing")
-                  }
-                  else Right((code, hh.getOrElse("content-type", ""),
-                    java.util.Arrays.copyOfRange(b, hp, blockEnd)))
-                } else Right((-1, "", java.util.Arrays.copyOfRange(b, bp, blockEnd)))
-              parsed match {
-                case Right((status, httpCt, payload)) =>
-                  out += WarcRecord(fileId, idx,
-                    h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
-                    h.getOrElse("warc-record-id", ""), ct, status, httpCt,
-                    payload.length.toLong, new String(payload, UTF_8),
-                    ok = true, err = "")
-                case Left(msg) => out += quarantine(idx, msg)
-              }
-              idx += 1
-              p = blockEnd
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([\\w.:+-]+)")
+  private val MetaCharset =
+    java.util.regex.Pattern.compile("(?i)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?([\\w.:+-]+)")
+
+  /** Resolve a charset label to a JVM Charset; unknown / unsupported
+    * labels fall back to ISO-8859-1 (which decodes any byte sequence),
+    * the same fallback as no label at all.
+    */
+  private def resolve(label: String): (Charset, String) =
+    try { val cs = Charset.forName(label); (cs, cs.name.toLowerCase) }
+    catch { case _: Exception => (ISO_8859_1, "iso-8859-1") }
+
+  /** Charset-aware HTTP body decode, WHATWG sniffing precedence:
+    * byte-order mark > transport-layer `Content-Type` charset parameter >
+    * `<meta charset>` prescan of the first 1024 bytes > ISO-8859-1.
+    * Returns (text, label); the label is the lowercase canonical name of
+    * the charset actually used (the column value the oracle pins).
+    */
+  private[sources] def decodeBody(payload: Array[Byte], httpContentType: String): (String, String) = {
+    val n = payload.length
+    // 1. BOM wins over everything (it IS the document's first bytes)
+    if (n >= 3 && (payload(0) & 0xff) == 0xef && (payload(1) & 0xff) == 0xbb &&
+        (payload(2) & 0xff) == 0xbf)
+      return (new String(payload, 3, n - 3, UTF_8), "utf-8")
+    if (n >= 2 && (payload(0) & 0xff) == 0xfe && (payload(1) & 0xff) == 0xff)
+      return (new String(payload, 2, n - 2, Charset.forName("UTF-16BE")), "utf-16be")
+    if (n >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xfe)
+      return (new String(payload, 2, n - 2, Charset.forName("UTF-16LE")), "utf-16le")
+    // 2. transport layer
+    val m = CharsetParam.matcher(httpContentType)
+    if (m.find()) {
+      val (cs, label) = resolve(m.group(1))
+      return (new String(payload, cs), label)
+    }
+    // 3. in-document prescan (ASCII-superset assumption, per WHATWG): the
+    // first 1024 bytes read as Latin-1 expose any <meta charset=...>
+    val head = new String(payload, 0, math.min(1024, n), ISO_8859_1)
+    val mm = MetaCharset.matcher(head)
+    if (mm.find()) {
+      val (cs, label) = resolve(mm.group(1))
+      return (new String(payload, cs), label)
+    }
+    // 4. fallback: ISO-8859-1 never fails and round-trips bytes 1:1
+    (new String(payload, ISO_8859_1), "iso-8859-1")
+  }
+
+  /** Parse one record's already-materialized block (bounded: every scan
+    * below is over this array alone, so a malformed HTTP section can never
+    * read past the record's Content-Length framing).
+    */
+  private def parseBlock(fileId: Long, idx: Int, h: Map[String, String],
+                         block: Array[Byte]): WarcRecord = {
+    val ct = h.getOrElse("content-type", "")
+    val isHttpResp = ct.replace(" ", "").toLowerCase.startsWith("application/http") &&
+      h.getOrElse("warc-type", "") == "response"
+    val parsed: Either[String, (Int, String, Array[Byte], String, String)] =
+      if (isHttpResp) {
+        val st = line(block, 0).map(_._1).getOrElse("")
+        val code = st.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(-1)
+        val (hh, hp, terminated) = headerBlock(block, line(block, 0).map(_._2).getOrElse(0))
+        if (!terminated) Left("unterminated HTTP headers")
+        else {
+          val chunked = hh.getOrElse("transfer-encoding", "").toLowerCase.contains("chunked")
+          val httpCt = hh.getOrElse("content-type", "")
+          val payload: Either[String, Array[Byte]] =
+            if (chunked) dechunk(block, hp, block.length)
+              .toRight("malformed chunked framing")
+            else Right(java.util.Arrays.copyOfRange(block, hp, block.length))
+          payload.map { p =>
+            val (text, cs) = decodeBody(p, httpCt)
+            (code, httpCt, p, text, cs)
           }
-        case Some((other, _)) =>
-          out += quarantine(idx, s"expected WARC/ version line, got '${other.take(40)}'")
-          halted = true
-        case None => halted = true
+        }
+      } else Right((-1, "", block, new String(block, UTF_8), "utf-8"))
+    parsed match {
+      case Right((status, httpCt, payload, text, cs)) =>
+        WarcRecord(fileId, idx,
+          h.getOrElse("warc-type", ""), h.getOrElse("warc-target-uri", ""),
+          h.getOrElse("warc-record-id", ""), ct, status, httpCt,
+          payload.length.toLong, text, cs, ok = true, err = "")
+      case Left(msg) =>
+        WarcRecord(fileId, idx, "", "", "", "", -1, "", -1L, "", "",
+          ok = false, err = msg)
+    }
+  }
+
+  /** Streaming record iterator over an open byte stream: each `next()`
+    * consumes exactly one record off the reader. Heap held at any moment
+    * is one record block (≤ maxRecordBytes) — never the whole archive.
+    * Framing errors quarantine; errors that lose synchronization
+    * (negative / missing Content-Length, truncation, a non-WARC line,
+    * gzip corruption) also halt the file, while bounded ones (oversized
+    * record — skippable by length; a malformed HTTP section inside an
+    * intact block) let the next record parse.
+    */
+  private[graft] def parseRecords(fileId: Long, in: InputStream,
+                                  maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val reader = new ByteReader(in)
+      private var idx = 0
+      private var halted = false
+      private var pending: WarcRecord = _
+
+      private def quarantine(msg: String): WarcRecord =
+        WarcRecord(fileId, idx, "", "", "", "", -1, "", -1L, "", "",
+          ok = false, err = msg)
+
+      /** Read WARC headers until the blank separator; EOF first is a torn
+        * record.
+        */
+      private def readWarcHeaders(): Map[String, String] = {
+        val m = Map.newBuilder[String, String]
+        var going = true
+        while (going) reader.readLine() match {
+          case Some(l) if l.nonEmpty =>
+            val i = l.indexOf(':')
+            if (i > 0) m += l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
+          case Some(_) => going = false
+          case None => throw new Malformed("truncated record headers", halt = true)
+        }
+        m.result()
+      }
+
+      private def advance(): WarcRecord = {
+        while (!halted) {
+          val made: Option[WarcRecord] =
+            try {
+              reader.readLine() match {
+                case None => halted = true; None // clean EOF
+                case Some(l) if l.isEmpty => None // inter-record padding
+                case Some(ver) if ver.startsWith("WARC/") =>
+                  val h = readWarcHeaders()
+                  h.get("content-length").flatMap(_.toLongOption) match {
+                    case None =>
+                      throw new Malformed("missing Content-Length", halt = true)
+                    case Some(len) if len < 0 =>
+                      // "-5".toLongOption parses; a negative length makes
+                      // the framing unknowable — quarantine, stop the file
+                      throw new Malformed(s"negative Content-Length: $len", halt = true)
+                    case Some(len) if len > maxRecordBytes =>
+                      // length known → skippable: the file keeps parsing
+                      if (!reader.skipFully(len))
+                        throw new Malformed(s"truncated block: need $len bytes", halt = true)
+                      throw new Malformed(
+                        s"record block $len bytes exceeds cap $maxRecordBytes", halt = false)
+                    case Some(len) =>
+                      reader.readFully(len.toInt) match {
+                        case None =>
+                          throw new Malformed(s"truncated block: need $len bytes", halt = true)
+                        case Some(block) => Some(parseBlock(fileId, idx, h, block))
+                      }
+                  }
+                case Some(other) =>
+                  throw new Malformed(
+                    s"expected WARC/ version line, got '${other.take(40)}'", halt = true)
+              }
+            } catch {
+              case e: Malformed =>
+                halted = halted || e.halt
+                val r = quarantine(e.msg); idx += 1
+                return r
+              case e: java.io.IOException => // gzip corruption / short stream
+                halted = true
+                val r = quarantine(s"gzip: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+                idx += 1
+                return r
+            }
+          made match {
+            case Some(r) => idx += 1; return r
+            case None => // padding line or EOF: loop
+          }
+        }
+        null
+      }
+
+      def hasNext: Boolean = {
+        if (pending == null) pending = advance()
+        pending != null
+      }
+      def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("warc records")
+        val r = pending; pending = null; r
       }
     }
-    out.result()
+
+  /** Lazy record iterator over one stored file's (possibly gzipped)
+    * bytes. The compressed source column is the only whole-file
+    * allocation; decompression streams through [[parseRecords]] one
+    * record at a time, so a 1 GiB-compressed / 5 GiB-decompressed crawl
+    * shard parses in record-sized heap.
+    */
+  private[graft] def parseStream(fileId: Long, raw: Array[Byte],
+                                 maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
+    val in: InputStream =
+      try {
+        if (isGzip(raw)) new GZIPInputStream(new ByteArrayInputStream(raw), 64 << 10)
+        else new ByteArrayInputStream(raw)
+      } catch {
+        case e: Exception => // corrupt gzip header at construction
+          return Iterator.single(WarcRecord(fileId, 0, "", "", "", "", -1, "",
+            -1L, "", "", ok = false,
+            err = s"gzip: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
+      }
+    parseRecords(fileId, in, maxRecordBytes)
   }
+
+  /** Parse every record of one WARC file (materialized convenience over
+    * [[parseStream]] — tests and small callers; the distributed path
+    * stays lazy).
+    */
+  private[graft] def parseFile(fileId: Long, raw: Array[Byte]): Seq[WarcRecord] =
+    parseStream(fileId, raw).toVector
 
   object WarcDecoder extends Decoder[WarcRecord] {
     def decode(rows: Iterator[MediaRow]): Iterator[WarcRecord] =
-      rows.flatMap(r => parseFile(r.media_id, r.media))
+      rows.flatMap(r => parseStream(r.media_id, r.media))
   }
 
   /** Parse a frame of WARC files — (media_id, kind, media, n_bytes) as
@@ -258,6 +476,66 @@ object WarcIngest {
         e => e.getField("rec")), "").as("text_file"))
       .select(col("media_id"), lit("warc").as("kind"),
         encode(col("text_file"), "UTF-8").as("media"))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** Charset-sniffing fixture: id-derived WARC response records whose
+    * bodies carry non-UTF-8 encodings, cycling five variants on
+    * `doc_id % 5`:
+    *
+    *   0 — `charset=utf-8` in the HTTP header (the r13 baseline shape);
+    *   1 — `charset=windows-1252`, body wrapped in C1-range 0x93/0x94
+    *       (→ U+201C/U+201D — bytes where 1252 DIFFERS from Latin-1, so
+    *       the row proves real 1252 decoding, not the fallback);
+    *   2 — `charset=shift_jis`, body prefixed with 0x93 0xFA (→ U+65E5
+    *       日, a lead/trail pair — proves multi-byte decode);
+    *   3 — NO transport charset; `<meta charset="windows-1252">` inside
+    *       the page plus a 0x93 byte — proves the in-document prescan;
+    *   4 — UTF-8 BOM prefix while the header CLAIMS iso-8859-1 — proves
+    *       BOM precedence (a Latin-1 decode would leak "ï»¿" into text).
+    *
+    * The whole file string is encoded ISO-8859-1 (all chars ≤ U+00FF map
+    * 1:1 to bytes, so the planted `chr(0x93)`-style code points become
+    * the exact raw bytes) and Content-Length counts CHARS == bytes under
+    * that encoding. Corpus text is ASCII, identical in every charset
+    * involved. The DuckDB oracle replays the expected decoded text with
+    * plain Unicode literals.
+    */
+  def syntheticCharsetWarc(docs: DataFrame, perFile: Int = 4): DataFrame = {
+    val id = col("doc_id")
+    val v = id % 5
+    val c93 = lit("\u0093"); val c94 = lit("\u0094")
+    val cFA = lit("\u00fa"); val bom = lit("\u00ef\u00bb\u00bf")
+    val page = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+    val metaPage = concat(lit("<html><head><meta charset=\"windows-1252\"></head><body><p>"),
+      c93, col("text"), lit("</p></body></html>"))
+    val body =
+      when(v === 1, concat(c93, page, c94))
+        .when(v === 2, concat(c93, cFA, page))
+        .when(v === 3, metaPage)
+        .when(v === 4, concat(bom, page))
+        .otherwise(page)
+    val ctHeader =
+      when(v === 1, lit("text/html; charset=windows-1252"))
+        .when(v === 2, lit("text/html; charset=shift_jis"))
+        .when(v === 3, lit("text/html"))
+        .when(v === 4, lit("text/html; charset=iso-8859-1"))
+        .otherwise(lit("text/html; charset=utf-8"))
+    val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ctHeader,
+      lit("\r\n\r\n"), body)
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+      id.cast("string"),
+      lit(">\r\nWARC-Target-URI: https://example.com/doc/"), id.cast("string"),
+      lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      length(http).cast("string"), lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    docs.select(floor(id / perFile).cast("long").as("media_id"),
+        id.as("ord"), rec.as("rec"))
+      .groupBy("media_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("ord"), col("rec")))),
+        e => e.getField("rec")), "").as("text_file"))
+      .select(col("media_id"), lit("warc").as("kind"),
+        encode(col("text_file"), "ISO-8859-1").as("media"))
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
   }
 }

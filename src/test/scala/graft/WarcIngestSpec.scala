@@ -102,6 +102,125 @@ class WarcIngestSpec extends SparkSuite {
     assert(recs.length == 1 && recs.head.ok && recs.head.body == body)
   }
 
+  test("negative Content-Length quarantines without throwing or spinning") {
+    // "-5".toLongOption parses — the r13 parser underflowed blockEnd here
+    val neg = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -5\r\n\r\n" +
+      "xxxxx\r\n\r\n").getBytes(UTF_8)
+    val recs = WarcIngest.parseFile(1L, neg)
+    assert(recs.length == 1 && !recs.head.ok &&
+      recs.head.err.contains("negative Content-Length"))
+  }
+
+  test("unterminated HTTP headers inside an intact block quarantine, file continues") {
+    // Content-Length frames exactly a status line + one header with NO
+    // blank separator — the r13 parser scanned past blockEnd here
+    val block = "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    val rec1 = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n$block\r\n\r\n").getBytes(UTF_8)
+    val rs = WarcIngest.parseFile(1L, rec1 ++ record(2, "after"))
+    assert(rs.length == 2 && !rs(0).ok && rs(0).err.contains("unterminated") &&
+      rs(1).ok && rs(1).body == "after")
+  }
+
+  test("a record above the per-record cap is skipped by length, file continues") {
+    val big = record(1, "x" * 200)
+    val rs = WarcIngest.parseStream(1L, big ++ record(2, "small"),
+      maxRecordBytes = 100L).toVector
+    assert(rs.length == 2 && !rs(0).ok && rs(0).err.contains("exceeds cap") &&
+      rs(1).ok && rs(1).body == "small")
+  }
+
+  test("records stream off the input: one record consumed ≈ one record read") {
+    // three ~100 KiB records; after pulling only the first, the reader
+    // must not have drained the stream (proves record-at-a-time memory)
+    val bodies = Seq("a", "b", "c").map(_ * (100 << 10))
+    val bytes = bodies.zipWithIndex
+      .map { case (b, i) => record(i, b) }.reduce(_ ++ _)
+    var readSoFar = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      def read(): Int = { val c = in.read(); if (c >= 0) readSoFar += 1; c }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) readSoFar += n; n
+      }
+    }
+    val it = WarcIngest.parseRecords(7L, counting)
+    val first = it.next()
+    assert(first.ok && first.body == bodies.head)
+    assert(readSoFar < bytes.length / 2,
+      s"read $readSoFar of ${bytes.length} bytes after one record")
+    assert(it.toVector.map(_.body) == bodies.tail)
+  }
+
+  test("charset sniffing: transport header, multi-byte, meta prescan, BOM precedence") {
+    def http(ct: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n".getBytes(UTF_8)
+      val block = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8) ++
+        block ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    // windows-1252: C1-range bytes where 1252 differs from Latin-1
+    val w = WarcIngest.parseFile(1L, http("text/html; charset=windows-1252",
+      Array(0x93, 'h', 0x94).map(_.toByte))).head
+    assert(w.ok && w.body == "“h”" && w.charset == "windows-1252")
+    // shift_jis lead/trail pair
+    val s = WarcIngest.parseFile(1L, http("text/html; charset=shift_jis",
+      Array(0x93, 0xfa, 'o', 'k').map(_.toByte))).head
+    assert(s.ok && s.body == "日ok" && s.charset == "shift_jis")
+    // meta prescan when the transport layer is silent
+    val m = WarcIngest.parseFile(1L, http("text/html",
+      "<meta charset='windows-1252'>".getBytes(UTF_8) ++
+        Array(0x93.toByte))).head
+    assert(m.ok && m.body == "<meta charset='windows-1252'>“" &&
+      m.charset == "windows-1252")
+    // BOM beats a (wrong) transport declaration, and is stripped
+    val bomBody = Array(0xef, 0xbb, 0xbf).map(_.toByte) ++
+      "café".getBytes(UTF_8)
+    val b = WarcIngest.parseFile(1L, http("text/html; charset=iso-8859-1", bomBody)).head
+    assert(b.ok && b.body == "café" && b.charset == "utf-8" &&
+      b.payload_len == bomBody.length)
+    // no signal at all: ISO-8859-1 fallback decodes any bytes
+    val f = WarcIngest.parseFile(1L, http("application/octet-stream",
+      Array(0xe9.toByte))).head
+    assert(f.ok && f.body == "é" && f.charset == "iso-8859-1")
+    // an unknown label falls back rather than throwing
+    val u = WarcIngest.parseFile(1L, http("text/html; charset=x-no-such-cs",
+      "plain".getBytes(UTF_8))).head
+    assert(u.ok && u.body == "plain" && u.charset == "iso-8859-1")
+  }
+
+  test("charset fixture round-trips: planted bytes decode to the pinned code points") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val recs = WarcIngest.records(WarcIngest.syntheticCharsetWarc(docs))
+      .filter(col("ok")).cache()
+    try {
+      assert(recs.count() == docs.count())
+      val byVariant = recs.select(
+          regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("charset"), col("body"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val page = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+      val expected = when(col("doc_id") % 5 === 1,
+          concat(lit("“"), page, lit("”")))
+        .when(col("doc_id") % 5 === 2, concat(lit("日"), page))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("<html><head><meta charset=\"windows-1252\"></head><body><p>“"),
+            col("text"), lit("</p></body></html>")))
+        .otherwise(page)
+      assert(byVariant.filter(col("body") =!= expected).count() == 0)
+      val cs = byVariant.groupBy(col("doc_id") % 5).agg(
+        collect_set(col("charset")).as("cs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      assert(cs(0L) == Set("utf-8") && cs(1L) == Set("windows-1252") &&
+        cs(2L) == Set("shift_jis") && cs(3L) == Set("windows-1252") &&
+        cs(4L) == Set("utf-8"))
+    } finally recs.unpersist()
+  }
+
   test("synthetic fixture round-trips through the distributed parser") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val recs = WarcIngest.records(WarcIngest.syntheticWarcFromDocuments(docs))
