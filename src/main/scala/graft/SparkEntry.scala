@@ -2084,16 +2084,22 @@ object SparkEntry {
   private val URL_BRACKET_RE = """^\["""
   private val URL_IP_RE = """^([0-9]+\.){3}[0-9]+$"""
   private def urlFixtureSql: String = {
-    val suffixes = graft.operators.UrlOps.twoLevelSuffixes
+    // the two-level suffixes the FIXTURE hits (the engine runs the full
+    // PSL; the oracle only needs to replay the schedules the id
+    // arithmetic can produce — plus the *.ck wildcard and !www.ck
+    // exception branches mirrored below)
+    val suffixes = Seq("co.uk", "com.au", "co.nz", "com.pl")
       .map(s => s"'$s'").mkString(", ")
     s"""WITH u AS (SELECT doc_id, n_chars, text,
        |  ['https','http','HTTPS','https','ftp'][CAST(doc_id % 5 + 1 AS INT)] || '://' ||
        |  (CASE WHEN doc_id % 13 = 0 THEN 'u:p@' ELSE '' END) ||
        |  (CASE WHEN doc_id % 17 = 0
        |        THEN '192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST((doc_id * 3) % 250 AS VARCHAR)
+       |        WHEN doc_id % 19 = 0 THEN 'www.ck'
+       |        WHEN doc_id % 19 = 7 THEN ['example','data','crawl','News','archive','mirror'][CAST(doc_id % 6 + 1 AS INT)] || '.shop.ck'
        |        ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
        |             ['example','data','crawl','News','archive','mirror'][CAST(doc_id % 6 + 1 AS INT)] || '.' ||
-       |             ['com','org','co.uk','io','com.au','net'][CAST(CAST(floor(doc_id / 6) AS BIGINT) % 6 + 1 AS INT)]
+       |             ['com','org','co.uk','io','com.au','net','co.nz','com.pl'][CAST(CAST(floor(doc_id / 6) AS BIGINT) % 8 + 1 AS INT)]
        |   END) ||
        |  (CASE WHEN doc_id % 7 = 0 THEN ':8080' WHEN doc_id % 7 = 1 THEN ':443' ELSE '' END) ||
        |  (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/a' || CAST(doc_id % 10 AS VARCHAR) || '/page-' || CAST(doc_id AS VARCHAR) END) ||
@@ -2114,6 +2120,8 @@ object SparkEntry {
        |dm AS (SELECT *, string_split(lower(host), '.') AS ls FROM hx),
        |d2 AS (SELECT *,
        |  CASE WHEN regexp_matches(lower(host), '$URL_BRACKET_RE') OR regexp_matches(lower(host), '$URL_IP_RE') THEN lower(host)
+       |       WHEN lower(host) = 'www.ck' THEN 'www.ck'
+       |       WHEN lower(host) LIKE '%.shop.ck' THEN lower(host)
        |       WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ($suffixes) THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
        |       WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
        |       ELSE lower(host) END AS domain

@@ -42,35 +42,15 @@ object UrlOps {
   def port(url: Column): Column =
     nullIfEmpty(regexp_extract(regexp_extract(url, uriRe, 2), portRe, 1)).cast("long")
 
-  /** The two-label public suffixes a crawl corpus actually hits (documented
-    * SUBSET of the Mozilla Public Suffix List — the full list is a data
-    * file, not a grammar; swap in the complete set the same way). A host's
-    * registrable domain is one label above its public suffix.
-    */
-  val twoLevelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp",
-    "com.au", "net.au", "org.au", "edu.au",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn",
-    "co.in", "co.kr", "co.za", "com.mx", "com.tr", "com.ar",
-    "com.sg", "com.hk", "com.tw")
-
-  /** eTLD+1 under [[twoLevelSuffixes]]: the last three labels when the last
-    * two are a listed suffix, else the last two, else the whole host.
-    * IP-literal and single-label hosts pass through unchanged.
+  /** eTLD+1 under the FULL Mozilla Public Suffix List (exact + wildcard +
+    * exception rules — see [[PublicSuffix]]; the r13 28-entry subset is
+    * retired). IP-literal hosts and hosts that ARE a public suffix pass
+    * through unchanged, keeping the grouping key total.
     */
   def registrableDomain(hostCol: Column): Column = {
     val h = lower(hostCol)
-    val ls = split(h, "\\.")
-    val n = size(ls)
-    val last2 = concat_ws(".", try_element_at(ls, lit(-2)), try_element_at(ls, lit(-1)))
-    val last3 = concat_ws(".", try_element_at(ls, lit(-3)), try_element_at(ls, lit(-2)),
-      try_element_at(ls, lit(-1)))
     when(h.rlike("^\\[") || h.rlike("^([0-9]+\\.){3}[0-9]+$"), h)
-      .when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
-      .when(n >= 2, last2)
-      .otherwise(h)
+      .otherwise(PublicSuffix.registrableDomain(h))
   }
 
   /** Canonical form for http(s) URLs — the dedup key for re-crawls:
@@ -108,7 +88,8 @@ object UrlOps {
     * assemblies in [[Multimodal]]) the fixture is column arithmetic both
     * engines can replay: mixed-case schemes/hosts, userinfo, explicit
     * default and non-default ports, empty paths, queries, fragments, IPv4
-    * hosts, and two-level public suffixes all appear on arithmetic
+    * hosts, two-level public suffixes, and the PSL's wildcard (`*.ck`)
+    * and exception (`!www.ck`) rule classes all appear on arithmetic
     * schedules, so every branch of the parser and normalizer is hit.
     */
   def syntheticUrls(docs: DataFrame): DataFrame = {
@@ -118,12 +99,16 @@ object UrlOps {
     val schemePart = pick(Seq("https", "http", "HTTPS", "https", "ftp"), id % 5)
     val user = when(id % 13 === 0, lit("u:p@")).otherwise(lit(""))
     val word = pick(Seq("example", "data", "crawl", "News", "archive", "mirror"), id % 6)
-    val suffix = pick(Seq("com", "org", "co.uk", "io", "com.au", "net"),
-      floor(id / 6).cast("long") % 6)
+    val suffix = pick(Seq("com", "org", "co.uk", "io", "com.au", "net", "co.nz", "com.pl"),
+      floor(id / 6).cast("long") % 8)
     val www = when(id % 3 === 0, lit("www.")).otherwise(lit(""))
     val hostPart = when(id % 17 === 0,
       concat(lit("192.168."), (id % 250).cast("string"), lit("."),
         ((id * 3) % 250).cast("string")))
+      // PSL edge schedules: the `!www.ck` exception rule and the `*.ck`
+      // wildcard rule, so full-list semantics sit under the exact oracle
+      .when(id % 19 === 0, lit("www.ck"))
+      .when(id % 19 === 7, concat(word, lit(".shop.ck")))
       .otherwise(concat(www, word, lit("."), suffix))
     val portPart = when(id % 7 === 0, lit(":8080"))
       .when(id % 7 === 1, lit(":443")).otherwise(lit(""))

@@ -69,6 +69,44 @@ class UrlOpsSpec extends SparkSuite {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("public suffix list: official-algorithm cases (exact, wildcard, exception, private, IDN)") {
+    val cases = Seq(
+      // a host that IS a public suffix passes through (operator contract)
+      "com" -> "com", "co.nz" -> "co.nz", "kawasaki.jp" -> "kawasaki.jp",
+      // full-list exact rules the r13 28-entry subset missed
+      "example.co.nz" -> "example.co.nz", "www.example.co.nz" -> "example.co.nz",
+      "example.com.pl" -> "example.com.pl", "b.example.com.pl" -> "example.com.pl",
+      "example.co.il" -> "example.co.il", "www.example.co.il" -> "example.co.il",
+      // 3-label exact rule (ide.kyoto.jp)
+      "b.ide.kyoto.jp" -> "b.ide.kyoto.jp", "a.b.ide.kyoto.jp" -> "b.ide.kyoto.jp",
+      // wildcard *.ck: any single label under ck is itself public...
+      "test.ck" -> "test.ck", "b.test.ck" -> "b.test.ck", "a.b.test.ck" -> "b.test.ck",
+      // ...except the !www.ck exception, which makes www.ck registrable
+      "www.ck" -> "www.ck", "www.www.ck" -> "www.ck",
+      // wildcard + exception pair: *.kawasaki.jp / !city.kawasaki.jp
+      "test.kawasaki.jp" -> "test.kawasaki.jp",
+      "b.test.kawasaki.jp" -> "b.test.kawasaki.jp",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "www.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // private-section rules (blogspot.com, uk.com)
+      "foo.blogspot.com" -> "foo.blogspot.com",
+      "www.foo.blogspot.com" -> "foo.blogspot.com",
+      "example.uk.com" -> "example.uk.com", "www.example.uk.com" -> "example.uk.com",
+      // 4-label wildcard (*.compute.amazonaws.com)
+      "z.compute.amazonaws.com" -> "z.compute.amazonaws.com",
+      "b.z.compute.amazonaws.com" -> "b.z.compute.amazonaws.com",
+      "a.b.z.compute.amazonaws.com" -> "b.z.compute.amazonaws.com",
+      // IDN rule 公司.cn indexed under its punycode form xn--55qx5d.cn
+      "foo.xn--55qx5d.cn" -> "foo.xn--55qx5d.cn",
+      "www.foo.xn--55qx5d.cn" -> "foo.xn--55qx5d.cn",
+      // case folds before matching
+      "WWW.Example.CO.NZ" -> "example.co.nz")
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), UrlOps.registrableDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    for ((h, want) <- cases) assert(got(h) == want, s"host $h: got ${got(h)}, want $want")
+  }
+
   test("domainCap equals the single-window reference and is salt-invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val urls = UrlOps.syntheticUrls(docs)
