@@ -159,7 +159,25 @@ object Bench {
         }
       }
     }
-    names.map(n => n -> keyOf(n)).toMap
+    // a group can exit the loop still colliding (every member's suffix
+    // fully extended, or the trailing-underscore trim re-merged two fully
+    // extended keys) — duplicate JSON keys on the stdout line would make
+    // the driver's parse keep only one. Such groups fall back to their
+    // UNtruncated short keys, which the spec-gated round-trip property
+    // guarantees distinct; the require turns any violation into a loud
+    // failure instead of a silently dropped query.
+    val out = scala.collection.mutable.Map(names.map(n => n -> keyOf(n)): _*)
+    out.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      grp.keys.foreach { n =>
+        out(n) = parts(n) match {
+          case (p, "") => p
+          case (p, s) => p + "_" + s
+        }
+      }
+    }
+    require(out.values.toSet.size == names.distinct.size,
+      s"compactKeys failed to render injective keys for ${names.size} queries")
+    out.toMap
   }
 
   private[graft] def formatLine(ts: Seq[(String, Double)], failed: Seq[String],

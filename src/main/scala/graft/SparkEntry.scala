@@ -843,6 +843,20 @@ object SparkEntry {
         .select(col("domain"), col("rn").cast("long").as("rn"),
           col("doc_id"), col("n_chars"))
         .orderBy("domain", "rn")),
+    // RFC 9309 robots governance: the fixture derives each host's policy
+    // from the host string itself (a * group everywhere; even-length
+    // hosts add a graftbot group that REPLACES it per the election
+    // rule), the engine runs the real line parser + LIKE-compiled
+    // longest-match, and the oracle replays match+decision with the
+    // enumerated rules (the parse cancels by construction, like the WARC
+    // framing; parser internals are unit-pinned in RobotsOpsSpec)
+    "q_url_robots" -> ((s, d) => {
+      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
+      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host")).distinct()
+      val rob = operators.RobotsOps.rules(operators.RobotsOps.syntheticRobots(hosts))
+      operators.RobotsOps.evaluate(urls, rob, "GraftBot")
+        .orderBy("doc_id")
+    }),
     // WARC ingestion with an EXACT oracle: Spark assembles genuine
     // ISO 28500 response records (Content-Length framing, HTTP headers,
     // chunked transfer-encoding on the %5 schedule, 4 records per file),
@@ -901,6 +915,23 @@ object SparkEntry {
           .cast("long").as("doc_id"),
         col("target_uri").as("url"), col("body").as("html")))
     }),
+    // the CCNet-ordered curation chain (extract → exact dedup → langid
+    // gate → reference-LM percentile gate → quality gate → domain cap)
+    // under ONE exact oracle: the LM is the q_text_lmscore reference
+    // bigram model, the percentile is exact ntile over a total order,
+    // and every stage reuses an already-green mirrored formulation
+    "q_crawl_curated" -> ((s, d) => {
+      val recs = sources.WarcIngest.records(
+          sources.WarcIngest.syntheticWarcFromDocuments(
+            UrlOps.syntheticUrls(Canon.documents(s, d))))
+        .filter(col("ok") && col("http_status") === 200)
+      operators.Curation.crawlReportCurated(
+        recs.select(
+          regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"), col("body").as("html")),
+        ref = Canon.documents(s, d).filter(col("lang") === "en"))
+    }),
     "q_text_winnowing" -> ((s, d) => // splitmix64-valued; rows-only +
       // golden. A full-size DuckDB mirror costs ~100s of interpreted
       // lambda arithmetic per t2 run (and round 9's unbiased draft was
@@ -938,6 +969,23 @@ object SparkEntry {
           when(id % 2 === 0, lit("\nall rights reserved")).otherwise(lit("")),
           lit("\nunique tail "), id.cast("string")).as("text"))
       Dedup.dedupParagraphs(planted)
+        .select(id, col("text"), col("n_paras_kept"))
+        .orderBy("doc_id")
+    }),
+    // the nightly-crawl version: boilerplate learned from PAST crawls
+    // (the %3==0 docs' paragraph-hash store) strips from tonight's batch
+    // (%3!=0), which then first-occurrence-dedups against itself; the
+    // %3==1 docs' blank line exercises the structure bypass in-batch
+    "q_dedup_paragraphs_incremental" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = Canon.documents(s, d).select(id,
+        concat(lit("subscribe to our newsletter\n"), col("text"),
+          when(id % 3 === 1, lit("\n")).otherwise(lit("")),
+          when(id % 2 === 0, lit("\nall rights reserved")).otherwise(lit("")),
+          lit("\nunique tail "), id.cast("string")).as("text"))
+      Dedup.dedupParagraphsIncremental(
+          planted.filter(id % 3 =!= 0),
+          Dedup.paragraphHashes(planted.filter(id % 3 === 0)))
         .select(id, col("text"), col("n_paras_kept"))
         .orderBy("doc_id")
     }),
@@ -2588,6 +2636,29 @@ object SparkEntry {
          |      FROM d2)
          |SELECT domain, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
          |FROM r WHERE rn <= 3 ORDER BY domain, rn""".stripMargin,
+    // the robots decision replayed: rules enumerated from the fixture's
+    // host arithmetic (even-length hosts elect the graftbot group), LIKE
+    // patterns are the published likePattern compile of each rule, and
+    // the longest-match/allow/line-order precedence is the same window
+    "q_url_robots" ->
+      s"""$urlFixtureSql,
+         |uu AS (SELECT doc_id, lower(host) AS host, coalesce(path, '/') AS path FROM d2),
+         |rl(pat, lp, allow, ridx, spec) AS (VALUES
+         |  ('/a1/', '/a1/%', false, 3, 0),
+         |  ('/a1/page-1*', '/a1/page-1%%', true, 4, 0),
+         |  ('/*7${"$"}', '/%7', false, 5, 0),
+         |  ('/a2/', '/a2/%', false, 7, 1),
+         |  ('/a2/page-*', '/a2/page-%%', true, 8, 1),
+         |  ('/*3${"$"}', '/%3', false, 9, 1)),
+         |el AS (SELECT uu.doc_id, uu.host, uu.path, rl.*
+         |       FROM uu JOIN rl ON rl.spec = (CASE WHEN length(uu.host) % 2 = 0 THEN 1 ELSE 0 END)),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY length(pat) DESC, allow DESC, ridx ASC) AS rn
+         |      FROM el WHERE path LIKE lp),
+         |w AS (SELECT doc_id, allow, pat FROM m WHERE rn = 1)
+         |SELECT doc_id, uu.host, uu.path,
+         |  coalesce(w.allow, true) AS allowed, w.pat AS matched_pattern
+         |FROM uu LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the crawl chain replayed stage-for-stage: the WARC framing cancels
     // by construction (body == the built page), then the SAME published
     // strip/nfc-cleanup/quality/cap/rollup formulations the engine ran
@@ -2619,6 +2690,67 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 4) AS mean_quality
          |FROM cq WHERE rn <= 3 GROUP BY domain ORDER BY domain""".stripMargin
+    },
+    // the CCNet chain replayed stage-for-stage: extraction (as above),
+    // md5 keep-min-id dedup, the langid argmax, the q_text_lmscore
+    // reference-bigram CTEs verbatim, DuckDB's own exact ntile (the
+    // engine's withNtile is pinned byte-identical to it), then the same
+    // quality/cap/rollup as q_crawl_pipeline plus the mean LM score
+    "q_crawl_curated" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val strip = TextOps.htmlStripStages.foldLeft("h") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      val cleanup = TextOps.cleanupStages.foldLeft("nfc_normalize(x)") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""$urlFixtureSql,
+         |pg AS (SELECT doc_id, domain, '<html><body><p>' || text || '</p></body></html>' AS h FROM d2),
+         |ex AS (SELECT doc_id, domain, trim($strip) AS x FROM pg),
+         |nx AS (SELECT doc_id, domain, $cleanup AS text FROM ex),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS drn FROM nx),
+         |tq AS (SELECT doc_id, domain, text, $TOKS AS t, $LTOKS AS lt FROM dd WHERE drn = 1),
+         |lid AS (SELECT *,
+         |  len(list_filter(lt, x -> x IN (${lex("en")}))) AS h_en,
+         |  len(list_filter(lt, x -> x IN (${lex("de")}))) AS h_de,
+         |  len(list_filter(lt, x -> x IN (${lex("fr")}))) AS h_fr,
+         |  len(list_filter(lt, x -> x IN (${lex("es")}))) AS h_es FROM tq),
+         |kl AS (SELECT * FROM lid WHERE CASE WHEN greatest(h_en,h_de,h_fr,h_es)=0 THEN 'unk'
+         |  ELSE (list_sort([{'h': h_en, 'l': 'en'}, {'h': h_de, 'l': 'de'},
+         |                   {'h': h_fr, 'l': 'fr'}, {'h': h_es, 'l': 'es'}])[-1]).l END = 'en'),
+         |rt AS (SELECT $TOKS AS t FROM documents WHERE lang = 'en'),
+         |rb AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |       FROM rt WHERE len(t) >= 2),
+         |big AS (SELECT bg, count(*) AS c2 FROM rb GROUP BY bg),
+         |pfx AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM rb GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok) + 1 AS v FROM (SELECT unnest(t) AS tok FROM rt)),
+         |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+         |       FROM kl WHERE len(t) >= 2),
+         |sc AS (SELECT doc_id,
+         |         CAST(round(-ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+         |           (coalesce(c1, 0) + (SELECT v FROM vv))) * 1e9) AS BIGINT) AS nll
+         |       FROM db LEFT JOIN big USING (bg)
+         |               LEFT JOIN pfx ON string_split(db.bg, ' ')[1] = pfx.w1),
+         |lm AS (SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / 1e9 / count(*), 4) AS mean_nll
+         |       FROM sc GROUP BY doc_id),
+         |nt AS (SELECT kl.*, lm.mean_nll,
+         |         ntile(10) OVER (ORDER BY lm.mean_nll ASC, kl.doc_id ASC) AS bucket
+         |       FROM kl JOIN lm USING (doc_id)),
+         |r AS (SELECT doc_id, domain, mean_nll, len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM nt WHERE bucket <= 7),
+         |sq AS (SELECT doc_id, domain, mean_nll, n_tokens, round(
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality FROM r),
+         |fq AS (SELECT * FROM sq WHERE quality >= 0.3),
+         |cq AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY quality DESC, doc_id) AS crn FROM fq)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 4) AS mean_quality,
+         |  round(CAST(sum(CAST(round(mean_nll * 10000) AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_doc_nll
+         |FROM cq WHERE crn <= 3 GROUP BY domain ORDER BY domain""".stripMargin
     },
     // expected parse of the synthetic WARC fixture, straight from the id
     // arithmetic (the parser's framing/dechunking work cancels out by
@@ -2947,6 +3079,27 @@ object SparkEntry {
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text,
         |       count(*) AS n_paras_kept
         |FROM k WHERE rn = 1 OR para = '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // anti-join by paragraph VALUE equals the engine's md5-hash store
+    // lookup (same membership); the batch then replays the one-shot
+    // first-occurrence rule restricted to itself; blanks bypass both
+    "q_dedup_paragraphs_incremental" ->
+      """WITH p AS (SELECT doc_id,
+        |    'subscribe to our newsletter' || chr(10) || text ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) ||
+        |    chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS para,
+        |             unnest(range(len(string_split(t, chr(10))))) AS pidx FROM p),
+        |seen AS (SELECT DISTINCT para FROM e WHERE doc_id % 3 = 0 AND para <> ''),
+        |batch AS (SELECT * FROM e WHERE doc_id % 3 <> 0),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn
+        |      FROM batch WHERE para <> '' AND para NOT IN (SELECT para FROM seen))
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS text,
+        |       count(*) AS n_paras_kept
+        |FROM (SELECT doc_id, pidx, para FROM k WHERE rn = 1
+        |      UNION ALL SELECT doc_id, pidx, para FROM batch WHERE para = '')
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // connected components of the verified pair graph via transitive
     // closure (recursive CTE; UNION dedups → termination). Tiny at oracle
     // scale; the Spark side is the iterative min-label-propagation loop.

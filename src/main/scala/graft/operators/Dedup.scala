@@ -728,6 +728,62 @@ object Dedup {
         words, logM, kHashes))
   }
 
+  /** The paragraph-hash store side of [[dedupParagraphsIncremental]]:
+    * distinct md5 of every non-empty paragraph in `df` — what a nightly
+    * pipeline appends to the seen-store after each crawl (blank lines are
+    * structure, never stored).
+    */
+  def paragraphHashes(df: DataFrame, textCol: String = "text",
+                      hashCol: String = "para_hash"): DataFrame =
+    df.select(explode(split(col(textCol), "\n")).as("para"))
+      .filter(col("para") =!= "")
+      .select(md5(col("para")).as(hashCol)).distinct()
+
+  /** Incremental paragraph dedup — the nightly-crawl version of
+    * [[dedupParagraphs]]: boilerplate learned from PAST crawls (the
+    * seen-paragraph store) strips from tonight's batch, and the batch
+    * then first-occurrence-dedups against itself. A paragraph survives
+    * iff its hash is absent from `seenParaHashes` AND it is the batch's
+    * first occurrence (min (id, pidx)); blank lines bypass both gates
+    * (structure, not content — and the skew-bomb argument from
+    * [[dedupParagraphs]] holds doubly for a store anti-join).
+    *
+    * Equivalence contract (unit-pinned): with every store id below every
+    * batch id, this equals the one-shot [[dedupParagraphs]] over
+    * store ∪ batch restricted to batch docs — the store is just the
+    * already-processed prefix of the same global first-occurrence order.
+    *
+    * Scale shape: the store side GROWS with crawl history (corpus-scale),
+    * so the anti-join is pinned to the spillable sort-merge join — a
+    * broadcast elected from bench-scale stats would OOM at the real
+    * store. The batch side shuffles (hash, id, pidx, para) paragraph
+    * rows; the window parallelizes per-hash exactly as in
+    * [[dedupParagraphs]]. A doc whose every paragraph is boilerplate
+    * (and that has no blank lines) drops from the output entirely —
+    * that IS the operator's verdict on an all-boilerplate page.
+    */
+  def dedupParagraphsIncremental(df: DataFrame, seenParaHashes: DataFrame,
+                                 textCol: String = "text", idCol: String = "doc_id",
+                                 hashCol: String = "para_hash"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hashCol)).orderBy(col(idCol).asc, col("pidx").asc)
+    val parts = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pidx", "para")))
+    val unseen = parts.filter(col("para") =!= "")
+      .withColumn(hashCol, md5(col("para")))
+      .hint("merge")
+      .join(seenParaHashes.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
+    val kept = unseen
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("pidx"), col("para"))
+      .unionByName(parts.filter(col("para") === ""))
+    kept.groupBy(idCol)
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
+          e => e.getField("para")), "\n").as("text"),
+        count(lit(1)).as("n_paras_kept"))
+  }
+
   /** Incremental exact dedup — the nightly-crawl shape: of the NEW batch,
     * keep only docs whose content hash is (a) absent from the seen-store
     * (every prior snapshot's hashes, corpus-scale) and (b) first within

@@ -149,7 +149,10 @@ object Mp4Meta {
 
         val codec = stbl.flatMap { case (ss, se) =>
           child(b, ss, se, "stsd").collect {
-            case (s, e) if be32(b, s + 4) > 0 && s + 16 <= e => fourcc(b, s + 12)
+            // bounds BEFORE the entry-count read: a truncated stsd at
+            // end-of-file must yield the per-field default, not ride the
+            // blanket AIOOBE catch into a whole-file quarantine
+            case (s, e) if s + 16 <= e && be32(b, s + 4) > 0 => fourcc(b, s + 12)
           }
         }.getOrElse("")
 

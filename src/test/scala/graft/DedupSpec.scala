@@ -343,4 +343,38 @@ class DedupSpec extends SparkSuite {
       .as[(Long, String, Long)].collect().sortBy(_._1)
     assert(shuffled.toSeq == out.toSeq)
   }
+
+  test("incremental paragraph dedup: batch ∪ store ≡ one-shot on the union") {
+    import spark.implicits._
+    val old = Seq( // yesterday's crawl: ids strictly below the batch
+      (0L, "banner\nalpha beta\nfooter"),
+      (1L, "banner\nold news\n\ntail one"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "banner\nfresh gamma\nfooter"),  // banner+footer learned from store
+      (11L, "banner\nfresh gamma\ntail two"), // fresh gamma dups WITHIN batch
+      (12L, "banner\nfooter"),               // all boilerplate: drops entirely
+      (13L, "banner\na\n\nb"))               // blank line survives as structure
+      .toDF("doc_id", "text")
+    val inc = Dedup.dedupParagraphsIncremental(batch, Dedup.paragraphHashes(old))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // the equivalence contract: one-shot over the union, restricted to batch ids
+    val oneShot = Dedup.dedupParagraphs(old.unionByName(batch))
+      .filter(col("doc_id") >= 10L)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(inc.toSeq == oneShot.toSeq)
+    // and the expected content explicitly
+    assert(inc.map(_._1).toSeq == Seq(10L, 11L, 13L))
+    assert(inc(0) == ((10L, "fresh gamma", 1L)))
+    assert(inc(1) == ((11L, "tail two", 1L)))
+    assert(inc(2) == ((13L, "a\n\nb", 3L)))
+    // closing the loop: appending the batch's kept hashes to the store
+    // makes a re-run of the SAME batch drop everything non-blank
+    val grown = Dedup.paragraphHashes(old)
+      .unionByName(Dedup.paragraphHashes(batch)).distinct()
+    val rerun = Dedup.dedupParagraphsIncremental(batch, grown)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // only doc 13's blank structure row survives the second pass
+    assert(rerun.toSeq == Seq((13L, "", 1L)))
+  }
 }

@@ -115,6 +115,20 @@ class Mp4MetaSpec extends SparkSuite {
     corrupt(at) = 0; corrupt(at + 1) = 0; corrupt(at + 2) = 0x27; corrupt(at + 3) = 0x0f.toByte
     val rows = Mp4Meta.parse(1L, corrupt)
     assert(rows.forall(!_.ok) && rows.head.err.contains("stss"))
+    // a tiny stsd as the LAST bytes of the file (header only, no entry —
+    // and no mdat after it) must yield the per-field codec default, not
+    // an out-of-bounds entry-count read that the blanket catch would
+    // downgrade to a whole-file quarantine
+    val tinyStsd = {
+      val stblT = mkBox("stbl", stsz(5) ++ fullBox("stsd", 0, Array.emptyByteArray))
+      val minfT = mkBox("minf", stblT)
+      val mdiaT = mkBox("mdia", mdhdV1(90000, 900000, 0x55C4) ++ hdlr("vide") ++ minfT)
+      mkBox("ftyp", cc("mp41") ++ be32(0)) ++
+        mkBox("moov", mvhdV1(1000, 12000) ++ mkBox("trak", tkhdV1(1, 64, 64) ++ mdiaT))
+    }
+    val tiny = Mp4Meta.parse(1L, tinyStsd)
+    assert(tiny.nonEmpty && tiny.head.ok && tiny.head.codec == "",
+      s"tiny stsd: ok=${tiny.headOption.map(_.ok)} err=${tiny.headOption.map(_.err)}")
   }
 
   test("keyframe sample plan: stride filters the sync table") {
