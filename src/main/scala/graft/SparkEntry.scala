@@ -887,6 +887,20 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")
     }),
+    // PDF text extraction (planning tier): id-derived 4-object PDFs whose
+    // content streams exercise Tj / kerned TJ / quote-next-line / Td line
+    // moves plus escape and hex strings on schedules; the oracle replays
+    // the expected text with string arithmetic (the parse cancels by
+    // construction; escapes/Flate/framing are unit-pinned in PdfTextSpec)
+    "q_pdf_extract" -> ((s, d) =>
+      operators.PdfText.extract(
+          operators.PdfText.syntheticPdfFromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(col("file_id").as("doc_id"),
+          col("n_objects").cast("long").as("n_objects"),
+          col("n_streams").cast("long").as("n_streams"),
+          col("text"), col("n_chars"))
+        .orderBy("doc_id")),
     // charset-aware body decode under an EXACT oracle: the fixture plants
     // raw windows-1252 / Shift-JIS / BOM bytes (ISO-8859-1 file encoding
     // makes chr(n) == byte n), the parser sniffs per the WHATWG
@@ -2780,6 +2794,20 @@ object SparkEntry {
          |  trim($chain) AS text
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // the PDF fixture's expected extraction, straight from the id
+    // arithmetic: title line, the TJ-carried doc text, the quote line,
+    // and the %3 escape / %4 hex schedules
+    "q_pdf_extract" ->
+      """WITH e AS (SELECT doc_id,
+        |  'Title doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+        |  chr(10) || 'next line ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'esc ( ) \ ok' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'ABC' ELSE '' END) AS t
+        |FROM documents)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS n_objects,
+        |  CAST(1 AS BIGINT) AS n_streams,
+        |  t AS text, CAST(strlen(t) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
     // charset sniffing replayed: the decoded text per variant is plain
     // Unicode literal arithmetic (0x93/0x94 → U+201C/U+201D under 1252,
     // 0x93 0xFA → U+65E5 under Shift-JIS, BOM stripped under UTF-8);
