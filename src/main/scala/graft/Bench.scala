@@ -132,7 +132,8 @@ object Bench {
     */
   private[graft] def compactKeys(names: Seq[String],
                                  abbrev: Map[String, String],
-                                 minLen: Int = 2): Map[String, String] = {
+                                 minLen: Int = 2,
+                                 minBare: Int = 4): Map[String, String] = {
     def rendered(n: String): (String, String) = { // (prefix, suffix)
       val bare = n.stripPrefix("q_")
       val cut = bare.indexOf('_')
@@ -143,19 +144,30 @@ object Bench {
     val parts = names.map(n => n -> rendered(n)).toMap
     // every colliding group extends its members' truncation one char at a
     // time until all keys differ; terminates because the UNtruncated short
-    // keys are distinct (spec-gated round-trip property)
-    val lens = scala.collection.mutable.Map(names.map(_ -> minLen): _*)
+    // keys are distinct (spec-gated round-trip property). r14 trim: bare
+    // single-word names ("decontaminate") truncate too, to a ≥minBare
+    // collision-free prefix — the 152-query roster pushed the compacted
+    // line one entry past the budget, and the long tail was exactly those
+    // family-less names (cross-round key matching canonically uses the
+    // sidecar's FULL names, so the render may shorten; bench_diff.py
+    // reads bench_out.json when driver-capture keys don't expand).
+    val lens = scala.collection.mutable.Map(
+      names.map(n => n -> (if (parts(n)._2.isEmpty) minBare else minLen)): _*)
     def keyOf(n: String): String = parts(n) match {
-      case (p, "") => p
+      case (p, "") => p.take(lens(n))
       // a truncation landing on '_' would render a dangling separator
       case (p, s) => p + "_" + s.take(lens(n)).reverse.dropWhile(_ == '_').reverse
+    }
+    def fullLen(n: String): Int = parts(n) match {
+      case (p, "") => p.length
+      case (_, s) => s.length
     }
     var changed = true
     while (changed) {
       changed = false
       names.groupBy(keyOf).values.filter(_.size > 1).foreach { grp =>
         grp.foreach { n =>
-          if (lens(n) < parts(n)._2.length) { lens(n) += 1; changed = true }
+          if (lens(n) < fullLen(n)) { lens(n) += 1; changed = true }
         }
       }
     }

@@ -857,6 +857,16 @@ object SparkEntry {
       operators.RobotsOps.evaluate(urls, rob, "GraftBot")
         .orderBy("doc_id")
     }),
+    // the non-rule robots directives (Crawl-delay under the same group
+    // election; position-independent Sitemap lines); oracle replays the
+    // host-length arithmetic the fixture derives them from
+    "q_url_robots_directives" -> ((s, d) => {
+      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
+      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host")).distinct()
+      operators.RobotsOps.directives(
+          operators.RobotsOps.syntheticRobots(hosts), "GraftBot")
+        .orderBy("host")
+    }),
     // WARC ingestion with an EXACT oracle: Spark assembles genuine
     // ISO 28500 response records (Content-Length framing, HTTP headers,
     // chunked transfer-encoding on the %5 schedule, 4 records per file),
@@ -2658,12 +2668,12 @@ object SparkEntry {
       s"""$urlFixtureSql,
          |uu AS (SELECT doc_id, lower(host) AS host, coalesce(path, '/') AS path FROM d2),
          |rl(pat, lp, allow, ridx, spec) AS (VALUES
-         |  ('/a1/', '/a1/%', false, 3, 0),
-         |  ('/a1/page-1*', '/a1/page-1%%', true, 4, 0),
-         |  ('/*7${"$"}', '/%7', false, 5, 0),
-         |  ('/a2/', '/a2/%', false, 7, 1),
-         |  ('/a2/page-*', '/a2/page-%%', true, 8, 1),
-         |  ('/*3${"$"}', '/%3', false, 9, 1)),
+         |  ('/a1/', '/a1/%', false, 4, 0),
+         |  ('/a1/page-1*', '/a1/page-1%%', true, 5, 0),
+         |  ('/*7${"$"}', '/%7', false, 6, 0),
+         |  ('/a2/', '/a2/%', false, 9, 1),
+         |  ('/a2/page-*', '/a2/page-%%', true, 10, 1),
+         |  ('/*3${"$"}', '/%3', false, 11, 1)),
          |el AS (SELECT uu.doc_id, uu.host, uu.path, rl.*
          |       FROM uu JOIN rl ON rl.spec = (CASE WHEN length(uu.host) % 2 = 0 THEN 1 ELSE 0 END)),
          |m AS (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -2673,6 +2683,18 @@ object SparkEntry {
          |SELECT doc_id, uu.host, uu.path,
          |  coalesce(w.allow, true) AS allowed, w.pat AS matched_pattern
          |FROM uu LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the directive fixture's host-length arithmetic replayed: even
+    // hosts elect the graftbot group's delay (len%7), odd fall back to
+    // the * group's (len%5); every host carries exactly one Sitemap
+    "q_url_robots_directives" ->
+      s"""$urlFixtureSql
+         |SELECT host,
+         |  CAST(CASE WHEN length(host) % 2 = 0 THEN length(host) % 7
+         |            ELSE length(host) % 5 END AS DOUBLE) AS crawl_delay,
+         |  CAST(1 AS BIGINT) AS n_sitemaps,
+         |  'https://' || host || '/sitemap.xml' AS sitemaps
+         |FROM (SELECT DISTINCT lower(host) AS host FROM d2)
+         |ORDER BY host""".stripMargin,
     // the crawl chain replayed stage-for-stage: the WARC framing cancels
     // by construction (body == the built page), then the SAME published
     // strip/nfc-cleanup/quality/cap/rollup formulations the engine ran

@@ -421,6 +421,10 @@ object WarcIngest {
   /** WARC files from disk via the binaryFile source. `media_id` is the
     * path hash; the (media_id → kind) column carries the path for
     * join-back, so no driver-side file listing beyond the scan's own.
+    * The COMPRESSED file rides as one binary column value (binaryFile's
+    * JVM-array bound is ~2 GiB — Common Crawl's ~1 GiB-compressed shard
+    * convention fits); decompression then streams record-at-a-time, so
+    * that column is the task's only whole-file allocation.
     */
   def readFiles(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)

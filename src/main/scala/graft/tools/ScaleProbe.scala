@@ -306,6 +306,47 @@ object ScaleProbe {
       probe("crawl_pipeline", crawl(doc1), crawl(doc10))
     }
 
+    // --- r14 crawl-tier families ---
+    {
+      import graft.sources.WarcIngest
+      import graft.operators.{Curation, Dedup, PdfText, RobotsOps, UrlOps}
+      // charset sniffing rides the same streaming byte-volume record parse
+      probe("warc_charset",
+        WarcIngest.records(WarcIngest.syntheticCharsetWarc(doc1)).count(),
+        WarcIngest.records(WarcIngest.syntheticCharsetWarc(doc10)).count())
+      // CCNet-ordered curation: one scan + one fp shuffle + shuffle_hash
+      // LM joins + the two-pass exact ntile. The reference LM is FIXED
+      // (doc1's en slice) on both sides — a reference model does not grow
+      // with the corpus being scored.
+      def curated(d: DataFrame): Long =
+        Curation.crawlReportCurated(
+          WarcIngest.records(WarcIngest.syntheticWarcFromDocuments(
+              UrlOps.syntheticUrls(d)))
+            .filter(col("ok") && col("http_status") === 200)
+            .select(col("file_id") * 4 + col("rec_idx").cast("long"),
+              col("target_uri").as("url"), col("body").as("html"))
+            .toDF("doc_id", "url", "html"),
+          ref = doc1.filter(col("lang") === "en")).count()
+      probe("crawl_curated", curated(doc1), curated(doc10))
+      // incremental paragraph dedup: ×mult batch against a FIXED store
+      // (the nightly shape: tonight's crawl grows, history is what it is)
+      def paraInc(batch: DataFrame): Long =
+        Dedup.dedupParagraphsIncremental(batch, Dedup.paragraphHashes(doc1)).count()
+      probe("dedup_para_inc", paraInc(doc1), paraInc(doc10))
+      // robots: ×mult URLs evaluated against their hosts' policies
+      // (hosts grow with the corpus too — both joins are shuffle_hash)
+      def robots(d: DataFrame): Long = {
+        val urls = UrlOps.syntheticUrls(d)
+        val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host")).distinct()
+        RobotsOps.evaluate(urls,
+          RobotsOps.rules(RobotsOps.syntheticRobots(hosts)), "graftbot").count()
+      }
+      probe("url_robots", robots(doc1), robots(doc10))
+      probe("pdf_extract",
+        PdfText.extract(PdfText.syntheticPdfFromDocuments(doc1)).count(),
+        PdfText.extract(PdfText.syntheticPdfFromDocuments(doc10)).count())
+    }
+
     // --- dual-tier reads (M1): a hot-tail last-n that the buffer can
     // satisfy answers from the buffer ALONE — its cost must be
     // independent of the disk tier's size. Disk = 1× vs ×mult events

@@ -72,6 +72,35 @@ class RobotsOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(false, true)) // % and _ literal, not wildcards
   }
 
+  test("directives: crawl-delay group election, sitemaps position-independent") {
+    val txt =
+      """Sitemap: https://example.com/b.xml
+        |User-agent: *
+        |Disallow: /x/
+        |Crawl-delay: 10
+        |User-agent: GraftBot
+        |Crawl-delay: 2
+        |Crawl-delay: nonsense
+        |Sitemap: https://example.com/a.xml
+        |""".stripMargin
+    val robots = Seq(("example.com", txt), ("bare.org", "User-agent: *\nDisallow: /p/\n"))
+      .toDF("host", "robots_txt")
+    val bot = RobotsOps.directives(robots, "graftbot")
+      .orderBy("host").collect()
+    // bare.org: no delay, no sitemaps
+    assert(bot(0).getAs[String]("host") == "bare.org" &&
+      bot(0).isNullAt(1) && bot(0).getAs[Long]("n_sitemaps") == 0L)
+    // example.com: the named group's delay (2), both sitemaps sorted
+    assert(bot(1).getAs[Double]("crawl_delay") == 2.0)
+    assert(bot(1).getAs[Long]("n_sitemaps") == 2L &&
+      bot(1).getAs[String]("sitemaps") ==
+        "https://example.com/a.xml,https://example.com/b.xml")
+    // an agent with no group falls back to * (delay 10)
+    val star = RobotsOps.directives(robots, "randombot")
+      .filter(col("host") === "example.com").collect().head
+    assert(star.getAs[Double]("crawl_delay") == 10.0)
+  }
+
   test("defaults: no matching rule and no robots.txt for the host are both allowed") {
     assert(verdict("GraftBot", "/anything/else")._1) // bot group's Allow: / matches all
     val noRobots = Seq((9L, "https://unknown-host.org/x")).toDF("doc_id", "url")
