@@ -195,6 +195,9 @@ object SparkEntry {
   /** Per-process memo of q_stream_drift's staged two-file input dirs. */
   private val streamDriftIns = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process memo of q_stream_crawl's staged two-file WARC input. */
+  private val streamCrawlIns = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val postStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
   private def postStore(s: SparkSession, d: String): TieredStore =
     postStores.synchronized {
@@ -713,6 +716,17 @@ object SparkEntry {
       TextOps.gopherRules(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_langid" -> ((s, d) =>
       TextOps.langId(Canon.documents(s, d)).orderBy("doc_id")),
+    // the REAL language-ID algorithm (Cavnar–Trenkle char-n-gram rank
+    // profiles) self-trained on the corpus's lang labels. The corpus
+    // text is language-agnostic filler, so the fixture plants a
+    // per-language character signal (8× " x<lang>") — the classifier
+    // must then RECOVER the labels, and the oracle replays the same
+    // planting + the same integer rank-distance arithmetic bit-for-bit
+    "q_text_langid_ngram" -> ((s, d) => {
+      val planted = Canon.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"), repeat(concat(lit(" x"), col("lang")), 8)).as("text"))
+      TextOps.langIdNgram(planted, planted).orderBy("doc_id")
+    }),
     "q_text_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_repetition" -> ((s, d) => // Gopher-style in-doc n-gram repetition
@@ -1563,6 +1577,48 @@ object SparkEntry {
       q.stop()
       require(finished, "q_stream_drift: stream did not terminate in 300s")
       TextOps.driftFromTermCounts(s.read.parquet(outDir), "kl", vocabSize = 24)
+    }),
+    // the crawl front half as a STREAM: micro-batched WARC files → the
+    // SAME record parse / extract / quality scan → per-domain running
+    // rollup (counts + exact micro-unit sums, so stream == batch is
+    // bit-exact and the oracle is plain batch SQL). The domain CAP stays
+    // batch-only by design — a rank needs the corpus, a rollup doesn't.
+    "q_stream_crawl" -> ((s, d) => {
+      val media = sources.WarcIngest.syntheticWarcFromDocuments(
+        UrlOps.syntheticUrls(Canon.documents(s, d)))
+      val inDir = streamCrawlIns.synchronized {
+        streamCrawlIns.getOrElseUpdate(d, {
+          val dir = java.nio.file.Files.createTempDirectory("q_streamcrawl_in_")
+          for ((pred, name) <- Seq(
+            (col("media_id") % 2 === 0, "warc_even.parquet"),
+            (col("media_id") % 2 =!= 0, "warc_odd.parquet"))) {
+            val tmp = java.nio.file.Files.createTempDirectory("q_streamcrawl_split_")
+            media.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = new java.io.File(tmp.toString).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            java.nio.file.Files.move(part.toPath, dir.resolve(name),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          }
+          dir.toString
+        })
+      }
+      val outDir = StreamScratch.dir("q_stream_crawl")
+      val raw = s.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val rollup = streaming.CrawlIngest.domainRollup(
+        sources.WarcIngest.records(raw))
+      val q = rollup.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000L)
+      q.stop()
+      require(finished, "q_stream_crawl: stream did not terminate in 300s")
+      streaming.CrawlIngest.report(s.read.parquet(outDir))
     }),
     // ordered conversion funnel + weekly cohort retention — see
     // operators.Events for the per-user join shapes
@@ -2816,6 +2872,37 @@ object SparkEntry {
          |  trim($chain) AS text
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // the streaming rollup == the batch SQL: same extraction/quality
+    // chain as q_crawl_pipeline, WITHOUT the cap (rollup only — counts
+    // and micro-unit sums are batching-invariant, hence bit-exact)
+    "q_stream_crawl" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val strip = TextOps.htmlStripStages.foldLeft("h") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      val cleanup = TextOps.cleanupStages.foldLeft("nfc_normalize(x)") {
+        case (acc, (p, r)) => s"regexp_replace($acc, ${lit(p)}, ${lit(r)}, 'g')"
+      }
+      s"""$urlFixtureSql,
+         |pg AS (SELECT doc_id, domain,
+         |  '<html><body><p>' || text || '</p></body></html>' AS h FROM d2),
+         |ex AS (SELECT doc_id, domain, trim($strip) AS x FROM pg),
+         |nx AS (SELECT doc_id, domain, $cleanup AS text FROM ex),
+         |tq AS (SELECT doc_id, domain, text, $TOKS AS t, $LTOKS AS lt FROM nx),
+         |r AS (SELECT doc_id, domain, len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |FROM tq),
+         |sq AS (SELECT doc_id, domain, n_tokens, round(
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality FROM r),
+         |fq AS (SELECT * FROM sq WHERE quality >= 0.3)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 4) AS mean_quality
+         |FROM fq GROUP BY domain ORDER BY domain""".stripMargin
+    },
     // the PDF fixture's expected extraction, straight from the id
     // arithmetic: title line, the TJ-carried doc text, the quote line,
     // and the %3 escape / %4 hex schedules
@@ -2927,6 +3014,38 @@ object SparkEntry {
          |  ELSE (list_sort([{'h': h_en, 'l': 'en'}, {'h': h_de, 'l': 'de'},
          |                   {'h': h_fr, 'l': 'fr'}, {'h': h_es, 'l': 'es'}])[-1]).l
          |END AS lang FROM h ORDER BY doc_id""".stripMargin,
+    // Cavnar–Trenkle replayed: identical trigram enumeration, identical
+    // (count DESC, gram ASC) rank windows on both profile and doc sides,
+    // the same out-of-place distance with the k=300 miss penalty, and
+    // the same zero-overlap 'unk' fallback — all exact integers
+    "q_text_langid_ngram" ->
+      """WITH tr AS (SELECT doc_id, lang,
+        |  lower(text || repeat(' x' || lang, 8)) AS s FROM documents),
+        |tg AS (SELECT lang, unnest(list_transform(range(1, length(s) - 1),
+        |         i -> substring(s, CAST(i AS INT), 3))) AS g FROM tr),
+        |pc AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |pk AS (SELECT lang, g, pr FROM (
+        |        SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS pr FROM pc)
+        |       WHERE pr <= 300),
+        |dgall AS (SELECT doc_id, unnest(list_transform(range(1, length(s) - 1),
+        |            i -> substring(s, CAST(i AS INT), 3))) AS g FROM tr),
+        |dc AS (SELECT doc_id, g, count(*) AS c FROM dgall GROUP BY 1, 2),
+        |dk AS (SELECT doc_id, g, dr FROM (
+        |        SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS dr FROM dc)
+        |       WHERE dr <= 300),
+        |kc AS (SELECT doc_id, count(*) AS kept FROM dk GROUP BY 1),
+        |mt AS (SELECT dk.doc_id, pk.lang, sum(abs(dk.dr - pk.pr)) AS sum_abs,
+        |         count(*) AS n_match
+        |       FROM dk JOIN pk USING (g) GROUP BY 1, 2),
+        |ds AS (SELECT mt.doc_id, mt.lang,
+        |         CAST(mt.sum_abs + (kc.kept - mt.n_match) * 300 AS BIGINT) AS distance
+        |       FROM mt JOIN kc ON mt.doc_id = kc.doc_id),
+        |bs AS (SELECT doc_id, lang, distance,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rn FROM ds)
+        |SELECT d.doc_id, coalesce(b.lang, 'unk') AS lang_pred,
+        |       CAST(coalesce(b.distance, -1) AS BIGINT) AS distance
+        |FROM documents d LEFT JOIN (SELECT * FROM bs WHERE rn = 1) b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

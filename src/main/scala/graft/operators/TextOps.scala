@@ -161,6 +161,75 @@ object TextOps {
         .otherwise(greatest(best: _*).getField("l")).as("lang"))
   }
 
+  /** Char-n-gram language ID — the REAL algorithm above the [[langId]]
+    * stopword heuristic: Cavnar–Trenkle 1994 rank-profile classification.
+    * Train: each language's top-`k` char n-grams ranked by
+    * (count desc, gram asc) — a MODEL table, ≤ languages×k rows. Classify:
+    * each doc's own top-`k` gram ranks compared against every profile by
+    * out-of-place distance Σ|doc_rank − profile_rank|, a gram absent from
+    * a profile costing the maximum `k`; least distance wins (ties: lang
+    * asc). Everything is exact integer arithmetic over deterministic
+    * ranks, so the DuckDB oracle matches bit-for-bit.
+    *
+    * Scale shape: the profile table broadcasts (bounded model parameters,
+    * the quantizer/centroid precedent — NOT corpus-scale); doc grams are
+    * one explode + a per-doc window (doc_id is high-cardinality, each
+    * task ranks one doc's ≤ chars grams); per-(doc, lang) aggregates are
+    * bounded by the language count. A language with ZERO gram overlap can
+    * never beat one with any match (every unmatched gram costs exactly k,
+    * every matched one < k), so the no-match fallback to 'unk' is exact,
+    * not an approximation — no doc×language cross join exists anywhere.
+    */
+  def langIdNgram(docs: DataFrame, train: DataFrame, n: Int = 3, k: Int = 300,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && k >= 1, s"langIdNgram needs n>=1, k>=1 (got n=$n k=$k)")
+    // the lowered text is hoisted into its OWN projection before the
+    // explode: inlining lower() into the transform lambda re-evaluates
+    // it per GRAM (O(len²) per doc — measured 10.4s → 3.4s at sf0.1)
+    def grams(s: Column): Column =
+      // guard, not step: Spark's sequence THROWS on 1-to-0 boundaries
+      // (it never returns empty), so sub-n texts short-circuit here
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)),
+          i => substring(s, i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val profile = train
+      .select(col(langCol).as("lang"), lower(col(textCol)).as("__graft_s"))
+      .select(col("lang"), explode(grams(col("__graft_s"))).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)))
+      .filter(col("pr") <= k).select(col("lang"), col("g"), col("pr"))
+    val dg = docs
+      .select(col(idCol), lower(col(textCol)).as("__graft_s"))
+      .select(col(idCol), explode(grams(col("__graft_s"))).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("c").desc, col("g").asc)))
+      .filter(col("dr") <= k).select(col(idCol), col("g"), col("dr"))
+      .trackedCache // consumed twice: kept-gram counts + the profile join
+    val kept = dg.groupBy(idCol).agg(count(lit(1)).as("kept"))
+    val matched = dg.join(broadcast(profile), Seq("g"))
+      .groupBy(idCol, "lang")
+      .agg(sum(abs(col("dr") - col("pr"))).as("sum_abs"),
+        count(lit(1)).as("n_match"))
+    val dist = matched.join(kept.hint("shuffle_hash"), Seq(idCol))
+      .select(col(idCol), col("lang"),
+        (col("sum_abs") + (col("kept") - col("n_match")) * lit(k.toLong))
+          .as("distance"))
+    val best = dist.withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("distance").asc, col("lang").asc)))
+      .filter(col("rn") === 1)
+    docs.select(col(idCol))
+      .join(best.select(col(idCol), col("lang").as("lang_pred"), col("distance"))
+        .hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit("unk")).as("lang_pred"),
+        coalesce(col("distance"), lit(-1L)).as("distance"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics, collapse whitespace) — the exact-dedup key that is
     * robust to formatting noise. Portable across engines (md5 is md5).

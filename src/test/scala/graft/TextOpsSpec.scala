@@ -122,6 +122,36 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "unk"))
   }
 
+  test("n-gram langid recovers held-out labels; zero-overlap docs fall to unk") {
+    // training corpora with genuinely different character distributions
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and the cats watch"),
+      ("en", "there is nothing that the things with the weather cannot show"),
+      ("de", "der schnelle braune fuchs springt ueber den faulen hund und schaut"),
+      ("de", "die katzen schauen nicht zu waehrend das wetter schlecht wird"),
+      ("fr", "le renard brun rapide saute par dessus le chien paresseux et regarde"),
+      ("fr", "les chats ne regardent pas pendant que le temps devient mauvais"))
+      .toDF("lang", "text")
+    val docs = Seq(
+      (1L, "the dog watches the things over there with the cats"),
+      (2L, "der hund schaut die katzen waehrend das wetter schlecht ist"),
+      (3L, "le chien regarde les chats pendant que le temps est mauvais"),
+      (4L, "000 111 222"), // zero trigram overlap with any profile → still
+      // classified by penalty arithmetic ONLY if some gram matches; the
+      // digits share nothing → every language is a zero-match → unk
+      (5L, "ab")) // shorter than n: no grams at all → unk, distance -1
+      .toDF("doc_id", "text")
+    val got = TextOps.langIdNgram(docs, train, k = 100)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == "en" && got(2L)._1 == "de" && got(3L)._1 == "fr",
+      got.toString)
+    assert(got(4L) == (("unk", -1L)) && got(5L) == (("unk", -1L)))
+    // determinism: repartitioned input yields the identical mapping
+    val again = TextOps.langIdNgram(docs.repartition(5), train.repartition(3), k = 100)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+  }
+
   test("winnowing: shared-substring docs share fingerprints, unrelated don't") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
