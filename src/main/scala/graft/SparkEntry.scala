@@ -198,6 +198,27 @@ object SparkEntry {
   /** Per-process memo of q_stream_crawl's staged two-file WARC input. */
   private val streamCrawlIns = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process memo of q_warc_stream_files' staged .warc.gz directory:
+    * the q_warc_records fixture written as REAL gzipped files on disk so
+    * the streaming file source (FileSystem.open → gunzip → record parse,
+    * no whole-file materialization) runs under the same exact oracle.
+    */
+  private val warcStreamDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcStreamDir(s: SparkSession, d: String): String =
+    warcStreamDirs.synchronized {
+      warcStreamDirs.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("q_warc_stream_")
+        sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d))
+          .select("media_id", "media").collect().foreach { r =>
+            val out = new java.util.zip.GZIPOutputStream(
+              java.nio.file.Files.newOutputStream(
+                dir.resolve(f"f${r.getLong(0)}%06d.warc.gz")))
+            out.write(r.getAs[Array[Byte]](1)); out.close()
+          }
+        dir.toString
+      })
+    }
+
   private val postStores = scala.collection.concurrent.TrieMap.empty[String, TieredStore]
   private def postStore(s: SparkSession, d: String): TieredStore =
     postStores.synchronized {
@@ -891,6 +912,24 @@ object SparkEntry {
           sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d)))
         .filter(col("ok"))
         .select(col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
+          col("warc_type"), col("target_uri"), col("record_id"),
+          col("content_type"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"), col("payload_len"), col("body"))
+        .orderBy("file_id", "rec_idx")),
+    // the SAME fixture through the streaming FILE source: records are
+    // parsed straight off FileSystem.open's gunzipping stream (task heap
+    // = one record, no binaryFile byte-array ceiling) — the oracle is
+    // q_warc_records' verbatim, with file_id recovered from the staged
+    // file NAME (the path hash is physical identity, not data)
+    "q_warc_stream_files" -> ((s, d) =>
+      sources.WarcIngest.readRecordsStreamed(s, warcStreamDir(s, d) + "/*.warc.gz",
+          targetBytesPerPartition = 1L << 20)
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("path"), "f(\\d+)\\.warc\\.gz", 1)
+            .cast("long").as("file_id"),
+          col("rec_idx").cast("long").as("rec_idx"),
           col("warc_type"), col("target_uri"), col("record_id"),
           col("content_type"),
           col("http_status").cast("long").as("http_status"),
@@ -2848,6 +2887,20 @@ object SparkEntry {
     // arithmetic (the parser's framing/dechunking work cancels out by
     // construction: the body round-trips to the page the fixture built)
     "q_warc_records" ->
+      """SELECT CAST(floor(doc_id / 4) AS BIGINT) AS file_id,
+        |  CAST(doc_id % 4 AS BIGINT) AS rec_idx,
+        |  'response' AS warc_type,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  'application/http; msgtype=response' AS content_type,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  'text/html; charset=utf-8' AS http_content_type,
+        |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS payload_len,
+        |  '<html><body><p>' || text || '</p></body></html>' AS body
+        |FROM documents ORDER BY file_id, rec_idx""".stripMargin,
+    // identical expected output: the streaming file source must parse the
+    // staged .warc.gz files to exactly what the in-memory path produces
+    "q_warc_stream_files" ->
       """SELECT CAST(floor(doc_id / 4) AS BIGINT) AS file_id,
         |  CAST(doc_id % 4 AS BIGINT) AS rec_idx,
         |  'response' AS warc_type,

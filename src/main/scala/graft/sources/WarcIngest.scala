@@ -7,8 +7,13 @@ import java.util.zip.GZIPInputStream
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{Decoder, MediaRow}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** WARC (ISO 28500) ingestion — the container format crawl corpora ship in
   * (Common Crawl et al.), i.e. the byte format the 100 TB story actually
@@ -424,7 +429,10 @@ object WarcIngest {
     * The COMPRESSED file rides as one binary column value (binaryFile's
     * JVM-array bound is ~2 GiB — Common Crawl's ~1 GiB-compressed shard
     * convention fits); decompression then streams record-at-a-time, so
-    * that column is the task's only whole-file allocation.
+    * that column is the task's only whole-file allocation. Kept for
+    * frame-shaped composition (join-back on media_id etc.); prefer
+    * [[readRecordsStreamed]] when the goal is records — it never
+    * materializes the file at all and has no size ceiling.
     */
   def readFiles(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)
@@ -432,6 +440,164 @@ object WarcIngest {
         col("path").as("kind"),
         col("content").as("media"),
         col("length").as("n_bytes"))
+
+  /** One record of [[readRecordsStreamed]] — [[WarcRecord]] plus the
+    * source file's fully-qualified path (`file_id` is `xxhash64(path)`
+    * with Spark's default seed, so ids line up with a
+    * `xxhash64(col("path"))` join key computed anywhere else).
+    */
+  case class StreamedWarcRecord(path: String, file_id: Long, rec_idx: Int,
+                                warc_type: String, target_uri: String,
+                                record_id: String, content_type: String,
+                                http_status: Int, http_content_type: String,
+                                payload_len: Long, body: String,
+                                charset: String, ok: Boolean, err: String)
+
+  /** Hadoop `Configuration` is not `Serializable`; this is the standard
+    * `write`/`readFields` wrapper so tasks can open `FileSystem` streams
+    * with the driver's configuration (credentials, fs.defaultFS, etc.).
+    */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false); value.readFields(in)
+    }
+  }
+
+  /** Task-side record iterator over ONE file path: `FileSystem.open` →
+    * gzip sniff → [[parseRecords]] straight off the stream. Heap held at
+    * any moment is the 64 KiB read buffer plus ONE record block — the
+    * file is NEVER materialized, compressed or decompressed, so archive
+    * size is unbounded (no `binaryFile` 2 GiB ceiling). The stream closes
+    * on iterator exhaustion and again on task completion (whichever
+    * comes first — a downstream `limit` can abandon the iterator early).
+    * An unopenable path quarantines as a single `ok=false` row rather
+    * than failing the task: at 100 TB a file deleted between listing and
+    * read is routine, not fatal.
+    */
+  private[graft] def parsePath(conf: Configuration, path: String,
+                               maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
+    val fileId = XXH64.hashUTF8String(UTF8String.fromString(path), 42L)
+    def msg(e: Exception) = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    def lone(err: String) = Iterator.single(WarcRecord(fileId, 0, "", "", "",
+      "", -1, "", -1L, "", "", ok = false, err = err))
+    val raw: InputStream =
+      try { val hp = new HadoopPath(path); hp.getFileSystem(conf).open(hp) }
+      catch { case e: Exception => return lone(s"open: ${msg(e)}") }
+    val in: InputStream =
+      try {
+        val pb = new java.io.PushbackInputStream(raw, 2)
+        val head = new Array[Byte](2)
+        val n = pb.read(head)
+        if (n > 0) pb.unread(head, 0, n)
+        // GZIPInputStream reads and validates the member header here, so
+        // a corrupt header quarantines on the gzip lane, not "open"
+        if (n == 2 && isGzip(head)) new GZIPInputStream(pb, 64 << 10) else pb
+      } catch {
+        case e: Exception =>
+          try raw.close() catch { case _: Exception => }
+          return lone(s"gzip: ${msg(e)}")
+      }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      try in.close() catch { case _: Exception => }
+    })
+    val it = parseRecords(fileId, in, maxRecordBytes)
+    new Iterator[WarcRecord] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; try in.close() catch { case _: Exception => } }
+        h
+      }
+      def next(): WarcRecord = it.next()
+    }
+  }
+
+  /** First-fit-decreasing bin-pack of (path, bytes, hosts) files into
+    * partitions: capacity = min(target, ⌈Σ/wantBins⌉) where wantBins
+    * floors at cluster parallelism (small corpora still spread), files
+    * sort size-descending so big shards seed bins and small ones fill
+    * gaps. A file larger than capacity is indivisible and gets its own
+    * bin — any scheme is bounded by the largest file. Per-bin hosts are
+    * the union of member files' block hosts (locality hints for
+    * `makeRDD`; empty on object stores, harmless locally). Driver cost
+    * is O(n·bins) over the LISTING only — no data moves.
+    */
+  private[graft] def planBins(files: Seq[(String, Long, Seq[String])],
+                                target: Long, parallelism: Int): Seq[(Seq[String], Seq[String])] = {
+    if (files.isEmpty) return Nil
+    val total = files.map(_._2).sum
+    val byTarget = (total + math.max(target, 1L) - 1) / math.max(target, 1L)
+    val wantBins = math.min(files.size.toLong,
+      math.max(byTarget, math.min(parallelism.toLong, files.size.toLong))).toInt
+    val cap = math.max(1L, math.min(target, (total + wantBins - 1) / wantBins))
+    val sorted = files.sortBy(f => (-f._2, f._1))
+    val paths = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    val hosts = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashSet[String]]
+    val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for ((p, len, hs) <- sorted) {
+      var i = 0
+      while (i < used.length && used(i) + len > cap) i += 1
+      if (i == used.length) {
+        paths += scala.collection.mutable.ArrayBuffer.empty[String]
+        hosts += scala.collection.mutable.LinkedHashSet.empty[String]
+        used += 0L
+      }
+      paths(i) += p; hosts(i) ++= hs; used(i) += len
+    }
+    paths.indices.map(i => (paths(i).toSeq, hosts(i).toSeq))
+  }
+
+  /** WARC records from disk with task heap bounded by ONE RECORD — the
+    * scale successor to [[readFiles]]+[[records]] (which materializes
+    * each COMPRESSED file as one `binaryFile` byte array, capping
+    * archives at 2 GiB and task heap at ~file size). Here the driver
+    * lists the glob (names and sizes only), bin-packs files into
+    * partitions by COMPRESSED byte volume via [[planBins]] (sizes are
+    * free from the listing — no sizing job), and each task opens its
+    * files one at a time with `FileSystem.open`, feeding the gunzipping
+    * stream straight through [[parseRecords]]. A 50 GiB archive ingests
+    * in the same task heap as a 50 MiB one. Block-location hints ride
+    * `makeRDD`'s preferred-locations seq, so on HDFS-like stores tasks
+    * land data-local; on object stores the hint list is empty.
+    */
+  def readRecordsStreamed(spark: SparkSession, pathGlob: String,
+                          targetBytesPerPartition: Long = 512L << 20,
+                          maxRecordBytes: Long = MaxRecordBytes): DataFrame = {
+    val sc = spark.sparkContext
+    val hconf = sc.hadoopConfiguration
+    val glob = new HadoopPath(pathGlob)
+    val fs = glob.getFileSystem(hconf)
+    val statuses: Array[FileStatus] =
+      Option(fs.globStatus(glob)).getOrElse(Array.empty[FileStatus])
+        .flatMap(st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+          else if (st.isFile) Array(st) else Array.empty[FileStatus])
+    val enc = Encoders.product[StreamedWarcRecord]
+    if (statuses.isEmpty) return spark.emptyDataset(enc).toDF()
+    val files = statuses.map { st =>
+      val hs = try fs.getFileBlockLocations(st, 0L, st.getLen)
+          .flatMap(_.getHosts).distinct.toSeq
+        catch { case _: Exception => Seq.empty[String] }
+      (st.getPath.toString, st.getLen, hs)
+    }.toSeq
+    val bins = planBins(files, targetBytesPerPartition, sc.defaultParallelism)
+    val bcConf = sc.broadcast(new SerializableHadoopConf(hconf))
+    val cap = maxRecordBytes
+    val rdd = sc.makeRDD(bins).flatMap { paths =>
+      paths.iterator.flatMap { p =>
+        parsePath(bcConf.value.value, p, cap).map(r =>
+          StreamedWarcRecord(p, r.file_id, r.rec_idx, r.warc_type,
+            r.target_uri, r.record_id, r.content_type, r.http_status,
+            r.http_content_type, r.payload_len, r.body, r.charset, r.ok, r.err))
+      }
+    }
+    spark.createDataset(rdd)(enc).toDF()
+  }
 
   /** Deterministic id-derived WARC files over the documents table (the
     * [[Multimodal]] synthetic-fixture pattern): each doc becomes one HTTP

@@ -296,4 +296,91 @@ class WarcIngestSpec extends SparkSuite {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  private def writeFile(dir: java.io.File, name: String, bytes: Array[Byte]): java.io.File = {
+    val f = new java.io.File(dir, name)
+    val fos = new java.io.FileOutputStream(f)
+    fos.write(bytes); fos.close()
+    f
+  }
+
+  test("readRecordsStreamed matches the materialized parse across gzip layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_s").toFile
+    try {
+      // three layouts: whole-file gzip, per-record gzip members, plain
+      val contents = Map(
+        "whole.warc.gz" -> gzipMember(record(1, "alpha") ++ record(2, "beta")),
+        "members.warc.gz" -> (gzipMember(record(3, "gamma")) ++ gzipMember(record(4, "delta"))),
+        "plain.warc" -> (record(5, "epsilon") ++ record(6, "zeta")))
+      contents.foreach { case (n, b) => writeFile(dir, n, b) }
+      val got = WarcIngest.readRecordsStreamed(spark, dir.getAbsolutePath + "/*")
+        .collect().map(r => (new java.io.File(r.getAs[String]("path")).getName,
+          r.getAs[Int]("rec_idx"), r.getAs[String]("body"), r.getAs[Boolean]("ok")))
+        .toSet
+      val want = contents.flatMap { case (n, b) =>
+        WarcIngest.parseFile(0L, b).map(r => (n, r.rec_idx, r.body, r.ok))
+      }.toSet
+      assert(got == want && got.size == 6 && got.forall(_._4))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("readRecordsStreamed file_id equals Spark's xxhash64 over the path") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_id").toFile
+    try {
+      writeFile(dir, "one.warc.gz", gzipMember(record(1, "idcheck")))
+      val row = WarcIngest.readRecordsStreamed(spark, dir.getAbsolutePath + "/*")
+        .select(col("path"), col("file_id")).head()
+      val expected = spark.range(1)
+        .select(xxhash64(lit(row.getAs[String]("path")))).head().getLong(0)
+      assert(row.getAs[Long]("file_id") == expected)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("readRecordsStreamed quarantines a corrupt file, parses the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_q").toFile
+    try {
+      // gzip magic then garbage: construction succeeds, inflate fails
+      writeFile(dir, "bad.warc.gz",
+        Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9, 9, 9, 9, 9, 9))
+      writeFile(dir, "good.warc.gz", gzipMember(record(1, "survivor")))
+      val rows = WarcIngest.readRecordsStreamed(spark, dir.getAbsolutePath + "/*")
+        .collect()
+      val (ok, bad) = rows.partition(_.getAs[Boolean]("ok"))
+      assert(ok.length == 1 && ok.head.getAs[String]("body") == "survivor")
+      assert(bad.length == 1 && bad.head.getAs[String]("err").startsWith("gzip:"))
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("readRecordsStreamed per-record cap skips by length, keeps parsing") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_c").toFile
+    try {
+      val big = record(1, "x" * 4096)
+      val small = record(2, "small")
+      writeFile(dir, "mix.warc.gz", gzipMember(big) ++ gzipMember(small))
+      val rows = WarcIngest.readRecordsStreamed(spark, dir.getAbsolutePath + "/*",
+          maxRecordBytes = 1024L).collect().sortBy(_.getAs[Int]("rec_idx"))
+      assert(rows.length == 2)
+      assert(!rows(0).getAs[Boolean]("ok") &&
+        rows(0).getAs[String]("err").contains("exceeds cap"))
+      assert(rows(1).getAs[Boolean]("ok") && rows(1).getAs[String]("body") == "small")
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
+  test("planBins: byte-volume FFD, oversized file isolated, parallelism floor") {
+    def f(n: String, len: Long) = (n, len, Seq.empty[String])
+    // one oversized + small fillers at capacity 100
+    val bins = WarcIngest.planBins(
+      Seq(f("huge", 350L), f("a", 60L), f("b", 50L), f("c", 40L), f("d", 10L)),
+      target = 100L, parallelism = 1)
+    val byName = bins.map(_._1.toSet)
+    assert(byName.contains(Set("huge"))) // indivisible, own bin
+    // every non-oversized bin is within capacity
+    val sizes = Map("huge" -> 350L, "a" -> 60L, "b" -> 50L, "c" -> 40L, "d" -> 10L)
+    for (b <- byName if b != Set("huge")) assert(b.toSeq.map(sizes).sum <= 130L)
+    // parallelism floor: 4 one-byte files at huge target still spread to 4 bins
+    val spread = WarcIngest.planBins(
+      Seq(f("a", 1L), f("b", 1L), f("c", 1L), f("d", 1L)),
+      target = 1L << 30, parallelism = 8)
+    assert(spread.length == 4 && spread.forall(_._1.length == 1))
+  }
 }
