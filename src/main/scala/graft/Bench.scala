@@ -133,7 +133,8 @@ object Bench {
   private[graft] def compactKeys(names: Seq[String],
                                  abbrev: Map[String, String],
                                  minLen: Int = 2,
-                                 minBare: Int = 4): Map[String, String] = {
+                                 minBare: Int = 4,
+                                 sep: String = "_"): Map[String, String] = {
     def rendered(n: String): (String, String) = { // (prefix, suffix)
       val bare = n.stripPrefix("q_")
       val cut = bare.indexOf('_')
@@ -156,7 +157,7 @@ object Bench {
     def keyOf(n: String): String = parts(n) match {
       case (p, "") => p.take(lens(n))
       // a truncation landing on '_' would render a dangling separator
-      case (p, s) => p + "_" + s.take(lens(n)).reverse.dropWhile(_ == '_').reverse
+      case (p, s) => p + sep + s.take(lens(n)).reverse.dropWhile(_ == '_').reverse
     }
     def fullLen(n: String): Int = parts(n) match {
       case (p, "") => p.length
@@ -183,7 +184,7 @@ object Bench {
       grp.keys.foreach { n =>
         out(n) = parts(n) match {
           case (p, "") => p
-          case (p, s) => p + "_" + s
+          case (p, s) => p + sep + s
         }
       }
     }
@@ -269,6 +270,23 @@ object Bench {
       abbrevOverride = Some(fullAbbrev), keyOverride = Some(compact),
       calibration = calibration)
     if (compacted.length <= stdoutBudget) return compacted
+    // r15 tier: FUSED keys — the family separator underscore goes too
+    // ("a_qu" → "aqu"), ~1 char per query, which is exactly the margin
+    // the 156-query roster needed. Injectivity is re-proven over the
+    // fused rendering (different suffixes could fuse identically); a
+    // violation throws inside compactKeys and elision resumes below —
+    // never a silently dropped duplicate JSON key.
+    val fused = scala.util.Try {
+      val m = compactKeys(snap.map(_._1) ++ failed, fullAbbrev, sep = "")
+      (m, formatLine(snap, failed, sfBase, partial, shortKeys = true,
+        abbrevOverride = Some(fullAbbrev), keyOverride = Some(m),
+        calibration = calibration))
+    }
+    fused match {
+      case scala.util.Success((_, line)) if line.length <= stdoutBudget =>
+        return line
+      case _ => ()
+    }
     val total = snap.map(_._2).sum
     val byTime = snap.sortBy { case (n, v) => (-v, n) }
     def lineFor(k: Int): String =

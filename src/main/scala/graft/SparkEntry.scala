@@ -964,6 +964,21 @@ object SparkEntry {
           col("n_streams").cast("long").as("n_streams"),
           col("text"), col("n_chars"))
         .orderBy("doc_id")),
+    // PDF tier 2 under the same exact-oracle pattern: each doc becomes a
+    // PDF 1.5 file whose page tree lives in an /ObjStm object stream,
+    // the xref is a cross-reference STREAM (Flate + PNG Up predictor),
+    // and the doc text shows through a Type0 font's ToUnicode CMap
+    // (2-byte codes 0x10nn → U+00nn; bfchar incl. multi-unit dst on %3)
+    // — the layout and font shape MODERN real-world PDFs actually use
+    "q_pdf_cid" -> ((s, d) =>
+      operators.PdfText.extract(
+          operators.PdfText.syntheticCidPdfFromDocuments(Canon.documents(s, d)))
+        .filter(col("ok"))
+        .select(col("file_id").as("doc_id"),
+          col("n_objects").cast("long").as("n_objects"),
+          col("n_streams").cast("long").as("n_streams"),
+          col("text"), col("n_chars"))
+        .orderBy("doc_id")),
     // charset-aware body decode under an EXACT oracle: the fixture plants
     // raw windows-1252 / Shift-JIS / BOM bytes (ISO-8859-1 file encoding
     // makes chr(n) == byte n), the parser sniffs per the WHATWG
@@ -2969,6 +2984,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(4 AS BIGINT) AS n_objects,
         |  CAST(1 AS BIGINT) AS n_streams,
         |  t AS text, CAST(strlen(t) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // tier-2 expected extraction: the CID decode cancels by construction
+    // (code 0x10nn → U+00nn over ASCII text), the bfchar pair adds «AB
+    // on the %3 schedule; length() (codepoints) because « is non-ASCII
+    "q_pdf_cid" ->
+      """WITH e AS (SELECT doc_id,
+        |  'Title doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+        |  chr(10) || 'plain ' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '«AB' ELSE '' END) AS t
+        |FROM documents)
+        |SELECT doc_id, CAST(9 AS BIGINT) AS n_objects,
+        |  CAST(1 AS BIGINT) AS n_streams,
+        |  t AS text, CAST(length(t) AS BIGINT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin,
     // charset sniffing replayed: the decoded text per variant is plain
     // Unicode literal arithmetic (0x93/0x94 → U+201C/U+201D under 1252,

@@ -23,12 +23,23 @@ import org.apache.spark.sql.functions._
   * literal strings with the full escape table (`\n \r \t \b \f \( \) \\`,
   * octal, line continuation) and hex strings.
   *
-  * Declared boundaries (documented, not silent): no font /Encoding or
-  * ToUnicode CMap resolution (bytes are read as Latin-1 — correct for
-  * the ASCII/WinAnsi majority, mojibake for subsetted-CID fonts), no
-  * xref/object-stream (`/ObjStm`) indirection, no encryption. Those are
-  * the full-decoder tier; this is the honest planning tier, like
-  * `keyframeSamplePlan` for video.
+  * Tier 2 (r15): the PRIMARY path is now xref-driven — classic `xref`
+  * tables and PDF 1.5+ cross-reference STREAMS (/Type/XRef with /W
+  * widths, /Index subsections, FlateDecode + PNG predictors), object
+  * streams (/Type/ObjStm — where most modern PDFs keep their page tree),
+  * /Prev chaining across incremental updates, and per-font ToUnicode
+  * CMap resolution (codespacerange / bfchar / bfrange incl. array dst
+  * and multi-code-unit dst, UTF-16BE semantics) keyed off the content
+  * stream's `Tf` font selections — so subsetted-CID text decodes to real
+  * Unicode instead of Latin-1 mojibake. Any tier-2 failure (no/damaged
+  * xref, unsupported filter) falls back to the tier-1 linear object scan
+  * below, which is exactly what real extractors do with damaged files.
+  *
+  * Declared boundaries (documented, not silent): no font /Encoding
+  * differences map (untagged non-CID bytes read as Latin-1 — correct for
+  * the ASCII/WinAnsi majority), no encryption (/Encrypt quarantines),
+  * no CMaps loaded by NAME from an external collection (embedded
+  * /ToUnicode only — the form subsetted fonts actually ship).
   */
 object PdfText {
 
@@ -76,13 +87,624 @@ object PdfText {
     -1
   }
 
+  // ------------------------------------------------------------------
+  // Tier 2: PDF object model, xref/ObjStm resolution, ToUnicode CMaps
+  // ------------------------------------------------------------------
+
+  private sealed trait PObj
+  private case object PNull extends PObj
+  private final case class PBool(v: Boolean) extends PObj
+  private final case class PNum(v: Double) extends PObj { def int: Int = v.toInt }
+  private final case class PName(v: String) extends PObj
+  private final case class PStr(bytes: Array[Byte]) extends PObj
+  private final case class PArr(items: Vector[PObj]) extends PObj
+  private final case class PDict(m: Map[String, PObj]) extends PObj
+  private final case class PRef(num: Int, gen: Int) extends PObj
+  /** Stream object: dict + the RAW (still-encoded) data slice. */
+  private final case class PStreamObj(dict: PDict, raw: Array[Byte]) extends PObj
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Recursive-descent parser over the raw file bytes (ISO 32000 §7.3).
+    * `R` references are recognized by two-integer lookahead with position
+    * restore; `stream` data slicing is the caller's job (it needs the
+    * document to resolve an indirect /Length).
+    */
+  private final class PLexer(val b: Array[Byte], var pos: Int) {
+    def ws(): Unit = {
+      var going = true
+      while (going && pos < b.length) {
+        val c = b(pos) & 0xff
+        if (isWs(c)) pos += 1
+        else if (c == '%') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else going = false
+      }
+    }
+    def peek: Int = if (pos < b.length) b(pos) & 0xff else -1
+    def peek2: Int = if (pos + 1 < b.length) b(pos + 1) & 0xff else -1
+    /** Run of regular (non-ws, non-delimiter) bytes. */
+    def token(): String = {
+      val start = pos
+      while (pos < b.length && !isWs(b(pos) & 0xff) && !isDelim(b(pos) & 0xff)) pos += 1
+      new String(b, start, pos - start, "ISO-8859-1")
+    }
+    /** True (and consumes) if the next token is exactly `kw`. */
+    def keyword(kw: String): Boolean = {
+      ws()
+      val save = pos
+      if (token() == kw) true else { pos = save; false }
+    }
+    def int(): Int = { ws(); token().toInt }
+    private def name(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (pos < b.length && !isWs(b(pos) & 0xff) && !isDelim(b(pos) & 0xff)) {
+        val c = b(pos) & 0xff
+        if (c == '#' && pos + 2 < b.length) {
+          sb.append(Integer.parseInt(
+            new String(b, pos + 1, 2, "ISO-8859-1"), 16).toChar)
+          pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+    private def literalStr(): PStr = {
+      val out = new java.io.ByteArrayOutputStream(32)
+      pos += 1 // '('
+      var depth = 1
+      while (pos < b.length && depth > 0) {
+        val c = b(pos) & 0xff
+        if (c == '\\' && pos + 1 < b.length) {
+          val e = b(pos + 1) & 0xff
+          e match {
+            case 'n' => out.write('\n'); pos += 2
+            case 'r' => out.write('\r'); pos += 2
+            case 't' => out.write('\t'); pos += 2
+            case 'b' => out.write('\b'); pos += 2
+            case 'f' => out.write('\f'); pos += 2
+            case '(' | ')' | '\\' => out.write(e); pos += 2
+            case '\r' => pos += 2; if (pos < b.length && b(pos) == '\n') pos += 1
+            case '\n' => pos += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; pos += 1
+              while (k < 3 && pos < b.length && b(pos) >= '0' && b(pos) <= '7') {
+                v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+              }
+              out.write(v & 0xff)
+            case _ => out.write(e); pos += 2
+          }
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) out.write(c)
+          pos += 1
+        }
+      }
+      PStr(out.toByteArray)
+    }
+    private def hexStr(): PStr = {
+      val out = new java.io.ByteArrayOutputStream(16)
+      pos += 1 // '<'
+      var hi = -1
+      while (pos < b.length && b(pos) != '>') {
+        val d = Character.digit(b(pos).toChar, 16)
+        if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+        pos += 1
+      }
+      if (hi >= 0) out.write(hi << 4)
+      if (pos < b.length) pos += 1 // '>'
+      PStr(out.toByteArray)
+    }
+    def parse(): PObj = {
+      ws()
+      peek match {
+        case -1 => throw new IllegalStateException("unexpected EOF in object")
+        case '<' if peek2 == '<' =>
+          pos += 2
+          val m = Map.newBuilder[String, PObj]
+          var going = true
+          while (going) {
+            ws()
+            if (peek == '>' && peek2 == '>') { pos += 2; going = false }
+            else if (peek == '/') {
+              val k = name().v
+              m += k -> parse()
+            } else throw new IllegalStateException(s"bad dict key at $pos")
+          }
+          PDict(m.result())
+        case '<' => hexStr()
+        case '(' => literalStr()
+        case '/' => name()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          ws()
+          while (peek != ']' && peek != -1) { items += parse(); ws() }
+          if (peek == ']') pos += 1
+          PArr(items.result())
+        case c if (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.' =>
+          val t = token()
+          val v = t.toDouble
+          if (v >= 0 && v == math.floor(v) && !t.contains('.')) {
+            // two-integer + R lookahead → reference
+            val save = pos
+            ws()
+            if (peek >= '0' && peek <= '9') {
+              val t2 = token()
+              ws()
+              if (peek == 'R' && (pos + 1 >= b.length ||
+                  isWs(b(pos + 1) & 0xff) || isDelim(b(pos + 1) & 0xff))) {
+                pos += 1
+                return PRef(v.toInt, t2.toInt)
+              }
+            }
+            pos = save
+          }
+          PNum(v)
+        case _ =>
+          token() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case other => throw new IllegalStateException(s"bad token '$other'")
+          }
+      }
+    }
+  }
+
+  /** Undo PNG row predictors (RFC 2083 filters 0-4) — how xref streams
+    * are almost always stored (/Predictor 12 = PNG Up). `/Predictor 1`
+    * passes through; TIFF predictor 2 is unsupported (throws → tier-1
+    * fallback).
+    */
+  private[graft] def unpredict(d: Array[Byte], predictor: Int,
+                                   columns: Int, colors: Int = 1, bpc: Int = 8): Array[Byte] = {
+    if (predictor <= 1) return d
+    if (predictor < 10) throw new IllegalStateException(s"predictor $predictor unsupported")
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    val nRows = d.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = d(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = d(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val upLeft = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case other => throw new IllegalStateException(s"png filter $other")
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** A font's embedded ToUnicode CMap (ISO 32000 §9.10.3): codespace
+    * ranges fix the code byte LENGTH (shortest match first), bfchar /
+    * bfrange entries map codes to UTF-16BE text (bfrange increments the
+    * dst's last code unit, or indexes an explicit array). A code inside
+    * a codespace with no mapping decodes to U+FFFD — loud, not silent.
+    */
+  private[graft] final class ToUnicode(
+      codespaces: Seq[(Int, Long, Long)],
+      mappings: Seq[(Int, Long, Long, Either[String, Vector[String]])]) {
+    private val lens = codespaces.map(_._1).distinct.sorted
+    def decode(bytes: Array[Byte]): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < bytes.length) {
+        var len = -1
+        var li = 0
+        while (len < 0 && li < lens.length) {
+          val l = lens(li)
+          if (i + l <= bytes.length) {
+            var v = 0L; var k = 0
+            while (k < l) { v = (v << 8) | (bytes(i + k) & 0xff); k += 1 }
+            if (codespaces.exists(c => c._1 == l && v >= c._2 && v <= c._3)) {
+              mappings.find(m => m._1 == l && v >= m._2 && v <= m._3) match {
+                case Some((_, lo, _, Left(base))) =>
+                  val delta = (v - lo).toInt
+                  if (base.isEmpty) out.append('�')
+                  else {
+                    out.append(base.substring(0, base.length - 1))
+                    out.append((base.charAt(base.length - 1) + delta).toChar)
+                  }
+                case Some((_, lo, _, Right(list))) =>
+                  val d = (v - lo).toInt
+                  out.append(if (d < list.length) list(d) else "�")
+                case None => out.append('�')
+              }
+              len = l
+            }
+          }
+          li += 1
+        }
+        if (len < 0) { out.append('�'); len = lens.headOption.getOrElse(1) }
+        i += len
+      }
+      out.toString
+    }
+  }
+
+  private def utf16(bytes: Array[Byte]): String =
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+
+  /** Parse a decoded ToUnicode CMap stream. Only the operators that
+    * carry mappings are interpreted (codespacerange / bfchar / bfrange
+    * sections); the surrounding PostScript scaffolding is skipped as
+    * tokens, per the spec's own guidance.
+    */
+  private[graft] def parseToUnicode(data: Array[Byte]): ToUnicode = {
+    val lx = new PLexer(data, 0)
+    val codespaces = Seq.newBuilder[(Int, Long, Long)]
+    val mappings = Seq.newBuilder[(Int, Long, Long, Either[String, Vector[String]])]
+    def codeVal(s: PStr): (Int, Long) = {
+      var v = 0L
+      s.bytes.foreach(x => v = (v << 8) | (x & 0xff))
+      (s.bytes.length, v)
+    }
+    var section = ""
+    while (lx.pos < data.length) {
+      lx.ws()
+      if (lx.pos >= data.length) ()
+      else if (lx.peek == '<' && lx.peek2 != '<') {
+        val first = lx.parse().asInstanceOf[PStr]
+        section match {
+          case "codespace" =>
+            val second = lx.parse().asInstanceOf[PStr]
+            val (l1, lo) = codeVal(first); val (_, hi) = codeVal(second)
+            codespaces += ((l1, lo, hi))
+          case "bfchar" =>
+            val dst = lx.parse().asInstanceOf[PStr]
+            val (l1, code) = codeVal(first)
+            mappings += ((l1, code, code, Left(utf16(dst.bytes))))
+          case "bfrange" =>
+            val second = lx.parse().asInstanceOf[PStr]
+            val (l1, lo) = codeVal(first); val (_, hi) = codeVal(second)
+            lx.ws()
+            if (lx.peek == '[') {
+              val arr = lx.parse().asInstanceOf[PArr]
+              mappings += ((l1, lo, hi,
+                Right(arr.items.collect { case PStr(bs) => utf16(bs) }.toVector)))
+            } else {
+              val dst = lx.parse().asInstanceOf[PStr]
+              mappings += ((l1, lo, hi, Left(utf16(dst.bytes))))
+            }
+          case _ => () // stray hex outside a section: scaffolding
+        }
+      } else if (lx.peek == '<' || lx.peek == '(' || lx.peek == '[' ||
+                 lx.peek == '/') {
+        lx.parse() // dict/string/array/name scaffolding: skip structurally
+      } else {
+        lx.token() match {
+          case "begincodespacerange" => section = "codespace"
+          case "beginbfchar" => section = "bfchar"
+          case "beginbfrange" => section = "bfrange"
+          case "endcodespacerange" | "endbfchar" | "endbfrange" => section = ""
+          case "" => lx.pos += 1 // lone delimiter byte: skip
+          case _ => () // numbers / PostScript operators
+        }
+      }
+    }
+    new ToUnicode(codespaces.result(), mappings.result())
+  }
+
+  /** Loaded cross-reference map + object fetch. `load()` finds the LAST
+    * `startxref`, then walks classic tables and/or xref streams through
+    * /Prev (and hybrid /XRefStm) links, first-seen entry winning — the
+    * incremental-update rule. Objects resolve by offset (type 1) or
+    * through /ObjStm object streams (type 2, cached per stream).
+    */
+  private final class PdfFile(b: Array[Byte]) {
+    import scala.collection.mutable
+    private sealed trait XE
+    private final case class XOff(off: Int) extends XE
+    private final case class XInStm(stm: Int, idx: Int) extends XE
+    private val xref = mutable.HashMap.empty[Int, XE]
+    var trailer: Map[String, PObj] = Map.empty
+    private val cache = mutable.HashMap.empty[Int, PObj]
+    private val stmCache = mutable.HashMap.empty[Int, (Int, Array[Byte], Vector[(Int, Int)])]
+
+    def inUseCount: Int = xref.size
+
+    def load(): Boolean = {
+      // last startxref wins (incremental updates append)
+      var at = -1; var p = 0
+      var going = true
+      while (going) {
+        val n = find(b, "startxref", p)
+        if (n < 0) going = false else { at = n; p = n + 1 }
+      }
+      if (at < 0) return false
+      val lx = new PLexer(b, at + "startxref".length)
+      var next = lx.int()
+      val seen = mutable.Set.empty[Int]
+      while (next >= 0 && next < b.length && !seen(next)) {
+        seen += next
+        next = loadSection(next)
+      }
+      trailer.contains("Root")
+    }
+
+    /** One xref section at `off`; returns the /Prev offset or -1. */
+    private def loadSection(off: Int): Int = {
+      val lx = new PLexer(b, off)
+      if (lx.keyword("xref")) {
+        // classic table: subsections of 20-byte-ish entries
+        var going = true
+        while (going) {
+          lx.ws()
+          if (lx.keyword("trailer")) going = false
+          else if (lx.peek >= '0' && lx.peek <= '9') {
+            val start = lx.int(); val count = lx.int()
+            var k = 0
+            while (k < count) {
+              val o = lx.int(); lx.int() // gen
+              lx.ws(); val flag = lx.token()
+              if (flag == "n" && !xref.contains(start + k)) xref(start + k) = XOff(o)
+              k += 1
+            }
+          } else going = false
+        }
+        val d = lx.parse().asInstanceOf[PDict].m
+        // hybrid-reference file: the /XRefStm stream takes precedence
+        // over this table's /Prev chain for the entries it carries
+        d.get("XRefStm").collect { case PNum(v) => loadSection(v.toInt) }
+        trailer = trailer ++ (d -- trailer.keySet) // first-seen keys win
+        d.get("Prev") match { case Some(PNum(v)) => v.toInt; case _ => -1 }
+      } else {
+        // xref STREAM: "N G obj << /Type /XRef ... >> stream"
+        lx.int(); lx.int()
+        if (!lx.keyword("obj")) throw new IllegalStateException("xref: no obj")
+        val so = parseMaybeStream(lx, resolveLen = false)
+        val s = so.asInstanceOf[PStreamObj]
+        val data = decodeStream(s)
+        val d = s.dict.m
+        val w = d("W").asInstanceOf[PArr].items.map(_.asInstanceOf[PNum].int)
+        val size = d("Size").asInstanceOf[PNum].int
+        val index: Seq[(Int, Int)] = d.get("Index") match {
+          case Some(PArr(items)) =>
+            items.map(_.asInstanceOf[PNum].int).grouped(2)
+              .collect { case Seq(a, c) => (a, c) }.toSeq
+          case _ => Seq((0, size))
+        }
+        val rowLen = w.sum
+        var pos = 0
+        for ((start, count) <- index; k <- 0 until count
+             if pos + rowLen <= data.length) {
+          def field(fi: Int): Long = {
+            var v = 0L
+            val base = pos + w.take(fi).sum
+            for (j <- 0 until w(fi)) v = (v << 8) | (data(base + j) & 0xff)
+            v
+          }
+          val typ = if (w(0) == 0) 1L else field(0)
+          val num = start + k
+          if (!xref.contains(num)) typ match {
+            case 1L => xref(num) = XOff(field(1).toInt)
+            case 2L => xref(num) = XInStm(field(1).toInt, field(2).toInt)
+            case _ => () // type 0 free / unknown: skip
+          }
+          pos += rowLen
+        }
+        trailer = trailer ++ (d -- trailer.keySet)
+        d.get("Prev") match { case Some(PNum(v)) => v.toInt; case _ => -1 }
+      }
+    }
+
+    /** Parse the object at the lexer position; if its dict is followed by
+      * `stream`, slice the raw data by /Length (resolving an indirect
+      * length when `resolveLen`, else falling back to `endstream`).
+      */
+    private def parseMaybeStream(lx: PLexer, resolveLen: Boolean): PObj = {
+      val o = lx.parse()
+      o match {
+        case d: PDict =>
+          val save = lx.pos
+          if (lx.keyword("stream")) {
+            var ds = lx.pos
+            if (ds < b.length && b(ds) == '\r') ds += 1
+            if (ds < b.length && b(ds) == '\n') ds += 1
+            val len: Option[Int] = d.m.get("Length") match {
+              case Some(PNum(v)) => Some(v.toInt)
+              case Some(r: PRef) if resolveLen =>
+                resolve(r) match { case PNum(v) => Some(v.toInt); case _ => None }
+              case _ => None
+            }
+            val de = len.map(l => math.min(ds + l, b.length)).getOrElse(
+              find(b, "endstream", ds) match { case -1 => b.length; case e => e })
+            PStreamObj(d, java.util.Arrays.copyOfRange(b, ds, math.max(de, ds)))
+          } else { lx.pos = save; d }
+        case other => other
+      }
+    }
+
+    def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
+      xref.get(num) match {
+        case Some(XOff(off)) =>
+          val lx = new PLexer(b, off)
+          lx.int(); lx.int()
+          if (!lx.keyword("obj"))
+            throw new IllegalStateException(s"object $num: no obj at $off")
+          parseMaybeStream(lx, resolveLen = true)
+        case Some(XInStm(stm, idx)) =>
+          val (first, data, pairs) = stmCache.getOrElseUpdate(stm, {
+            val s = fetch(stm).asInstanceOf[PStreamObj]
+            val dd = decodeStream(s)
+            val f = s.dict.m("First").asInstanceOf[PNum].int
+            val n = s.dict.m("N").asInstanceOf[PNum].int
+            val hl = new PLexer(dd, 0)
+            val ps = Vector.newBuilder[(Int, Int)]
+            for (_ <- 0 until n) ps += ((hl.int(), hl.int()))
+            (f, dd, ps.result())
+          })
+          if (idx >= pairs.length)
+            throw new IllegalStateException(s"objstm $stm: index $idx out of range")
+          new PLexer(data, first + pairs(idx)._2).parse()
+        case None => PNull
+      }
+    })
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n, _) => resolve(fetch(n))
+      case x => x
+    }
+
+    /** Apply /Filter (+/DecodeParms) to a stream's raw bytes. Flate with
+      * optional PNG predictor; anything else throws → tier-1 fallback.
+      */
+    def decodeStream(s: PStreamObj): Array[Byte] = {
+      val filters: Seq[String] = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map { case PName(n) => n
+          case other => throw new IllegalStateException(s"filter $other") }
+        case PNull => Seq.empty
+        case other => throw new IllegalStateException(s"filter $other")
+      }
+      val parms: Map[String, PObj] = resolve(s.dict.m.getOrElse("DecodeParms", PNull)) match {
+        case PDict(m) => m
+        case PArr(items) => items.collectFirst { case PDict(m) => m }.getOrElse(Map.empty)
+        case _ => Map.empty
+      }
+      var data = s.raw
+      for (f <- filters) f match {
+        case "FlateDecode" | "Fl" =>
+          data = inflate(data, 0, data.length)
+          val pred = parms.get("Predictor") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+          if (pred > 1) {
+            val cols = parms.get("Columns") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+            val colors = parms.get("Colors") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+            val bpc = parms.get("BitsPerComponent") match { case Some(PNum(v)) => v.toInt; case _ => 8 }
+            data = unpredict(data, pred, cols, colors, bpc)
+          }
+        case other => throw new IllegalStateException(s"filter /$other unsupported")
+      }
+      data
+    }
+  }
+
+  /** Xref-driven extraction (the PRIMARY path for well-formed files).
+    * Returns None when the file has no loadable xref — the caller falls
+    * back to the tier-1 linear scan. /Encrypt quarantines explicitly
+    * (Some(ok=false)): silently emitting ciphertext would be worse than
+    * no row.
+    */
+  private def extractTier2(fileId: Long, b: Array[Byte]): Option[PdfDoc] = {
+    val f = new PdfFile(b)
+    val loaded = try f.load() catch { case _: Exception => false }
+    if (!loaded) return None
+    try {
+      if (f.trailer.contains("Encrypt"))
+        return Some(PdfDoc(fileId, f.inUseCount, 0, 0, "", 0L, ok = false,
+          err = "encrypted (boundary: no decryption support)"))
+      val root = f.resolve(f.trailer("Root")) match {
+        case d: PDict => d
+        case _ => return None
+      }
+      // walk the page tree, /Resources inheriting downward per spec
+      val pages = Vector.newBuilder[(PDict, Map[String, PObj])]
+      def walk(node: PObj, inherited: Map[String, PObj], depth: Int): Unit = {
+        if (depth > 64) throw new IllegalStateException("page tree too deep")
+        f.resolve(node) match {
+          case d: PDict =>
+            val res = f.resolve(d.m.getOrElse("Resources", PNull)) match {
+              case PDict(m) => m
+              case _ => inherited
+            }
+            d.m.get("Type") match {
+              case Some(PName("Pages")) =>
+                f.resolve(d.m.getOrElse("Kids", PNull)) match {
+                  case PArr(kids) => kids.foreach(walk(_, res, depth + 1))
+                  case _ => ()
+                }
+              case _ => pages += ((d, res))
+            }
+          case _ => ()
+        }
+      }
+      walk(root.m.getOrElse("Pages", PNull), Map.empty, 0)
+      var nStreams = 0
+      var nText = 0
+      val texts = Vector.newBuilder[String]
+      for ((page, res) <- pages.result()) {
+        // per-page font map: name → ToUnicode (fonts without one decode
+        // Latin-1, the tier-1 behavior)
+        val fonts: Map[String, ToUnicode] =
+          f.resolve(res.getOrElse("Font", PNull)) match {
+            case PDict(fm) => fm.flatMap { case (fname, fref) =>
+              f.resolve(fref) match {
+                case PDict(fd) => f.resolve(fd.getOrElse("ToUnicode", PNull)) match {
+                  case s: PStreamObj =>
+                    Some(fname -> parseToUnicode(f.decodeStream(s)))
+                  case _ => None
+                }
+                case _ => None
+              }
+            }
+            case _ => Map.empty
+          }
+        val contentRefs: Seq[PObj] = page.m.get("Contents") match {
+          case Some(a) => f.resolve(a) match {
+            case PArr(items) => items
+            case one => Seq(one)
+          }
+          case None => Seq.empty
+        }
+        val streams = contentRefs.map(f.resolve).collect { case s: PStreamObj => s }
+        nStreams += streams.length
+        if (streams.nonEmpty) {
+          // spec: a page's content streams form ONE logical stream —
+          // concatenate with a separator byte before tokenizing
+          val joined =
+            if (streams.length == 1) f.decodeStream(streams.head)
+            else {
+              val out = new java.io.ByteArrayOutputStream()
+              streams.foreach { s => out.write(f.decodeStream(s)); out.write('\n') }
+              out.toByteArray
+            }
+          val t = streamText(joined, fonts)
+          if (t.nonEmpty) { nText += 1; texts += t }
+        }
+      }
+      val text = texts.result().mkString("\n")
+      Some(PdfDoc(fileId, f.inUseCount, nStreams, nText, text,
+        text.length.toLong, ok = true, err = ""))
+    } catch {
+      case _: Exception => None // damaged structures: tier-1 fallback
+    }
+  }
+
   /** Extract the show-op text of ONE content stream (already inflated).
     * Outside `BT…ET` nothing is emitted. Deterministic newline policy:
     * `Td`/`TD`/`T*` append one newline when text is already present (and
     * not already newline-terminated); `'` and `"` move to the next line
-    * before showing, per spec.
+    * before showing, per spec. When `fonts` carries a ToUnicode CMap for
+    * the `Tf`-selected font, shown string BYTES decode through it
+    * (subsetted-CID text → real Unicode); otherwise bytes read as
+    * Latin-1 — the tier-1 behavior, correct for ASCII/WinAnsi.
     */
-  private[operators] def streamText(s: Array[Byte]): String = {
+  private[operators] def streamText(s: Array[Byte],
+                                    fonts: Map[String, ToUnicode] = Map.empty): String = {
     val out = new StringBuilder
     var i = 0
     var inText = false
@@ -140,10 +762,22 @@ object PdfText {
       (sb.toString, math.min(p + 1, s.length))
     }
     // token scan: strings are captured (pending) and emitted when a show
-    // operator consumes them; TJ arrays concatenate their string elements
-    var pending = new StringBuilder // strings seen since the last operator
+    // operator consumes them; TJ arrays concatenate their string elements.
+    // pending chars are raw BYTES (≤ 0xFF each); the show decodes them
+    // through the current font's CMap, or 1:1 as Latin-1 without one.
+    var pending = new StringBuilder // string bytes seen since the last operator
+    var currentFont: Option[ToUnicode] = None
+    var lastName = "" // most recent /Name operand (the Tf font operand)
     def show(): Unit = {
-      out.append(pending); pending = new StringBuilder; lastShown = true
+      currentFont match {
+        case Some(cmap) =>
+          val bytes = new Array[Byte](pending.length)
+          var k = 0
+          while (k < pending.length) { bytes(k) = pending.charAt(k).toByte; k += 1 }
+          out.append(cmap.decode(bytes))
+        case None => out.append(pending)
+      }
+      pending = new StringBuilder; lastShown = true
     }
     def op(word: String): Unit = word match {
       case "BT" => inText = true; pending = new StringBuilder
@@ -152,6 +786,9 @@ object PdfText {
       case "'" | "\"" if inText => newline(); show()
       case "Td" | "TD" | "T*" if inText =>
         if (lastShown) newline()
+        pending = new StringBuilder
+      case "Tf" =>
+        currentFont = fonts.get(lastName)
         pending = new StringBuilder
       case _ => pending = new StringBuilder // any other op discards operands
     }
@@ -162,6 +799,12 @@ object PdfText {
       else if (c == '<') { val (t, p) = hexString(i); if (inText) pending.append(t); i = p }
       else if (c == '%') { while (i < s.length && s(i) != '\n') i += 1 } // comment
       else if (c == '\'' || c == '"') { op(c.toChar.toString); i += 1 }
+      else if (c == '/') {
+        val start = i + 1
+        i += 1
+        while (i < s.length && !isWs(s(i) & 0xff) && !isDelim(s(i) & 0xff)) i += 1
+        lastName = new String(s, start, i - start, "ISO-8859-1")
+      }
       else if (Character.isLetter(c) || c == '*') {
         val start = i
         while (i < s.length && { val x = s(i) & 0xff
@@ -172,11 +815,20 @@ object PdfText {
     out.toString
   }
 
-  /** Parse one PDF file into its text row; malformed input quarantines. */
+  /** Parse one PDF file into its text row; malformed input quarantines.
+    * Primary path: xref-driven tier 2 ([[extractTier2]] — the layout
+    * PDF 1.5+ files actually use, with ObjStm and ToUnicode decoding).
+    * Files without a loadable xref — or with damaged structures — fall
+    * back to the tier-1 linear object scan below.
+    */
   private[graft] def parseFile(fileId: Long, b: Array[Byte]): PdfDoc = {
     def bad(msg: String) = PdfDoc(fileId, 0, 0, 0, "", 0L, ok = false, err = msg)
     try {
       if (find(b, "%PDF-", 0) != 0) return bad("missing %PDF- header")
+      extractTier2(fileId, b) match {
+        case Some(doc) => return doc
+        case None => () // no/damaged xref: linear-scan fallback
+      }
       var nObjects = 0
       var nStreams = 0
       var nTextStreams = 0
@@ -270,5 +922,134 @@ object PdfText {
     docs.select(id.as("media_id"), lit("pdf").as("kind"),
         encode(pdf, "UTF-8").as("media"))
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** Deterministic PDF 1.5 fixture exercising the WHOLE tier-2 path in
+    * one file: catalog/pages/page/fonts live in an /ObjStm object
+    * stream, the cross-reference is an xref STREAM (FlateDecode +
+    * /Predictor 12 PNG Up, /W [1 2 1]) with type-1 and type-2 entries,
+    * the content stream is Flate-compressed, /Resources sit on the
+    * PAGES node (inheritance), and the doc text shows through a Type0
+    * font whose ToUnicode CMap maps 2-byte codes 0x10nn → U+00nn
+    * (bfrange) plus two bfchar entries (one multi-code-unit dst) on the
+    * `%3` schedule. Expected text — the oracle's string arithmetic:
+    * `Title doc {id}\n{text}\nplain {id%5}` [+ `\n«AB` on %3].
+    */
+  private[graft] def buildCidPdf(id: Long, text: String): Array[Byte] = {
+    val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val cidHex = text.map(c => f"10${c.toInt & 0xff}%02x").mkString
+    val bfline = if (id % 3 == 0) "\n0 -14 Td\n/C9 10 Tf\n<20002001> Tj" else ""
+    val content =
+      s"BT\n/F1 12 Tf\n72 720 Td\n(Title doc $id) Tj\n" +
+        s"0 -14 Td\n/C9 10 Tf\n<$cidHex> Tj\n" +
+        s"0 -14 Td\n/F1 12 Tf\n(plain ${id % 5}) Tj$bfline\nET"
+    val contentZ = deflate(content.getBytes(ISO))
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CMapName /Synth-UCS def
+        |2 begincodespacerange
+        |<1000> <10ff>
+        |<2000> <20ff>
+        |endcodespacerange
+        |1 beginbfrange
+        |<1000> <10ff> <0000>
+        |endbfrange
+        |2 beginbfchar
+        |<2000> <00ab>
+        |<2001> <00410042>
+        |endbfchar
+        |endcmap
+        |CMap currentdict /CMap defineresource pop
+        |end end""".stripMargin.getBytes(ISO)
+    // objects 1,2,3,6,9 ride the /ObjStm (obj 5); 4,5,7,8 are regular
+    val inStm = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 9 0 R /C9 6 0 R >> >> >>"),
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      6 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+        "/Encoding /Identity-H /ToUnicode 7 0 R >>"),
+      9 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = inStm.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length)
+    val header = inStm.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val objStmPlain = (header + bodies.mkString).getBytes(ISO)
+    val objStmZ = deflate(objStmPlain)
+    val out = new java.io.ByteArrayOutputStream(1024 + contentZ.length)
+    def w(s: String): Unit = out.write(s.getBytes(ISO))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val o4 = out.size()
+    w(s"4 0 obj\n<< /Length ${contentZ.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(contentZ); w("\nendstream\nendobj\n")
+    val o5 = out.size()
+    w(s"5 0 obj\n<< /Type /ObjStm /N ${inStm.length} /First ${header.length} " +
+      s"/Length ${objStmZ.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmZ); w("\nendstream\nendobj\n")
+    val o7 = out.size()
+    w(s"7 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+    out.write(cmap); w("\nendstream\nendobj\n")
+    val o8 = out.size()
+    // xref stream rows (W=[1 3 1]): type, 3-byte offset/objstm, idx
+    val rows: Seq[(Int, Int, Int)] = Seq(
+      (0, 0, 0),      // 0: free
+      (2, 5, 0),      // 1 → objstm 5 idx 0
+      (2, 5, 1),      // 2
+      (2, 5, 2),      // 3
+      (1, o4, 0),     // 4
+      (1, o5, 0),     // 5
+      (2, 5, 3),      // 6
+      (1, o7, 0),     // 7
+      (1, o8, 0),     // 8 (this xref stream)
+      (2, 5, 4))      // 9
+    val rowLen = 5
+    val raw = new Array[Byte](rows.length * rowLen)
+    for (((t, f1, f2), r) <- rows.zipWithIndex) {
+      raw(r * rowLen) = t.toByte
+      raw(r * rowLen + 1) = ((f1 >> 16) & 0xff).toByte
+      raw(r * rowLen + 2) = ((f1 >> 8) & 0xff).toByte
+      raw(r * rowLen + 3) = (f1 & 0xff).toByte
+      raw(r * rowLen + 4) = f2.toByte
+    }
+    require(rows.forall(_._2 < (1 << 24)), "fixture offsets exceed 3-byte field")
+    // PNG Up predictor (type 2): each row minus the previous, 0x02 tag
+    val pred = new Array[Byte](rows.length * (rowLen + 1))
+    for (r <- rows.indices; i <- 0 until rowLen) {
+      pred(r * (rowLen + 1)) = 2
+      val up = if (r > 0) raw((r - 1) * rowLen + i) & 0xff else 0
+      pred(r * (rowLen + 1) + 1 + i) = (((raw(r * rowLen + i) & 0xff) - up) & 0xff).toByte
+    }
+    val xrefZ = deflate(pred)
+    w(s"8 0 obj\n<< /Type /XRef /Size ${rows.length} /W [1 3 1] /Index [0 ${rows.length}] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xrefZ.length} >>\nstream\n")
+    out.write(xrefZ); w("\nendstream\nendobj\n")
+    w(s"startxref\n$o8\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Frame of tier-2 fixture PDFs over the documents table (one file per
+    * doc, built per-row in the tasks — deterministic, no driver work).
+    */
+  def syntheticCidPdfFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val pdf = buildCidPdf(id, text)
+        (id, "pdf", pdf, pdf.length.toLong)
+      }
+      .toDF("media_id", "kind", "media", "n_bytes")
   }
 }

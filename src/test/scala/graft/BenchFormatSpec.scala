@@ -164,6 +164,21 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("fused keys (r15 tier): separator gone, still injective and deterministic") {
+    val names = Bench.benchQueryNames
+    val abbrev = Bench.abbrevFor(names)
+    val m = Bench.compactKeys(names, abbrev, sep = "")
+    assert(m.size == names.size)
+    assert(m.values.toSeq.distinct.size == m.size, "fused key collision")
+    assert(Bench.compactKeys(names.reverse, abbrev, sep = "") == m)
+    // fused keys carry no separator and are strictly no longer than the
+    // underscore rendering of the same truncation
+    val underscored = Bench.compactKeys(names, abbrev)
+    names.foreach { n =>
+      assert(m(n).length <= underscored(n).length, s"${m(n)} vs ${underscored(n)}")
+    }
+  }
+
   test("compacted suffix keys are injective, deterministic prefixes") {
     val names = Bench.benchQueryNames
     val abbrev = Bench.abbrevFor(names)

@@ -103,4 +103,143 @@ class PdfTextSpec extends SparkSuite {
       assert(joined.filter(col("got") =!= expected).count() == 0)
     } finally out.unpersist()
   }
+
+  // ---------------- tier 2: xref / ObjStm / ToUnicode ----------------
+
+  test("tier-2 fixture: ObjStm + xref stream + predictor + CID decode end-to-end") {
+    val d0 = PdfText.parseFile(0L, PdfText.buildCidPdf(0L, "Hello CID"))
+    assert(d0.ok, d0.err)
+    assert(d0.text == "Title doc 0\nHello CID\nplain 0\n\u00abAB")
+    assert(d0.n_objects == 9 && d0.n_streams == 1 && d0.n_text_streams == 1)
+    val d1 = PdfText.parseFile(1L, PdfText.buildCidPdf(1L, "x (y) \\z"))
+    assert(d1.ok && d1.text == "Title doc 1\nx (y) \\z\nplain 1")
+  }
+
+  test("ToUnicode: bfchar, bfrange increment, array dst, unmapped → U+FFFD") {
+    val cmap = ("""1 begincodespacerange
+      |<00> <ff>
+      |endcodespacerange
+      |1 beginbfchar
+      |<01> <0041>
+      |endbfchar
+      |2 beginbfrange
+      |<10> <12> <0061>
+      |<20> <21> [<00480069> <0021>]
+      |endbfrange
+      |endcmap""").stripMargin.getBytes("ISO-8859-1")
+    val tu = PdfText.parseToUnicode(cmap)
+    assert(tu.decode(Array[Byte](0x01)) == "A")
+    assert(tu.decode(Array[Byte](0x10, 0x11, 0x12)) == "abc")
+    assert(tu.decode(Array[Byte](0x20)) == "Hi") // multi-unit dst
+    assert(tu.decode(Array[Byte](0x21)) == "!")
+    assert(tu.decode(Array[Byte](0x7f)) == "\ufffd") // in codespace, unmapped
+  }
+
+  test("classic xref table: offsets resolve, two-page /Kids tree concatenates") {
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Int = { val at = sb.size(); sb.write(s.getBytes("ISO-8859-1")); at }
+    w("%PDF-1.4\n")
+    val offs = scala.collection.mutable.ArrayBuffer(0) // index 0 unused
+    offs += w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offs += w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    offs += w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val c1 = "BT (page one) Tj ET"
+    offs += w(s"4 0 obj << /Length ${c1.length} >> stream\n$c1\nendstream endobj\n")
+    offs += w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    val c2 = "BT (page two) Tj ET"
+    offs += w(s"6 0 obj << /Length ${c2.length} >> stream\n$c2\nendstream endobj\n")
+    val xr = sb.size()
+    w("xref\n0 7\n0000000000 65535 f \n" +
+      (1 to 6).map(i => f"${offs(i)}%010d 00000 n \n").mkString +
+      s"trailer << /Size 7 /Root 1 0 R >>\nstartxref\n$xr\n%%EOF\n")
+    val doc = PdfText.parseFile(9L, sb.toByteArray)
+    assert(doc.ok, doc.err)
+    assert(doc.text == "page one\npage two")
+    assert(doc.n_objects == 6 && doc.n_streams == 2 && doc.n_text_streams == 2)
+  }
+
+  test("/Encrypt in the trailer quarantines instead of emitting ciphertext") {
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Int = { val at = sb.size(); sb.write(s.getBytes("ISO-8859-1")); at }
+    w("%PDF-1.4\n")
+    val o1 = w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val o2 = w("2 0 obj << /Type /Pages /Kids [] /Count 0 >> endobj\n")
+    val o3 = w("3 0 obj << /Filter /Standard >> endobj\n")
+    val xr = sb.size()
+    w("xref\n0 4\n0000000000 65535 f \n" +
+      Seq(o1, o2, o3).map(o => f"$o%010d 00000 n \n").mkString +
+      s"trailer << /Size 4 /Root 1 0 R /Encrypt 3 0 R >>\nstartxref\n$xr\n%%EOF\n")
+    val doc = PdfText.parseFile(2L, sb.toByteArray)
+    assert(!doc.ok && doc.err.contains("encrypted"))
+  }
+
+  test("damaged xref (garbage startxref) falls back to the linear scan") {
+    val base = pdf("BT (fallback works) Tj ET".getBytes("ISO-8859-1"), flate = false)
+    val broken = base ++ "startxref\n999999999\n%%EOF\n".getBytes("ISO-8859-1")
+    val doc = PdfText.parseFile(3L, broken)
+    assert(doc.ok && doc.text == "fallback works")
+  }
+
+  test("indirect /Length resolves through the xref") {
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Int = { val at = sb.size(); sb.write(s.getBytes("ISO-8859-1")); at }
+    w("%PDF-1.4\n")
+    val o1 = w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val o2 = w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    val o3 = w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val c = "BT (indirect len) Tj ET"
+    val o4 = w(s"4 0 obj << /Length 5 0 R >> stream\n$c\nendstream endobj\n")
+    val o5 = w(s"5 0 obj ${c.length} endobj\n")
+    val xr = sb.size()
+    w("xref\n0 6\n0000000000 65535 f \n" +
+      Seq(o1, o2, o3, o4, o5).map(o => f"$o%010d 00000 n \n").mkString +
+      s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xr\n%%EOF\n")
+    val doc = PdfText.parseFile(4L, sb.toByteArray)
+    assert(doc.ok, doc.err)
+    assert(doc.text == "indirect len")
+  }
+
+  test("PNG predictors: unpredict inverts Sub/Up/Average/Paeth filtering") {
+    val cols = 7
+    val rnd = new scala.util.Random(7)
+    val plain = Array.fill(4 * cols)(rnd.nextInt(256).toByte)
+    // filter each row with a different type (1..4), like a real encoder may
+    val filtered = new Array[Byte](4 * (cols + 1))
+    for (r <- 0 until 4; i <- 0 until cols) {
+      val ft = r + 1
+      filtered(r * (cols + 1)) = ft.toByte
+      val cur = plain(r * cols + i) & 0xff
+      val left = if (i > 0) plain(r * cols + i - 1) & 0xff else 0
+      val up = if (r > 0) plain((r - 1) * cols + i) & 0xff else 0
+      val ul = if (r > 0 && i > 0) plain((r - 1) * cols + i - 1) & 0xff else 0
+      val predicted = ft match {
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) >> 1
+        case 4 =>
+          val p = left + up - ul
+          val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+          if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+      }
+      filtered(r * (cols + 1) + 1 + i) = ((cur - predicted) & 0xff).toByte
+    }
+    assert(PdfText.unpredict(filtered, 12, cols).sameElements(plain))
+  }
+
+  test("tier-2 fixture round-trips through the distributed extractor") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 60)
+    val out = PdfText.extract(PdfText.syntheticCidPdfFromDocuments(docs))
+      .filter(col("ok")).cache()
+    try {
+      assert(out.count() == docs.count())
+      val joined = out.select(col("file_id").as("doc_id"), col("text").as("got"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val expected = concat(
+        lit("Title doc "), col("doc_id").cast("string"), lit("\n"), col("text"),
+        lit("\nplain "), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("\n\u00abAB")).otherwise(lit("")))
+      assert(joined.filter(col("got") =!= expected).count() == 0)
+    } finally out.unpersist()
+  }
 }
