@@ -902,6 +902,22 @@ object SparkEntry {
           operators.RobotsOps.syntheticRobots(hosts), "GraftBot")
         .orderBy("host")
     }),
+    // sitemap protocol parse + one-level index resolution (as a JOIN,
+    // never a driver loop): the fixture derives every document from the
+    // host string, the engine runs the real regex/entity parse, and the
+    // oracle rebuilds the expected entries with arithmetic — the parse
+    // cancels by construction (the robots/WARC pattern)
+    "q_url_sitemaps" -> ((s, d) => {
+      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
+      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host"))
+        .filter(col("host").isNotNull).distinct()
+      operators.SitemapOps.urlEntries(operators.SitemapOps.syntheticSitemaps(hosts))
+        .select(col("host"), col("sitemap_url"), col("via_index"),
+          col("entry_idx").cast("long").as("entry_idx"),
+          col("loc"), col("lastmod"), col("changefreq"), col("priority"),
+          col("same_host"))
+        .orderBy("host", "sitemap_url", "via_index", "entry_idx")
+    }),
     // WARC ingestion with an EXACT oracle: Spark assembles genuine
     // ISO 28500 response records (Content-Length framing, HTTP headers,
     // chunked transfer-encoding on the %5 schedule, 4 records per file),
@@ -1023,6 +1039,19 @@ object SparkEntry {
             .cast("long").as("doc_id"),
           col("target_uri").as("url"), col("body").as("html")),
         ref = Canon.documents(s, d).filter(col("lang") === "en"))
+    }),
+    // trained quality classifier (the DCLM/fastText-style step above the
+    // Gopher heuristics): fixed-point logistic regression over the
+    // mirrored quality signals, 8 full-batch GD steps — deterministic
+    // integer arithmetic end-to-end, so the oracle replays TRAINING
+    // ITSELF as 8 unrolled CTE steps and the scores match exactly
+    "q_text_classifier" -> ((s, d) => {
+      val feat = operators.Classifier.features(
+        operators.Classifier.syntheticLabeled(Canon.documents(s, d)),
+        col("doc_id") % 2 === 0)
+      operators.Classifier.trainAndScore(feat)
+        .select(col("doc_id"), col("y"), col("score_nano"), col("pred"))
+        .orderBy("doc_id")
     }),
     "q_text_winnowing" -> ((s, d) => // splitmix64-valued; rows-only +
       // golden. A full-size DuckDB mirror costs ~100s of interpreted
@@ -2805,6 +2834,37 @@ object SparkEntry {
          |  'https://' || host || '/sitemap.xml' AS sitemaps
          |FROM (SELECT DISTINCT lower(host) AS host FROM d2)
          |ORDER BY host""".stripMargin,
+    // the sitemap fixture's expected parse, rebuilt from host arithmetic:
+    // two children × (full entry with &amp; entity + minimal padded-loc
+    // entry) + the even-host cross-host entry, each appearing twice
+    // (direct urlset parse, and via the index join); the cross entry is
+    // the only same_host=false row
+    "q_url_sitemaps" ->
+      s"""$urlFixtureSql,
+         |hs AS (SELECT DISTINCT lower(host) AS host FROM d2 WHERE host IS NOT NULL),
+         |ch AS (SELECT host, k FROM hs, (VALUES (0),(1)) t(k)),
+         |e0 AS (SELECT host, k, 0 AS entry_idx,
+         |  'https://' || host || '/p/' || k || '-0?a=1&b=' || CAST(length(host) % 7 AS VARCHAR) AS loc,
+         |  '2025-02-1' || k AS lastmod,
+         |  CASE k WHEN 0 THEN 'daily' ELSE 'weekly' END AS changefreq,
+         |  CAST('0.' || CAST((length(host) + k) % 10 AS VARCHAR) AS DOUBLE) AS priority,
+         |  true AS same_host FROM ch),
+         |e1 AS (SELECT host, k, 1 AS entry_idx,
+         |  'https://' || host || '/p/' || k || '-1' AS loc,
+         |  CAST(NULL AS VARCHAR) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+         |  CAST(NULL AS DOUBLE) AS priority, true AS same_host FROM ch),
+         |e2 AS (SELECT host, 1 AS k, 2 AS entry_idx,
+         |  'https://cross.example/x' AS loc,
+         |  CAST(NULL AS VARCHAR) AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+         |  CAST(NULL AS DOUBLE) AS priority,
+         |  (host = 'cross.example') AS same_host
+         |  FROM hs WHERE length(host) % 2 = 0),
+         |ee AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         |SELECT host, 'https://' || host || '/sm-' || k || '.xml' AS sitemap_url,
+         |  v.via_index, CAST(entry_idx AS BIGINT) AS entry_idx,
+         |  loc, lastmod, changefreq, priority, same_host
+         |FROM ee, (VALUES (false),(true)) v(via_index)
+         |ORDER BY host, sitemap_url, via_index, entry_idx""".stripMargin,
     // the crawl chain replayed stage-for-stage: the WARC framing cancels
     // by construction (body == the built page), then the SAME published
     // strip/nfc-cleanup/quality/cap/rollup formulations the engine ran
@@ -3023,6 +3083,50 @@ object SparkEntry {
         |                || text || '</p></body></html>'
         |    ELSE page END AS body
         |FROM p ORDER BY doc_id""".stripMargin,
+    // TRAINING replayed: the same 8 full-batch GD steps, unrolled as
+    // CTEs — integer micro/nano fixed point, HUGEINT-exact gradient
+    // sums, the sigmoid nano-rounded at once (the lmScore ln precedent),
+    // the weight update through the identical IEEE double expression
+    "q_text_classifier" -> {
+      val steps = (1 to 8).map { k =>
+        s"""p$k AS (SELECT f.*, CAST(round(1e9 / (1 + exp(-(CAST(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS DOUBLE) / 1e15)))) AS BIGINT) AS p
+           |  FROM ft f, w${k - 1} w),
+           |g$k AS (SELECT CAST(sum(x0*(y*1000000000 - p)) AS BIGINT) AS g0,
+           |  CAST(sum(x1*(y*1000000000 - p)) AS BIGINT) AS g1,
+           |  CAST(sum(x2*(y*1000000000 - p)) AS BIGINT) AS g2,
+           |  CAST(sum(x3*(y*1000000000 - p)) AS BIGINT) AS g3,
+           |  count(*) AS n FROM p$k),
+           |w$k AS (SELECT CAST(w.w0 + floor(CAST(g.g0 AS DOUBLE) * 4.0 / g.n / 1e6) AS BIGINT) AS w0,
+           |  CAST(w.w1 + floor(CAST(g.g1 AS DOUBLE) * 4.0 / g.n / 1e6) AS BIGINT) AS w1,
+           |  CAST(w.w2 + floor(CAST(g.g2 AS DOUBLE) * 4.0 / g.n / 1e6) AS BIGINT) AS w2,
+           |  CAST(w.w3 + floor(CAST(g.g3 AS DOUBLE) * 4.0 / g.n / 1e6) AS BIGINT) AS w3
+           |  FROM w${k - 1} w, g$k g)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT doc_id,
+         |  text || (CASE WHEN doc_id % 2 = 0
+         |    THEN ' the of and to in is it that for a the of and to in is it that for a'
+         |    ELSE ' !!!! ???? ;;;; !!!! ???? ;;;; !!!!' END) AS text
+         |  FROM documents),
+         |tq AS (SELECT doc_id, text, $TOKS AS t, $LTOKS AS lt FROM base),
+         |sg AS (SELECT doc_id,
+         |  CAST(doc_id % 2 = 0 AS BIGINT) AS y,
+         |  len(t) AS n_tokens,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(lt, x -> x IN ($STOP_EN))) AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+         |  FROM tq),
+         |ft AS (SELECT doc_id, y,
+         |  CAST(1000000 AS BIGINT) AS x0,
+         |  CAST(round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 1e6) AS BIGINT) AS x1,
+         |  CAST(round(least(stopword_ratio * 5.0, 1.0) * 1e6) AS BIGINT) AS x2,
+         |  CAST(round(least(punct_ratio * 10.0, 1.0) * 1e6) AS BIGINT) AS x3 FROM sg),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+         |$steps
+         |SELECT f.doc_id, f.y,
+         |  CAST(round(1e9 / (1 + exp(-(CAST(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS DOUBLE) / 1e15)))) AS BIGINT) AS score_nano,
+         |  (CAST(round(1e9 / (1 + exp(-(CAST(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS DOUBLE) / 1e15)))) AS BIGINT) >= 500000000) AS pred
+         |FROM ft f, w8 w ORDER BY doc_id""".stripMargin
+    },
     // the bigram model replayed: same tokenizer, same add-one smoothing,
     // same nano-unit ln rounding (the drift-report precedent)
     "q_text_lmscore" ->
