@@ -156,8 +156,12 @@ object Bench {
       names.map(n => n -> (if (parts(n)._2.isEmpty) minBare else minLen)): _*)
     def keyOf(n: String): String = parts(n) match {
       case (p, "") => p.take(lens(n))
-      // a truncation landing on '_' would render a dangling separator
-      case (p, s) => p + sep + s.take(lens(n)).reverse.dropWhile(_ == '_').reverse
+      // a truncation landing on '_' would render a dangling separator;
+      // the fused tier (sep="") drops INTERNAL suffix underscores too —
+      // injectivity is re-proven over whatever this renders
+      case (p, s) =>
+        val cut = s.take(lens(n)).reverse.dropWhile(_ == '_').reverse
+        p + sep + (if (sep.isEmpty) cut.replace("_", "") else cut)
     }
     def fullLen(n: String): Int = parts(n) match {
       case (p, "") => p.length
@@ -277,7 +281,8 @@ object Bench {
     // violation throws inside compactKeys and elision resumes below —
     // never a silently dropped duplicate JSON key.
     val fused = scala.util.Try {
-      val m = compactKeys(snap.map(_._1) ++ failed, fullAbbrev, sep = "")
+      val m = compactKeys(snap.map(_._1) ++ failed, fullAbbrev,
+        minLen = 1, minBare = 3, sep = "")
       (m, formatLine(snap, failed, sfBase, partial, shortKeys = true,
         abbrevOverride = Some(fullAbbrev), keyOverride = Some(m),
         calibration = calibration))

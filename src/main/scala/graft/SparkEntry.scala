@@ -198,6 +198,41 @@ object SparkEntry {
   /** Per-process memo of q_stream_crawl's staged two-file WARC input. */
   private val streamCrawlIns = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-process memo of the q_video_* fixture: the ~60 MB synthetic
+    * isom assembly (hex-string column concatenation over every doc) was
+    * the slowest part of both video queries — rebuilt on every run, it
+    * dominated the box WALK being measured. Staged once per process per
+    * sf dir as parquet (the e2eStore pattern); the oracles are unchanged
+    * — the staged bytes are the identical column-arithmetic output.
+    */
+  private val videoFixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def videoFixture(s: SparkSession, d: String): DataFrame = {
+    val dir = videoFixtureDirs.synchronized {
+      videoFixtureDirs.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("q_video_media_").toString
+        operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Per-process memo of q_wet_roundtrip's staged WET output. */
+  private val wetDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wetDir(s: SparkSession, d: String): String =
+    wetDirs.synchronized {
+      wetDirs.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("q_wet_").toString
+        sources.WarcIngest.writeWet(
+          Canon.documents(s, d).select(col("doc_id"),
+            concat(lit("https://example.com/doc/"), col("doc_id").cast("string")).as("url"),
+            col("text")),
+          dir, nFiles = 8)
+        dir
+      })
+    }
+
   /** Per-process memo of q_warc_stream_files' staged .warc.gz directory:
     * the q_warc_records fixture written as REAL gzipped files on disk so
     * the streaming file source (FileSystem.open → gunzip → record parse,
@@ -748,6 +783,22 @@ object SparkEntry {
         concat(col("text"), repeat(concat(lit(" x"), col("lang")), 8)).as("text"))
       TextOps.langIdNgram(planted, planted).orderBy("doc_id")
     }),
+    // the shipped default profiles (resource, the PSL precedent): docs
+    // planted with their language's sample text classify through
+    // langIdNgramDefault; the oracle trains on the SAME samples (VALUES
+    // generated from the same loaded resource) and replays the exact
+    // integer rank-profile algorithm end-to-end
+    "q_text_langid_default" -> ((s, d) => {
+      // plant the sample's first 120 chars, not the whole ~330: the doc
+      // gram window is the cost center and recovery is already decisive
+      // at 120 (bench: 8.5s → ~6s, in the langid_ngram band)
+      val sample = TextOps.defaultLangSamples.foldLeft(lit("")) {
+        case (acc, (l, t)) => when(col("lang") === l, lit(t.substring(0, math.min(120, t.length)))).otherwise(acc)
+      }
+      val planted = Canon.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" "), sample).as("text"))
+      TextOps.langIdNgramDefault(planted).orderBy("doc_id")
+    }),
     "q_text_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Canon.documents(s, d)).orderBy("doc_id")),
     "q_text_repetition" -> ((s, d) => // Gopher-style in-doc n-gram repetition
@@ -951,6 +1002,20 @@ object SparkEntry {
           col("http_status").cast("long").as("http_status"),
           col("http_content_type"), col("payload_len"), col("body"))
         .orderBy("file_id", "rec_idx")),
+    // WET round-trip: the extraction frame written as WARC `conversion`
+    // records (the Common Crawl interchange format) through the
+    // distributed gzip text sink, re-read through the STREAMING file
+    // source — framing and Content-Length cancel by construction, so
+    // the oracle is plain documents arithmetic
+    "q_wet_roundtrip" -> ((s, d) =>
+      sources.WarcIngest.readRecordsStreamed(s, wetDir(s, d) + "/*.gz")
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"), col("content_type"),
+          col("payload_len"), col("body"))
+        .orderBy("doc_id")),
     // the crawl front half composed end-to-end: WARC bytes → record
     // parse → HTML extraction; the oracle replays the construction and
     // the published htmlStripStages chain (same stages as q_text_html)
@@ -1294,8 +1359,7 @@ object SparkEntry {
       // geometry, 90kHz media ticks, every-12th-sample stss, the doc
       // text inside mdat), Mp4Meta walks the real box tree, and the
       // oracle recomputes every field from the same id arithmetic
-      operators.Mp4Meta.videoMeta(
-          operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d)))
+      operators.Mp4Meta.videoMeta(videoFixture(s, d))
         .filter(col("ok"))
         .select(col("media_id"), col("brand"), col("movie_duration_us"),
           col("track_id"), col("handler"), col("codec"),
@@ -1307,8 +1371,7 @@ object SparkEntry {
       // the video frame-sample plan: every 2nd sync sample of each parsed
       // track — the row set a GPU decode stage would read
       operators.Mp4Meta.keyframeSamplePlan(
-          operators.Mp4Meta.videoMeta(
-            operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d))),
+          operators.Mp4Meta.videoMeta(videoFixture(s, d)),
           stride = 2)
         .orderBy("media_id", "k_idx")),
     // ----- beyond parity: scale-bearing relational queries (lineitem/orders)
@@ -2973,6 +3036,14 @@ object SparkEntry {
         |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS payload_len,
         |  '<html><body><p>' || text || '</p></body></html>' AS body
         |FROM documents ORDER BY file_id, rec_idx""".stripMargin,
+    // WET framing cancels: one conversion record per doc, payload == text
+    "q_wet_roundtrip" ->
+      """SELECT doc_id, 'conversion' AS warc_type,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  'text/plain' AS content_type,
+        |  CAST(strlen(text) AS BIGINT) AS payload_len,
+        |  text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identical expected output: the streaming file source must parse the
     // staged .warc.gz files to exactly what the in-memory path produces
     "q_warc_stream_files" ->
@@ -3231,6 +3302,44 @@ object SparkEntry {
         |       CAST(coalesce(b.distance, -1) AS BIGINT) AS distance
         |FROM documents d LEFT JOIN (SELECT * FROM bs WHERE rn = 1) b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same rank-profile replay as q_text_langid_ngram, but trained on
+    // the shipped resource samples (VALUES generated from the identical
+    // loaded resource — the htmlStripStages generated-oracle pattern)
+    "q_text_langid_default" -> {
+      val vals = TextOps.defaultLangSamples.map { case (l, t) =>
+        s"('$l', '${t.replace("'", "''")}')"
+      }.mkString(",\n  ")
+      s"""WITH smp(lang, s) AS (VALUES
+         |  $vals),
+         |tr AS (SELECT lang, lower(s) AS s FROM smp),
+         |tg AS (SELECT lang, unnest(list_transform(range(1, length(s) - 1),
+         |         i -> substring(s, CAST(i AS INT), 3))) AS g FROM tr),
+         |pc AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+         |pk AS (SELECT lang, g, pr FROM (
+         |        SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS pr FROM pc)
+         |       WHERE pr <= 300),
+         |pd AS (SELECT d.doc_id, lower(d.text || ' ' || substring(smp.s, 1, 120)) AS s
+         |       FROM documents d JOIN smp ON smp.lang = d.lang),
+         |dgall AS (SELECT doc_id, unnest(list_transform(range(1, length(s) - 1),
+         |            i -> substring(s, CAST(i AS INT), 3))) AS g FROM pd),
+         |dc AS (SELECT doc_id, g, count(*) AS c FROM dgall GROUP BY 1, 2),
+         |dk AS (SELECT doc_id, g, dr FROM (
+         |        SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS dr FROM dc)
+         |       WHERE dr <= 300),
+         |kc AS (SELECT doc_id, count(*) AS kept FROM dk GROUP BY 1),
+         |mt AS (SELECT dk.doc_id, pk.lang, sum(abs(dk.dr - pk.pr)) AS sum_abs,
+         |         count(*) AS n_match
+         |       FROM dk JOIN pk USING (g) GROUP BY 1, 2),
+         |ds AS (SELECT mt.doc_id, mt.lang,
+         |         CAST(mt.sum_abs + (kc.kept - mt.n_match) * 300 AS BIGINT) AS distance
+         |       FROM mt JOIN kc ON mt.doc_id = kc.doc_id),
+         |bs AS (SELECT doc_id, lang, distance,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY distance, lang) AS rn FROM ds)
+         |SELECT d.doc_id, coalesce(b.lang, 'unk') AS lang_pred,
+         |       CAST(coalesce(b.distance, -1) AS BIGINT) AS distance
+         |FROM documents d LEFT JOIN (SELECT * FROM bs WHERE rn = 1) b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -92,7 +92,11 @@ object SitemapOps {
     */
   def urlEntries(docs: DataFrame, hostCol: String = "host",
                  urlCol: String = "sitemap_url", xmlCol: String = "xml"): DataFrame = {
-    val e = entries(docs, hostCol, urlCol, xmlCol)
+    import graft.CacheLedger.Tracked
+    // parse the corpus ONCE; the index side joins back onto the already-
+    // parsed entries instead of re-running the XML parse on joined
+    // documents (one scan, not two — the crawlReportCurated lesson)
+    val e = entries(docs, hostCol, urlCol, xmlCol).trackedCache
     val out = Seq("host", "sitemap_url", "entry_idx", "loc", "lastmod",
       "changefreq", "priority", "same_host")
     val direct = e.filter(col("kind") === "urlset")
@@ -100,19 +104,12 @@ object SitemapOps {
       .withColumn("via_index", lit(false))
     // one level by protocol: index → sitemap. Both sides are hosts-scale
     // (indexes list ≤50k sitemaps; the corpus is the fetched frontier) →
-    // shuffle_hash, never a stats-elected broadcast.
-    val referenced = e.filter(col("kind") === "sitemapindex")
-      .select(col("loc").as("child_url"))
-      .join(
-        docs.select(col(hostCol).as("child_host"),
-          col(urlCol).as("child_url"), col(xmlCol).as("child_xml"))
-          .hint("shuffle_hash"),
-        Seq("child_url"))
-    val viaIndex = entries(
-        referenced.select(col("child_host").as("host"),
-          col("child_url").as("sitemap_url"), col("child_xml").as("xml")),
-        "host", "sitemap_url", "xml")
-      .filter(col("kind") === "urlset") // nested index: no recursion
+    // shuffle_hash, never a stats-elected broadcast. A referenced child
+    // that parsed as an index contributes no urlset rows here — the
+    // protocol forbids nested indexes, so there is no recursion to do.
+    val viaIndex = e.filter(col("kind") === "sitemapindex")
+      .select(col("loc").as("sitemap_url")).distinct()
+      .join(direct.drop("via_index").hint("shuffle_hash"), Seq("sitemap_url"))
       .select(out.map(col): _*)
       .withColumn("via_index", lit(true))
     direct.unionByName(viaIndex)

@@ -230,6 +230,37 @@ object TextOps {
         coalesce(col("distance"), lit(-1L)).as("distance"))
   }
 
+  /** Default per-language sample corpus for [[langIdNgramDefault]] —
+    * shipped as a resource (the PSL precedent) so the char-n-gram
+    * classifier works out of the box. Samples are PUBLIC text: UDHR
+    * Article 1 (public domain, the canonical language-ID sample) plus a
+    * few everyday sentences per language. `(lang, sample)` rows; ~300
+    * chars each — enough for distinctive trigram rank profiles, tiny
+    * enough that the trained profile table stays a broadcast model.
+    */
+  lazy val defaultLangSamples: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft_lang_samples.tsv")
+    require(in != null, "graft_lang_samples.tsv missing from resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val t = l.indexOf('\t')
+        (l.substring(0, t), l.substring(t + 1))
+      }.toVector
+    finally in.close()
+  }
+
+  /** [[langIdNgram]] with the shipped [[defaultLangSamples]] profiles —
+    * no caller-supplied training frame needed. The training side is a
+    * LocalTableScan over the ≤10-row sample table; everything downstream
+    * is the same exact-integer rank-profile pipeline.
+    */
+  def langIdNgramDefault(docs: DataFrame, n: Int = 3, k: Int = 300,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    langIdNgram(docs, defaultLangSamples.toDF("lang", "text"), n, k, textCol, idCol)
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics, collapse whitespace) — the exact-dedup key that is
     * robust to formatting noise. Portable across engines (md5 is md5).

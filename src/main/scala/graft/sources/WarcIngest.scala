@@ -599,6 +599,37 @@ object WarcIngest {
     spark.createDataset(rdd)(enc).toDF()
   }
 
+  /** Write an extraction frame as WET — WARC `conversion` records
+    * (ISO 28500 §6.8), the interchange format Common Crawl publishes
+    * extracted text in and downstream pipelines actually consume. Each
+    * row becomes one record (CRLF framing, byte-exact Content-Length
+    * over the UTF-8 payload); files land gzip-compressed through
+    * Spark's distributed text sink, so the writer scales like any other
+    * write (`nFiles` shapes output parallelism; 0 keeps the input
+    * partitioning). `date` is caller-fixed rather than wall-clock —
+    * deterministic output is worth more to a pipeline than a timestamp,
+    * and re-runs byte-match. Round-trip contract: [[records]] /
+    * [[readRecordsStreamed]] re-read the written WET to exactly the
+    * input frame (pinned by `q_wet_roundtrip` and WarcIngestSpec).
+    */
+  def writeWet(docs: DataFrame, dir: String, nFiles: Int = 0,
+               date: String = "2025-01-01T00:00:00Z",
+               idCol: String = "doc_id", urlCol: String = "url",
+               textCol: String = "text"): Unit = {
+    val payload = encode(col(textCol), "UTF-8")
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:graft:doc:"),
+      col(idCol).cast("string"),
+      lit(">\r\nWARC-Target-URI: "), col(urlCol),
+      lit(s"\r\nWARC-Date: $date"),
+      lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), col(textCol), lit("\r\n"))
+    val out = docs.select(rec.as("value"))
+    val shaped = if (nFiles > 0) out.repartition(nFiles) else out
+    shaped.write.mode("overwrite").option("compression", "gzip").text(dir)
+  }
+
   /** Deterministic id-derived WARC files over the documents table (the
     * [[Multimodal]] synthetic-fixture pattern): each doc becomes one HTTP
     * response record whose body is a small HTML page wrapping the doc

@@ -454,4 +454,28 @@ class TextOpsSpec extends SparkSuite {
     val tiny = TextOps.lmScore(Seq((1L, "solo")).toDF("doc_id", "text"), ref)
     assert(tiny.count() == 0)
   }
+
+  test("default language profiles generalize to HELD-OUT sentences") {
+    // none of these sentences appear in graft_lang_samples.tsv — the
+    // profiles must classify them from character statistics alone
+    val held = Seq(
+      (0L, "en", "The weather was cold yesterday and the children stayed at home reading their favourite books together."),
+      (1L, "de", "Gestern war das Wetter sehr kalt und die Kinder blieben zu Hause und lasen gemeinsam ihre Lieblingsbücher."),
+      (2L, "fr", "Hier le temps était très froid et les enfants sont restés à la maison pour lire ensemble leurs livres préférés."),
+      (3L, "es", "Ayer el tiempo estaba muy frío y los niños se quedaron en casa leyendo juntos sus libros favoritos."),
+      (4L, "it", "Ieri il tempo era molto freddo e i bambini sono rimasti a casa a leggere insieme i loro libri preferiti."),
+      (5L, "pt", "Ontem o tempo estava muito frio e as crianças ficaram em casa lendo juntas os seus livros favoritos."),
+      (6L, "nl", "Gisteren was het weer erg koud en de kinderen bleven thuis om samen hun lievelingsboeken te lezen."),
+      (7L, "zh", "昨天天气很冷，孩子们留在家里一起阅读他们最喜欢的书籍，度过了安静的下午。"))
+      .toDF("doc_id", "lang", "text")
+    val pred = TextOps.langIdNgramDefault(held)
+      .join(held.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val hits = pred.filter(col("lang_pred") === col("lang")).count()
+    // 8 distinct languages from ~300-char profiles: allow one romance-
+    // family confusion, no more
+    assert(hits >= 7, s"only $hits/8 held-out sentences recovered")
+    // the resource itself is well-formed: >= 8 languages, tab-separated
+    assert(TextOps.defaultLangSamples.size >= 8 &&
+      TextOps.defaultLangSamples.forall { case (l, t) => l.nonEmpty && t.length > 80 })
+  }
 }

@@ -366,6 +366,35 @@ class WarcIngestSpec extends SparkSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
   }
 
+  test("writeWet round-trips: conversion records re-read to the input frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wet_rt").toFile
+    try {
+      val docs = Seq(
+        (1L, "https://a.com/x", "plain text"),
+        (2L, "https://b.org/y", "two lines\nof body text"),
+        (3L, "https://c.net/z", "unicode: café 日本"))
+        .toDF("doc_id", "url", "text")
+      WarcIngest.writeWet(docs, dir.getAbsolutePath, nFiles = 2)
+      val got = WarcIngest.readRecordsStreamed(spark, dir.getAbsolutePath + "/*.gz")
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"), col("body"), col("payload_len"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      val want = docs.collect().map { r =>
+        val t = r.getString(2)
+        (r.getLong(0), "conversion", r.getString(1), t,
+          t.getBytes(UTF_8).length.toLong)
+      }.toSet
+      assert(got == want) // incl. multi-line body and UTF-8 byte lengths
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("planBins: byte-volume FFD, oversized file isolated, parallelism floor") {
     def f(n: String, len: Long) = (n, len, Seq.empty[String])
     // one oversized + small fillers at capacity 100
