@@ -218,6 +218,20 @@ object SparkEntry {
     s.read.parquet(dir)
   }
 
+  /** Per-process memo of q_wat_roundtrip's staged WAT output. */
+  private val watDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def watDir(s: SparkSession, d: String): String =
+    watDirs.synchronized {
+      watDirs.getOrElseUpdate(d, {
+        val dir = java.nio.file.Files.createTempDirectory("q_wat_").toString
+        sources.WarcIngest.writeWat(
+          sources.WarcIngest.records(
+            sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d))),
+          dir, nFiles = 8)
+        dir
+      })
+    }
+
   /** Per-process memo of q_wet_roundtrip's staged WET output. */
   private val wetDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def wetDir(s: SparkSession, d: String): String =
@@ -969,6 +983,28 @@ object SparkEntry {
           col("same_host"))
         .orderBy("host", "sitemap_url", "via_index", "entry_idx")
     }),
+    // the crawl FRONTIER: sitemaps → normalize/dedup → minus fetched
+    // history → robots gate (election varies by host parity) → per-host
+    // skew-safe cap → politeness schedule. Every stage is an
+    // already-mirrored formulation, so the composition sits under one
+    // exact oracle that replays the semantics with host arithmetic
+    "q_crawl_frontier" -> ((s, d) => {
+      import graft.CacheLedger.Tracked
+      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
+      // the hosts frame fans into THREE fixture branches (sitemaps,
+      // robots, fetched) — uncached, the distinct re-runs per branch
+      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host"))
+        .filter(col("host").isNotNull).distinct().trackedCache
+      // history: the k=0 full entry of every len%3==0 host already fetched
+      val fetched = hosts.filter(length(col("host")) % 3 === 0)
+        .select(concat(lit("https://"), col("host"), lit("/p/0-0?a=1&b="),
+          (length(col("host")) % 7).cast("string")).as("url"))
+      operators.Frontier.frontier(
+          operators.SitemapOps.syntheticSitemaps(hosts),
+          operators.Frontier.syntheticFrontierRobots(hosts),
+          fetched, "GraftBot", perHostCap = 2)
+        .orderBy("host", "rank")
+    }),
     // WARC ingestion with an EXACT oracle: Spark assembles genuine
     // ISO 28500 response records (Content-Length framing, HTTP headers,
     // chunked transfer-encoding on the %5 schedule, 4 records per file),
@@ -1002,6 +1038,40 @@ object SparkEntry {
           col("http_status").cast("long").as("http_status"),
           col("http_content_type"), col("payload_len"), col("body"))
         .orderBy("file_id", "rec_idx")),
+    // the CDX capture index over URL-fixture WARC records: SURT keys
+    // (reversed host labels, non-default port, path+query) computed by
+    // the engine, replayed by the oracle from the parsed d2 columns
+    "q_crawl_cdx" -> ((s, d) =>
+      sources.WarcIngest.cdxIndex(
+          sources.WarcIngest.records(
+            sources.WarcIngest.syntheticWarcFromDocuments(
+              UrlOps.syntheticUrls(Canon.documents(s, d)))))
+        .orderBy("file_id", "rec_idx")),
+    // WAT round-trip: records described as WARC metadata JSON (the
+    // Common Crawl sidecar), re-read through the streaming source and
+    // parsed back with from_json — framing and the fixed-key JSON
+    // construction cancel, so the oracle is documents arithmetic
+    "q_wat_roundtrip" -> ((s, d) => {
+      val watSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "Envelope STRUCT<`WARC-Header-Metadata`: STRUCT<`WARC-Target-URI`: STRING, " +
+          "`WARC-Type`: STRING>, `Payload-Metadata`: STRUCT<" +
+          "`Actual-Content-Length`: BIGINT, `HTTP-Response-Metadata`: STRUCT<" +
+          "`Response-Message`: STRUCT<Status: BIGINT>, " +
+          "Headers: STRUCT<`Content-Type`: STRING>>>>")
+      sources.WarcIngest.readRecordsStreamed(s, watDir(s, d) + "/*.gz")
+        .filter(col("ok"))
+        .withColumn("j", from_json(col("body"), watSchema))
+        .select(
+          (regexp_extract(col("record_id"), "urn:graft:wat:([0-9]+):", 1).cast("long") * 4 +
+            regexp_extract(col("record_id"), "urn:graft:wat:[0-9]+:([0-9]+)", 1).cast("long"))
+            .as("doc_id"),
+          col("j.Envelope.WARC-Header-Metadata.WARC-Target-URI").as("described_uri"),
+          col("j.Envelope.WARC-Header-Metadata.WARC-Type").as("described_type"),
+          col("j.Envelope.Payload-Metadata.Actual-Content-Length").as("described_len"),
+          col("j.Envelope.Payload-Metadata.HTTP-Response-Metadata.Response-Message.Status").as("described_status"),
+          col("j.Envelope.Payload-Metadata.HTTP-Response-Metadata.Headers.Content-Type").as("described_ct"))
+        .orderBy("doc_id")
+    }),
     // WET round-trip: the extraction frame written as WARC `conversion`
     // records (the Common Crawl interchange format) through the
     // distributed gzip text sink, re-read through the STREAMING file
@@ -2897,6 +2967,43 @@ object SparkEntry {
          |  'https://' || host || '/sitemap.xml' AS sitemaps
          |FROM (SELECT DISTINCT lower(host) AS host FROM d2)
          |ORDER BY host""".stripMargin,
+    // the frontier semantics replayed with host arithmetic: candidates
+    // from the sitemap fixture (same-host, direct lane), fetched = the
+    // len%3 hosts' k=0 entry, the robots gate by host parity (graftbot
+    // election replaces the * group on even hosts), priority/lastmod
+    // rank, cap 2, offset = (rank-1) × elected delay
+    "q_crawl_frontier" ->
+      s"""$urlFixtureSql,
+         |hs AS (SELECT DISTINCT lower(host) AS host FROM d2 WHERE host IS NOT NULL),
+         |cand AS (
+         |  SELECT host,
+         |    'https://' || host || '/p/0-0?a=1&b=' || CAST(length(host) % 7 AS VARCHAR) AS url,
+         |    '2025-02-10' AS lastmod,
+         |    CAST('0.' || CAST(length(host) % 10 AS VARCHAR) AS DOUBLE) AS priority,
+         |    '/p/0-0' AS path FROM hs
+         |  UNION ALL SELECT host, 'https://' || host || '/p/0-1',
+         |    NULL, NULL, '/p/0-1' FROM hs
+         |  UNION ALL SELECT host,
+         |    'https://' || host || '/p/1-0?a=1&b=' || CAST(length(host) % 7 AS VARCHAR),
+         |    '2025-02-11',
+         |    CAST('0.' || CAST((length(host) + 1) % 10 AS VARCHAR) AS DOUBLE),
+         |    '/p/1-0' FROM hs
+         |  UNION ALL SELECT host, 'https://' || host || '/p/1-1',
+         |    NULL, NULL, '/p/1-1' FROM hs),
+         |fresh AS (SELECT * FROM cand
+         |  WHERE NOT (length(host) % 3 = 0 AND path = '/p/0-0')),
+         |gated AS (SELECT * FROM fresh WHERE CASE WHEN length(host) % 2 = 0
+         |    THEN path <> '/p/0-1' ELSE path NOT LIKE '/p/1-%' END),
+         |rk AS (SELECT host, url, priority, lastmod,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY priority DESC NULLS LAST, lastmod DESC NULLS LAST, url) AS rn
+         |  FROM gated)
+         |SELECT host, url, CAST(rn AS BIGINT) AS "rank", priority, lastmod,
+         |  CAST(CASE WHEN length(host) % 2 = 0 THEN length(host) % 7
+         |            ELSE length(host) % 5 END AS DOUBLE) AS crawl_delay,
+         |  CAST((rn - 1) * (CASE WHEN length(host) % 2 = 0 THEN length(host) % 7
+         |            ELSE length(host) % 5 END) * 1000.0 AS BIGINT) AS fetch_offset_ms
+         |FROM rk WHERE rn <= 2 ORDER BY host, "rank"""".stripMargin,
     // the sitemap fixture's expected parse, rebuilt from host arithmetic:
     // two children × (full entry with &amp; entity + minimal padded-loc
     // entry) + the even-host cross-host entry, each appearing twice
@@ -3036,6 +3143,32 @@ object SparkEntry {
         |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS payload_len,
         |  '<html><body><p>' || text || '</p></body></html>' AS body
         |FROM documents ORDER BY file_id, rec_idx""".stripMargin,
+    // SURT + CDX fields replayed from the parsed URL columns (d2): the
+    // WARC framing cancels (status/mime/length are fixture constants)
+    "q_crawl_cdx" ->
+      s"""$urlFixtureSql
+         |SELECT CASE WHEN host IS NULL THEN url ELSE
+         |    array_to_string(list_reverse(string_split(lower(host), '.')), ',') ||
+         |    (CASE WHEN port IS NULL OR (lower(scheme) = 'http' AND port = 80)
+         |               OR (lower(scheme) = 'https' AND port = 443) THEN ''
+         |          ELSE ':' || CAST(port AS VARCHAR) END) ||
+         |    ')' || coalesce(path, '/') ||
+         |    (CASE WHEN query IS NULL THEN '' ELSE '?' || query END)
+         |  END AS surt,
+         |  url, CAST(200 AS BIGINT) AS status, 'text/html' AS mime,
+         |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS length,
+         |  CAST(floor(doc_id / 4) AS BIGINT) AS file_id,
+         |  CAST(doc_id % 4 AS BIGINT) AS rec_idx
+         |FROM d2 ORDER BY file_id, rec_idx""".stripMargin,
+    // the WAT JSON's described fields are the fixture's constants
+    "q_wat_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS described_uri,
+        |  'response' AS described_type,
+        |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS described_len,
+        |  CAST(200 AS BIGINT) AS described_status,
+        |  'text/html; charset=utf-8' AS described_ct
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // WET framing cancels: one conversion record per doc, payload == text
     "q_wet_roundtrip" ->
       """SELECT doc_id, 'conversion' AS warc_type,
@@ -3162,10 +3295,10 @@ object SparkEntry {
       val steps = (1 to 8).map { k =>
         s"""p$k AS (SELECT f.*, CAST(round(1e9 / (1 + exp(-(CAST(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS DOUBLE) / 1e15)))) AS BIGINT) AS p
            |  FROM ft f, w${k - 1} w),
-           |g$k AS (SELECT CAST(sum(x0*(y*1000000000 - p)) AS BIGINT) AS g0,
-           |  CAST(sum(x1*(y*1000000000 - p)) AS BIGINT) AS g1,
-           |  CAST(sum(x2*(y*1000000000 - p)) AS BIGINT) AS g2,
-           |  CAST(sum(x3*(y*1000000000 - p)) AS BIGINT) AS g3,
+           |g$k AS (SELECT sum(x0*(y*1000000000 - p)) AS g0,
+           |  sum(x1*(y*1000000000 - p)) AS g1,
+           |  sum(x2*(y*1000000000 - p)) AS g2,
+           |  sum(x3*(y*1000000000 - p)) AS g3,
            |  count(*) AS n FROM p$k),
            |w$k AS (SELECT CAST(w.w0 + floor(CAST(g.g0 AS DOUBLE) * 4.0 / g.n / 1e6) AS BIGINT) AS w0,
            |  CAST(w.w1 + floor(CAST(g.g1 AS DOUBLE) * 4.0 / g.n / 1e6) AS BIGINT) AS w1,

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * (round(signal·1e6) — the same rounded signal formulas the quality
   * oracles already pin), weights are nano-units, the per-doc sigmoid is
   * the chain's ONLY transcendental and is rounded to nano immediately
-  * (the lmScore ln precedent), gradients are exact integer sums
-  * (|x·dy| ≤ 1e15 per doc — Long-safe to ~9e3 docs per 1e15, and the
-  * oracle's HUGEINT sum is exact at any n), and the weight update
-  * rounds through the same IEEE double expression in both engines.
+  * (the lmScore ln precedent), gradients are exact DECIMAL sums
+  * (|x·dy| ≤ 1e15 per doc fits a Long per-row; the sum widens to
+  * decimal(30,0), matching the oracle's exact HUGEINT sum at any n),
+  * and the weight update rounds through the same IEEE double
+  * expression in both engines.
   * Result: 8 unrolled GD steps replay in DuckDB SQL bit-for-bit.
   *
   * Scale shape: K training steps = K scans of a cached feature frame
@@ -74,15 +75,21 @@ object Classifier {
       var w = Array(0L, 0L, 0L, 0L)
       for (_ <- 0 until iters) {
         val dy = col("y") * lit(1000000000L) - sigmoidNano(w.toSeq)
+        // per-row products fit a Long (≤1e15); the SUM widens to exact
+        // decimal — at ×10-probe scale (50k docs) a Long sum overflows
+        // (≈5e19), and DuckDB's HUGEINT sum is exact at any n, so the
+        // engine must be too
+        def g(x: Column) = sum((x * dy).cast("decimal(20,0)"))
         val row = cached.agg(
-          sum(col("x0") * dy), sum(col("x1") * dy),
-          sum(col("x2") * dy), sum(col("x3") * dy), count(lit(1))).first()
+          g(col("x0")), g(col("x1")), g(col("x2")), g(col("x3")),
+          count(lit(1))).first()
         val n = row.getLong(4)
         require(n > 0, "classifier: empty training frame")
         // grad is in micro·nano (1e15) scale; /1e6 lands the update in
-        // nano-units (real-unit step = lr × mean(x_real · dy_real))
+        // nano-units (real-unit step = lr × mean(x_real · dy_real));
+        // exact-decimal → double is the same IEEE rounding both engines
         w = Array.tabulate(4)(j =>
-          w(j) + math.floor(row.getLong(j).toDouble * lr / n / 1e6).toLong)
+          w(j) + math.floor(row.getDecimal(j).doubleValue() * lr / n / 1e6).toLong)
       }
       w
     } finally cached.unpersist()

@@ -70,6 +70,30 @@ object UrlOps {
       .otherwise(concat(sch, lit("://"), h, portPart, pathPart, queryPart))
   }
 
+  /** SURT — Sort-friendly URI Reordering Transform, the key every
+    * web-archive index (CDX) sorts by: host labels reversed and
+    * comma-joined (`com,example,www`), non-default port kept
+    * (`:8080`), then `)` + path (`/` when empty) + `?query`. Same-site
+    * URLs become neighbors under a plain byte sort, which is what makes
+    * a range-partitioned global index work. Userinfo and fragment drop
+    * (never part of resource identity); non-hierarchical URLs pass
+    * through unchanged, keeping the key total.
+    */
+  def surt(url: Column): Column = {
+    val h = lower(host(url))
+    val p = port(url)
+    val sch = lower(scheme(url))
+    val defaultPort = (sch === "http" && p === 80L) || (sch === "https" && p === 443L)
+    val portPart = when(p.isNull || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), p.cast("string")))
+    val pathPart = when(path(url).isNull, lit("/")).otherwise(path(url))
+    val queryPart = when(query(url).isNull, lit(""))
+      .otherwise(concat(lit("?"), query(url)))
+    when(h.isNull, url).otherwise(concat(
+      array_join(reverse(split(h, "\\.")), ","), portPart, lit(")"),
+      pathPart, queryPart))
+  }
+
   /** All parts as one projection (one regex state machine pass per part —
     * still a scan-speed map; Catalyst subexpression-eliminates the shared
     * authority extract).

@@ -630,6 +630,79 @@ object WarcIngest {
     shaped.write.mode("overwrite").option("compression", "gzip").text(dir)
   }
 
+  /** CDX capture index over a parsed-records frame — the third Common
+    * Crawl artifact beside WARC and WET: one row per response record,
+    * keyed by the [[graft.operators.UrlOps.surt]] of its target URI so
+    * a byte sort clusters same-site captures. `length` is the payload
+    * byte count; `(file_id, rec_idx)` is the capture's address in the
+    * archive (this engine's record identity — the role byte offsets
+    * play in classic CDX).
+    */
+  def cdxIndex(records: DataFrame): DataFrame =
+    records.filter(col("ok"))
+      .select(graft.operators.UrlOps.surt(col("target_uri")).as("surt"),
+        col("target_uri").as("url"),
+        col("http_status").cast("long").as("status"),
+        regexp_extract(col("http_content_type"), "^([^;]*)", 1).as("mime"),
+        col("payload_len").as("length"),
+        col("file_id"), col("rec_idx").cast("long").as("rec_idx"))
+
+  /** Write [[cdxIndex]] rows as CDXJ lines (`surt timestamp {json}`)
+    * GLOBALLY sorted: range-partitioned by the SURT key then sorted
+    * within partitions, so file k's every line precedes file k+1's —
+    * the layout that lets an index consumer binary-search a shard list.
+    * `ts` is caller-fixed (14-digit CDX convention) for deterministic
+    * re-runs.
+    */
+  def writeCdxj(records: DataFrame, dir: String, nFiles: Int = 8,
+                ts: String = "20250101000000"): Unit = {
+    val line = concat(col("surt"), lit(s" $ts "),
+      lit("{\"url\":\""), col("url"),
+      lit("\",\"status\":\""), col("status").cast("string"),
+      lit("\",\"mime\":\""), col("mime"),
+      lit("\",\"length\":\""), col("length").cast("string"),
+      lit("\",\"file\":\""), col("file_id").cast("string"),
+      lit("\",\"idx\":\""), col("rec_idx").cast("string"), lit("\"}"))
+    cdxIndex(records)
+      .repartitionByRange(math.max(nFiles, 1), col("surt"), col("url"), col("rec_idx"))
+      .sortWithinPartitions("surt", "url", "rec_idx")
+      .select(line.as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(dir)
+  }
+
+  /** Write a parsed-records frame as WAT — WARC `metadata` records
+    * whose JSON payload describes each response (the Common Crawl
+    * metadata sidecar): target URI + type under `WARC-Header-Metadata`,
+    * payload length / HTTP status / Content-Type under
+    * `Payload-Metadata`. The JSON is built by explicit concatenation
+    * (fixed key order — byte-deterministic re-runs, and the round-trip
+    * oracle can replay it). Same distributed gzip text sink as
+    * [[writeWet]].
+    */
+  def writeWat(records: DataFrame, dir: String, nFiles: Int = 0,
+               date: String = "2025-01-01T00:00:00Z"): Unit = {
+    val body = concat(
+      lit("{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":\""),
+      col("target_uri"), lit("\",\"WARC-Type\":\""), col("warc_type"),
+      lit("\"},\"Payload-Metadata\":{\"Actual-Content-Length\":"),
+      col("payload_len").cast("string"),
+      lit(",\"HTTP-Response-Metadata\":{\"Response-Message\":{\"Status\":"),
+      col("http_status").cast("string"),
+      lit("},\"Headers\":{\"Content-Type\":\""), col("http_content_type"),
+      lit("\"}}}}}"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:graft:wat:"),
+      col("file_id").cast("string"), lit(":"), col("rec_idx").cast("string"),
+      lit(">\r\nWARC-Target-URI: "), col("target_uri"),
+      lit(s"\r\nWARC-Date: $date"),
+      lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+      octet_length(body).cast("string"),
+      lit("\r\n\r\n"), body, lit("\r\n"))
+    val out = records.filter(col("ok")).select(rec.as("value"))
+    val shaped = if (nFiles > 0) out.repartition(nFiles) else out
+    shaped.write.mode("overwrite").option("compression", "gzip").text(dir)
+  }
+
   /** Deterministic id-derived WARC files over the documents table (the
     * [[Multimodal]] synthetic-fixture pattern): each doc becomes one HTTP
     * response record whose body is a small HTML page wrapping the doc

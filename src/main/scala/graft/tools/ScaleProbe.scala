@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional second arg: comma-separated family-name prefixes — rerun
+    // a fixed family without paying the full ~30 min suite
+    val only = args.lift(1).map(_.split(',').toSeq)
     val spark = GraftSession.create("local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
@@ -76,6 +79,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def probe(name: String, small: => Long, big: => Long): Unit = {
+      if (!only.forall(_.exists(name.startsWith))) return
       small; big // warmup/codegen
       val s = math.min(time(small), time(small))
       val b = math.min(time(big), time(big))
@@ -345,6 +349,62 @@ object ScaleProbe {
       probe("pdf_extract",
         PdfText.extract(PdfText.syntheticPdfFromDocuments(doc1)).count(),
         PdfText.extract(PdfText.syntheticPdfFromDocuments(doc10)).count())
+    }
+
+    // --- r15 crawl-tier families ---
+    {
+      import graft.sources.WarcIngest
+      import graft.operators.{Classifier, PdfText, SitemapOps, UrlOps}
+      // PDF tier 2: xref-stream + ObjStm resolution + CMap decode —
+      // per-file byte kernel, volume-partitioned like tier 1
+      probe("pdf_cid",
+        PdfText.extract(PdfText.syntheticCidPdfFromDocuments(doc1)).count(),
+        PdfText.extract(PdfText.syntheticCidPdfFromDocuments(doc10)).count())
+      // sitemaps: hosts (and so documents AND index references) grow
+      // with the corpus; one parse scan + one shuffle_hash join
+      def sitemaps(d: DataFrame): Long = {
+        val hosts = UrlOps.syntheticUrls(d)
+          .select(lower(UrlOps.host(col("url"))).as("host"))
+          .filter(col("host").isNotNull).distinct()
+        SitemapOps.urlEntries(SitemapOps.syntheticSitemaps(hosts)).count()
+      }
+      probe("url_sitemaps", sitemaps(doc1), sitemaps(doc10))
+      // classifier: K aggregation scans over ×mult features + map-only
+      // scoring — the model stays 4 weights regardless of corpus size
+      def classify(d: DataFrame): Long =
+        Classifier.trainAndScore(Classifier.features(
+          Classifier.syntheticLabeled(d), col("doc_id") % 2 === 0)).count()
+      probe("text_classifier", classify(doc1), classify(doc10))
+      // frontier: hosts (sitemap docs, robots, candidates) all grow
+      // with the corpus; history = the 1× candidate set on both sides
+      def frontierN(d: DataFrame): Long = {
+        import graft.operators.Frontier
+        // fixture cached: the probe measures the OPERATOR (parse, joins,
+        // gate, cap), not ×4 recomputes of the synthetic host distinct
+        val hosts = UrlOps.syntheticUrls(d)
+          .select(lower(UrlOps.host(col("url"))).as("host"))
+          .filter(col("host").isNotNull).distinct().cache()
+        val hosts1 = UrlOps.syntheticUrls(doc1)
+          .select(lower(UrlOps.host(col("url"))).as("host"))
+          .filter(col("host").isNotNull).distinct()
+        val fetched = hosts1.select(
+          concat(lit("https://"), col("host"), lit("/p/0-0?a=1&b="),
+            (length(col("host")) % 7).cast("string")).as("url"))
+        try Frontier.frontier(SitemapOps.syntheticSitemaps(hosts),
+          Frontier.syntheticFrontierRobots(hosts), fetched, "graftbot",
+          perHostCap = 2).count()
+        finally hosts.unpersist()
+      }
+      probe("crawl_frontier", frontierN(doc1), frontierN(doc10))
+      // WET write + streamed re-read: the full sidecar round trip
+      def wet(d: DataFrame): Long = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_wetprobe").toString
+        WarcIngest.writeWet(d.select(col("doc_id"),
+          concat(lit("https://example.com/doc/"), col("doc_id").cast("string")).as("url"),
+          col("text")), dir, nFiles = 32)
+        WarcIngest.readRecordsStreamed(spark, dir + "/*.gz").count()
+      }
+      probe("wet_roundtrip", wet(doc1), wet(doc10))
     }
 
     // --- dual-tier reads (M1): a hot-tail last-n that the buffer can

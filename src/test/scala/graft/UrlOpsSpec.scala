@@ -141,4 +141,21 @@ class UrlOpsSpec extends SparkSuite {
       assert(p.filter(col("scheme") === "HTTPS").count() > 0) // case normalization fodder
     } finally p.unpersist()
   }
+
+  test("surt: reversed labels, port defaulting, path/query, passthrough") {
+    import spark.implicits._
+    val got = Seq(
+      "https://WWW.Example.COM/a/b?x=1",   // mixed case, default 443
+      "http://example.com:8080/z",         // non-default port kept
+      "https://example.com:443",           // default port dropped, empty path
+      "http://192.168.1.2/x",              // IPv4: labels still reverse
+      "mailto:someone@example.com")        // no authority: passthrough
+      .toDF("url")
+      .select(graft.operators.UrlOps.surt(col("url"))).as[String].collect()
+    assert(got(0) == "com,example,www)/a/b?x=1")
+    assert(got(1) == "com,example:8080)/z")
+    assert(got(2) == "com,example)/")
+    assert(got(3) == "2,1,168,192)/x")
+    assert(got(4) == "mailto:someone@example.com")
+  }
 }

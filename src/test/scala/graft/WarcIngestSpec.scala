@@ -395,6 +395,35 @@ class WarcIngestSpec extends SparkSuite {
     }
   }
 
+  test("writeCdxj emits a GLOBALLY sorted index across output files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdx_t").toFile
+    try {
+      // enough distinct hosts that range partitioning has real splits
+      val recs = (0 until 200).map { i =>
+        (i.toLong / 4, i % 4, "response", s"https://h${i % 37}.example/p/$i",
+          s"<urn:t:$i>", "application/http; msgtype=response", 200,
+          "text/html; charset=utf-8", 10L + i, "body", "utf-8", true, "")
+      }.toDF("file_id", "rec_idx", "warc_type", "target_uri", "record_id",
+        "content_type", "http_status", "http_content_type", "payload_len",
+        "body", "charset", "ok", "err")
+      WarcIngest.writeCdxj(recs, dir.getAbsolutePath, nFiles = 4)
+      // gzip part files in NAME order must concatenate to a sorted stream
+      val parts = dir.listFiles().filter(_.getName.endsWith(".gz")).sortBy(_.getName)
+      assert(parts.length > 1, "need multiple files to prove GLOBAL order")
+      val lines = parts.flatMap { f =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f)), "UTF-8"))
+        Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+      }
+      assert(lines.length == 200)
+      val keys = lines.map(_.split(" ")(0))
+      assert(keys.sameElements(keys.sorted), "CDXJ lines not globally sorted")
+      // lines parse: "surt ts {json}" with the record address inside
+      assert(lines.forall(_.matches("""\S+ 20250101000000 \{"url":.*"idx":"\d"\}""")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("planBins: byte-volume FFD, oversized file isolated, parallelism floor") {
     def f(n: String, len: Long) = (n, len, Seq.empty[String])
     // one oversized + small fillers at capacity 100
