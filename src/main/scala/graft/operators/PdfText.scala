@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   * xref, unsupported filter) falls back to the tier-1 linear object scan
   * below, which is exactly what real extractors do with damaged files.
   *
+  * Stream filters: FlateDecode (+ PNG predictors), LZWDecode (TIFF
+  * variant with early change — the legacy pre-Flate filter; decoder
+  * cross-checked against an independent encoder), ASCIIHexDecode.
+  * Image-only filters (DCT/JPX/CCITT) are out of scope for a TEXT
+  * extractor and quarantine loudly on the tier-2 path.
+  *
   * Declared boundaries (documented, not silent): no font /Encoding
   * differences map (untagged non-CID bytes read as Latin-1 — correct for
   * the ASCII/WinAnsi majority), no encryption (/Encrypt quarantines),
@@ -254,6 +260,79 @@ object PdfText {
           }
       }
     }
+  }
+
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
+    * `>` terminates, odd final digit implies a trailing 0.
+    */
+  private[graft] def asciiHexDecode(d: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(d.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < d.length && !done) {
+      val c = d(i).toChar
+      if (c == '>') done = true
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) { if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 } }
+        else if (!isWs(c)) throw new IllegalStateException(s"ASCIIHex: bad byte '$c'")
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000 §7.4.4 — the TIFF variant): MSB-first bit
+    * packing, 9-bit codes growing to 12, Clear=256 resets the table,
+    * EOD=257 ends, and the PDF-default "early change" widens the code
+    * size one entry BEFORE the table fills. Legacy (pre-Flate) streams
+    * still carry it; bounded by [[MaxStreamBytes]] like inflate.
+    */
+  private[graft] def lzwDecode(d: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 3 + 16)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    def resetTable(): Unit = { dictSize = 258; width = 9; prev = null }
+    var k = 0
+    while (k < 256) { dict(k) = Array(k.toByte); k += 1 }
+    while (i < d.length || bitCnt >= width) {
+      while (bitCnt < width && i < d.length) {
+        bitBuf = (bitBuf << 8) | (d(i) & 0xff); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) return out.toByteArray // trailing pad bits
+      val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 257) return out.toByteArray // EOD
+      if (code == 256) resetTable()
+      else {
+        val entry: Array[Byte] =
+          if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+          else throw new IllegalStateException(s"LZW: bad code $code at width $width")
+        out.write(entry)
+        if (out.size > MaxStreamBytes)
+          throw new IllegalStateException(s"LZW output exceeds $MaxStreamBytes")
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+        }
+        // the decoder's table lags the encoder by ONE entry at read
+        // time (it learns entry n from the code after n was created),
+        // so it widens one entry earlier than its own count suggests:
+        // encoder widens at next-free + earlyChange ≥ 2^w (TIFF's
+        // switch-at-511 rule), decoder at next-free + 1 + earlyChange
+        if (dictSize + 1 + earlyChange >= (1 << width) && width < 12) width += 1
+        prev = entry
+      }
+    }
+    out.toByteArray
   }
 
   /** Undo PNG row predictors (RFC 2083 filters 0-4) — how xref streams
@@ -586,17 +665,22 @@ object PdfText {
         case PArr(items) => items.collectFirst { case PDict(m) => m }.getOrElse(Map.empty)
         case _ => Map.empty
       }
+      def parmInt(key: String, dflt: Int): Int =
+        parms.get(key) match { case Some(PNum(v)) => v.toInt; case _ => dflt }
+      def unpredicted(d: Array[Byte]): Array[Byte] = {
+        val pred = parmInt("Predictor", 1)
+        if (pred <= 1) d
+        else unpredict(d, pred, parmInt("Columns", 1),
+          parmInt("Colors", 1), parmInt("BitsPerComponent", 8))
+      }
       var data = s.raw
       for (f <- filters) f match {
         case "FlateDecode" | "Fl" =>
-          data = inflate(data, 0, data.length)
-          val pred = parms.get("Predictor") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
-          if (pred > 1) {
-            val cols = parms.get("Columns") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
-            val colors = parms.get("Colors") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
-            val bpc = parms.get("BitsPerComponent") match { case Some(PNum(v)) => v.toInt; case _ => 8 }
-            data = unpredict(data, pred, cols, colors, bpc)
-          }
+          data = unpredicted(inflate(data, 0, data.length))
+        case "LZWDecode" | "LZW" =>
+          data = unpredicted(lzwDecode(data, parmInt("EarlyChange", 1)))
+        case "ASCIIHexDecode" | "AHx" =>
+          data = asciiHexDecode(data)
         case other => throw new IllegalStateException(s"filter /$other unsupported")
       }
       data
@@ -862,6 +946,8 @@ object PdfText {
             val raw = java.util.Arrays.copyOfRange(b, ds, math.max(de, ds))
             val data =
               if (dict.contains("/FlateDecode")) inflate(raw, 0, raw.length)
+              else if (dict.contains("/LZWDecode")) lzwDecode(raw)
+              else if (dict.contains("/ASCIIHexDecode")) asciiHexDecode(raw)
               else raw
             val t = streamText(data)
             if (t.nonEmpty) { nTextStreams += 1; texts += t }

@@ -226,6 +226,87 @@ class PdfTextSpec extends SparkSuite {
     assert(PdfText.unpredict(filtered, 12, cols).sameElements(plain))
   }
 
+  test("ASCIIHexDecode: pairs, whitespace, '>' terminator, odd-digit rule") {
+    assert(PdfText.asciiHexDecode("48 65 6c\n6C 6f>".getBytes("ISO-8859-1"))
+      .sameElements("Hello".getBytes("ISO-8859-1")))
+    assert(PdfText.asciiHexDecode("7>".getBytes("ISO-8859-1"))
+      .sameElements(Array(0x70.toByte)))
+    intercept[IllegalStateException] {
+      PdfText.asciiHexDecode("4z>".getBytes("ISO-8859-1"))
+    }
+  }
+
+  // minimal in-spec LZW encoder (TIFF/PDF variant, early change 1):
+  // independent mirror of the decoder for round-trip evidence
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var dictSize = 258
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    put(256) // clear
+    var w = Seq.empty[Byte]
+    for (b <- data) {
+      val wb = w :+ b
+      if (wb.length == 1 || dict.contains(wb)) w = wb
+      else {
+        put(if (w.length == 1) w.head & 0xff else dict(w))
+        if (dictSize < 4096) { dict(wb) = dictSize; dictSize += 1 }
+        // early change: the DECODER widens when dictSize+1 hits the
+        // ceiling, so the encoder must widen in lockstep
+        if (dictSize + 1 >= (1 << width) && width < 12) width += 1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) put(if (w.length == 1) w.head & 0xff else dict(w))
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZWDecode: encoder round-trip incl. table growth and KwKwK") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 5, 300, 5000)) {
+      // low-entropy bytes force long dictionary chains + width growth
+      val data = Array.fill(n)((rnd.nextInt(4) * 17).toByte)
+      val got = PdfText.lzwDecode(lzwEncode(data))
+      assert(got.sameElements(data), s"n=$n")
+    }
+    // KwKwK: "aaaa…" emits a code equal to dictSize on decode
+    val runs = Array.fill(64)('a'.toByte)
+    assert(PdfText.lzwDecode(lzwEncode(runs)).sameElements(runs))
+    intercept[IllegalStateException] {
+      PdfText.lzwDecode(Array(0xff.toByte, 0xff.toByte)) // garbage code
+    }
+  }
+
+  test("LZW and ASCIIHex streams extract through both tiers") {
+    val content = "BT (legacy filters) Tj ET"
+    // tier 1 (no xref): LZW content stream
+    val lzw = lzwEncode(content.getBytes("ISO-8859-1"))
+    val head = ("%PDF-1.1\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${lzw.length} /Filter /LZWDecode >> stream\n").getBytes("ISO-8859-1")
+    val doc = PdfText.parseFile(5L,
+      head ++ lzw ++ "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes("ISO-8859-1"))
+    assert(doc.ok && doc.text == "legacy filters", doc.err)
+    // ASCIIHex via the same shape
+    val hexed = content.getBytes("ISO-8859-1").map(b => f"$b%02x").mkString + ">"
+    val head2 = ("%PDF-1.1\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${hexed.length} /Filter /ASCIIHexDecode >> stream\n").getBytes("ISO-8859-1")
+    val doc2 = PdfText.parseFile(6L,
+      head2 ++ hexed.getBytes("ISO-8859-1") ++
+        "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes("ISO-8859-1"))
+    assert(doc2.ok && doc2.text == "legacy filters", doc2.err)
+  }
+
   test("tier-2 fixture round-trips through the distributed extractor") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 60)
