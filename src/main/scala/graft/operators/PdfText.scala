@@ -506,6 +506,8 @@ object PdfText {
 
     def inUseCount: Int = xref.size
 
+    private val seenSections = mutable.Set.empty[Int]
+
     def load(): Boolean = {
       // last startxref wins (incremental updates append)
       var at = -1; var p = 0
@@ -517,9 +519,7 @@ object PdfText {
       if (at < 0) return false
       val lx = new PLexer(b, at + "startxref".length)
       var next = lx.int()
-      val seen = mutable.Set.empty[Int]
-      while (next >= 0 && next < b.length && !seen(next)) {
-        seen += next
+      while (next >= 0 && next < b.length && !seenSections(next)) {
         next = loadSection(next)
       }
       trailer.contains("Root")
@@ -527,6 +527,11 @@ object PdfText {
 
     /** One xref section at `off`; returns the /Prev offset or -1. */
     private def loadSection(off: Int): Int = {
+      // shared seen-set guards BOTH the /Prev chain and the hybrid
+      // /XRefStm hop (r15 self-review: a crafted XRefStm ↔ table cycle
+      // would otherwise recurse unboundedly)
+      if (seenSections(off)) return -1
+      seenSections += off
       val lx = new PLexer(b, off)
       if (lx.keyword("xref")) {
         // classic table: subsections of 20-byte-ish entries
@@ -548,7 +553,9 @@ object PdfText {
         val d = lx.parse().asInstanceOf[PDict].m
         // hybrid-reference file: the /XRefStm stream takes precedence
         // over this table's /Prev chain for the entries it carries
-        d.get("XRefStm").collect { case PNum(v) => loadSection(v.toInt) }
+        d.get("XRefStm").collect {
+          case PNum(v) if v >= 0 && v < b.length => loadSection(v.toInt)
+        }
         trailer = trailer ++ (d -- trailer.keySet) // first-seen keys win
         d.get("Prev") match { case Some(PNum(v)) => v.toInt; case _ => -1 }
       } else {

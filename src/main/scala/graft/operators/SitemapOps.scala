@@ -99,7 +99,9 @@ object SitemapOps {
     val e = entries(docs, hostCol, urlCol, xmlCol).trackedCache
     val out = Seq("host", "sitemap_url", "entry_idx", "loc", "lastmod",
       "changefreq", "priority", "same_host")
-    val direct = e.filter(col("kind") === "urlset")
+    // loc is the protocol's one REQUIRED child — a <url> without one is
+    // not an address, so it surfaces in entries() but never schedules
+    val direct = e.filter(col("kind") === "urlset" && col("loc").isNotNull)
       .select(out.map(col): _*)
       .withColumn("via_index", lit(false))
     // one level by protocol: index → sitemap. Both sides are hosts-scale

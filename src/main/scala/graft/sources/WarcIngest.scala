@@ -492,7 +492,12 @@ object WarcIngest {
       try {
         val pb = new java.io.PushbackInputStream(raw, 2)
         val head = new Array[Byte](2)
-        val n = pb.read(head)
+        // InputStream.read may SHORT-read even mid-stream (network FS
+        // first-byte reads do) — loop to 2 bytes or EOF, or the sniff
+        // would misread a gzip file as plain
+        var n = 0
+        var r = 0
+        while (n < 2 && { r = pb.read(head, n, 2 - n); r > 0 }) n += r
         if (n > 0) pb.unread(head, 0, n)
         // GZIPInputStream reads and validates the member header here, so
         // a corrupt header quarantines on the gzip lane, not "open"
@@ -517,37 +522,36 @@ object WarcIngest {
     }
   }
 
-  /** First-fit-decreasing bin-pack of (path, bytes, hosts) files into
-    * partitions: capacity = min(target, ⌈Σ/wantBins⌉) where wantBins
-    * floors at cluster parallelism (small corpora still spread), files
-    * sort size-descending so big shards seed bins and small ones fill
-    * gaps. A file larger than capacity is indivisible and gets its own
-    * bin — any scheme is bounded by the largest file. Per-bin hosts are
-    * the union of member files' block hosts (locality hints for
-    * `makeRDD`; empty on object stores, harmless locally). Driver cost
-    * is O(n·bins) over the LISTING only — no data moves.
+  /** Longest-processing-time bin-pack of (path, bytes, hosts) files
+    * into partitions: bin count = max(⌈Σ/target⌉, parallelism floor)
+    * capped at the file count, files sorted size-descending, each
+    * assigned to the least-loaded bin via a heap — O(n log n) over the
+    * LISTING (the r15 self-review replaced first-fit's O(n·bins) scan,
+    * which goes quadratic on a 100k-shard listing). Every bin lands
+    * ≈ Σ/bins ≤ target; a file larger than that is indivisible and
+    * dominates its bin under any scheme. Deterministic: ties break on
+    * bin index. Per-bin hosts are the union of member files' block
+    * hosts (locality hints for `makeRDD`; empty on object stores,
+    * harmless locally).
     */
   private[graft] def planBins(files: Seq[(String, Long, Seq[String])],
                                 target: Long, parallelism: Int): Seq[(Seq[String], Seq[String])] = {
     if (files.isEmpty) return Nil
     val total = files.map(_._2).sum
     val byTarget = (total + math.max(target, 1L) - 1) / math.max(target, 1L)
-    val wantBins = math.min(files.size.toLong,
+    val nBins = math.min(files.size.toLong,
       math.max(byTarget, math.min(parallelism.toLong, files.size.toLong))).toInt
-    val cap = math.max(1L, math.min(target, (total + wantBins - 1) / wantBins))
     val sorted = files.sortBy(f => (-f._2, f._1))
-    val paths = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
-    val hosts = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashSet[String]]
-    val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val paths = Array.fill(nBins)(scala.collection.mutable.ArrayBuffer.empty[String])
+    val hosts = Array.fill(nBins)(scala.collection.mutable.LinkedHashSet.empty[String])
+    // min-heap of (load, binIdx): Ordering reversed for PriorityQueue
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+      Ordering.Tuple2[Long, Int].reverse)
+    for (i <- 0 until nBins) heap.enqueue((0L, i))
     for ((p, len, hs) <- sorted) {
-      var i = 0
-      while (i < used.length && used(i) + len > cap) i += 1
-      if (i == used.length) {
-        paths += scala.collection.mutable.ArrayBuffer.empty[String]
-        hosts += scala.collection.mutable.LinkedHashSet.empty[String]
-        used += 0L
-      }
-      paths(i) += p; hosts(i) ++= hs; used(i) += len
+      val (load, i) = heap.dequeue()
+      paths(i) += p; hosts(i) ++= hs
+      heap.enqueue((load + len, i))
     }
     paths.indices.map(i => (paths(i).toSeq, hosts(i).toSeq))
   }

@@ -424,7 +424,7 @@ class WarcIngestSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
-  test("planBins: byte-volume FFD, oversized file isolated, parallelism floor") {
+  test("planBins: byte-volume LPT, oversized file isolated, parallelism floor") {
     def f(n: String, len: Long) = (n, len, Seq.empty[String])
     // one oversized + small fillers at capacity 100
     val bins = WarcIngest.planBins(
@@ -440,5 +440,13 @@ class WarcIngestSpec extends SparkSuite {
       Seq(f("a", 1L), f("b", 1L), f("c", 1L), f("d", 1L)),
       target = 1L << 30, parallelism = 8)
     assert(spread.length == 4 && spread.forall(_._1.length == 1))
+    // least-loaded assignment balances: 100 unit files over 10 bins
+    val many = WarcIngest.planBins(
+      (0 until 100).map(i => f(f"m$i%03d", 1L)), target = 10L, parallelism = 4)
+    assert(many.length == 10 && many.forall(_._1.length == 10))
+    // deterministic under input order
+    val again = WarcIngest.planBins(
+      (0 until 100).reverse.map(i => f(f"m$i%03d", 1L)), target = 10L, parallelism = 4)
+    assert(again.map(_._1) == many.map(_._1))
   }
 }
