@@ -1038,6 +1038,29 @@ object SparkEntry {
           col("http_status").cast("long").as("http_status"),
           col("http_content_type"), col("payload_len"), col("body"))
         .orderBy("file_id", "rec_idx")),
+    // the recrawl tier: sitemap lastmod vs fetch history — len%3==0
+    // hosts fetched their k=0 entry BEFORE its lastmod (stale), %3==1
+    // hosts fetched their k=1 entry AFTER (fresh, excluded), %3==2
+    // hosts have no history; ISO-date string compare, oracle replays
+    "q_crawl_recrawl" -> ((s, d) => {
+      import graft.CacheLedger.Tracked
+      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
+      // three fixture branches (sitemaps + two fetched unions) — cache
+      // the distinct like q_crawl_frontier (7.1s → ~2s)
+      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host"))
+        .filter(col("host").isNotNull).distinct().trackedCache
+      val fetched = hosts.filter(length(col("host")) % 3 === 0)
+        .select(concat(lit("https://"), col("host"), lit("/p/0-0?a=1&b="),
+            (length(col("host")) % 7).cast("string")).as("url"),
+          lit("2025-02-05").as("fetched_at"))
+        .unionByName(hosts.filter(length(col("host")) % 3 === 1)
+          .select(concat(lit("https://"), col("host"), lit("/p/1-0?a=1&b="),
+              (length(col("host")) % 7).cast("string")).as("url"),
+            lit("2025-03-01").as("fetched_at")))
+      operators.Frontier.staleFetches(
+          operators.SitemapOps.syntheticSitemaps(hosts), fetched)
+        .orderBy("host", "url")
+    }),
     // the CDX capture index over URL-fixture WARC records: SURT keys
     // (reversed host labels, non-default port, path+query) computed by
     // the engine, replayed by the oracle from the parsed d2 columns
@@ -3143,6 +3166,16 @@ object SparkEntry {
         |  CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS BIGINT) AS payload_len,
         |  '<html><body><p>' || text || '</p></body></html>' AS body
         |FROM documents ORDER BY file_id, rec_idx""".stripMargin,
+    // stale = the len%3==0 hosts' k=0 entry: its lastmod 2025-02-10 is
+    // newer than the planted 2025-02-05 fetch; the %3==1 hosts' k=1
+    // fetch (2025-03-01 > 2025-02-11) stays fresh and yields no row
+    "q_crawl_recrawl" ->
+      s"""$urlFixtureSql,
+         |hs AS (SELECT DISTINCT lower(host) AS host FROM d2 WHERE host IS NOT NULL)
+         |SELECT host,
+         |  'https://' || host || '/p/0-0?a=1&b=' || CAST(length(host) % 7 AS VARCHAR) AS url,
+         |  '2025-02-10' AS lastmod, '2025-02-05' AS fetched_at
+         |FROM hs WHERE length(host) % 3 = 0 ORDER BY host, url""".stripMargin,
     // SURT + CDX fields replayed from the parsed URL columns (d2): the
     // WARC framing cancels (status/mime/length are fixture constants)
     "q_crawl_cdx" ->

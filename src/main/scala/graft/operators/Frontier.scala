@@ -88,6 +88,36 @@ object Frontier {
           .cast("long").as("fetch_offset_ms"))
   }
 
+  /** The recrawl tier — [[frontier]]'s companion for URLs ALREADY in
+    * the history: a fetch is STALE when the publisher's sitemap
+    * advertises a `lastmod` strictly newer than the recorded fetch
+    * time (the signal the protocol exists to provide; entries without
+    * a lastmod never mark stale — absence of evidence schedules
+    * nothing). Timestamps compare as ISO-8601 date strings — the
+    * protocol's own format, lexicographically ordered, no timezone
+    * arithmetic to diverge on. One url-keyed sort-merge join against
+    * the history (corpus-scale, never broadcast), same-host and
+    * direct-lane rules as [[frontier]].
+    *
+    * @param fetched history `(url, fetched_at)` — fetched_at an
+    *                ISO-8601 date/timestamp string
+    * @return `(host, url, lastmod, fetched_at)` — one row per stale
+    *         fetch, the set a recrawl cycle feeds back into its queue
+    */
+  def staleFetches(sitemapDocs: DataFrame, fetched: DataFrame,
+                   urlCol: String = "url", fetchedAtCol: String = "fetched_at"): DataFrame = {
+    val cand = SitemapOps.urlEntries(sitemapDocs)
+      .filter(col("same_host") && !col("via_index") && col("lastmod").isNotNull)
+      .select(col("host"), UrlOps.normalize(col("loc")).as("url"), col("lastmod"))
+      .groupBy("host", "url").agg(max("lastmod").as("lastmod"))
+    cand.join(
+        fetched.select(UrlOps.normalize(col(urlCol)).as("url"),
+          col(fetchedAtCol).as("fetched_at")).hint("shuffle_merge"),
+        Seq("url"))
+      .filter(col("lastmod") > col("fetched_at"))
+      .select(col("host"), col("url"), col("lastmod"), col("fetched_at"))
+  }
+
   /** Frontier-shaped robots fixture (host-string arithmetic, oracle-
     * replayable): every host's `*` group disallows the `/p/1-` prefix
     * with Crawl-delay len%5; EVEN-length hosts add a `graftbot` group

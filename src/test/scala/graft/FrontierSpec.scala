@@ -53,6 +53,23 @@ class FrontierSpec extends SparkSuite {
     assert(out.forall(r => !r.isNullAt(r.fieldIndex("priority"))))
   }
 
+  test("staleFetches: lastmod-newer marks stale; no lastmod, fresh, unknown never do") {
+    val sm = SitemapOps.syntheticSitemaps(hosts)
+    // even.org k=0 lastmod is 2025-02-10; k=1 is 2025-02-11; the bare
+    // /p/k-1 entries carry no lastmod at all
+    val fetched = Seq(
+      ("https://even.org/p/0-0?a=1&b=1", "2025-01-01"),  // stale (10 > 01-01)
+      ("https://even.org:443/p/1-0?a=1&b=1", "2025-06-01"), // fresh (normalized match)
+      ("https://even.org/p/0-1", "2020-01-01"),          // no lastmod → never stale
+      ("https://odd.net/unknown", "2020-01-01"))         // not in any sitemap
+      .toDF("url", "fetched_at")
+    val out = Frontier.staleFetches(sm, fetched).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("url") == "https://even.org/p/0-0?a=1&b=1")
+    assert(out.head.getAs[String]("lastmod") == "2025-02-10")
+    assert(out.head.getAs[String]("fetched_at") == "2025-01-01")
+  }
+
   test("the history anti-join is sort-merge, never a broadcast") {
     val plan = run(fetched = Seq("https://x.com/a")).queryExecution
       .executedPlan.toString
