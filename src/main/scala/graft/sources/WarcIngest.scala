@@ -38,7 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * named fields, Content-Length-delimited blocks (binary-safe), per-record
   * or whole-file gzip (concatenated members — the standard .warc.gz
   * layout), HTTP response blocks (status line + headers + body) including
-  * chunked transfer-encoding dechunking, and charset-aware body decoding
+  * chunked transfer-encoding dechunking, `Content-Encoding` payload
+  * decoding (gzip/x-gzip, deflate with the raw-zlib retry — crawl
+  * captures store bodies as transmitted), and charset-aware body decoding
   * (BOM > HTTP `Content-Type` charset > HTML `<meta charset>` prescan >
   * ISO-8859-1 fallback — the WHATWG encoding-sniffing precedence).
   * Malformed records quarantine as `ok=false` rows with the error; a torn
@@ -243,6 +245,55 @@ object WarcIngest {
     (new String(payload, ISO_8859_1), "iso-8859-1")
   }
 
+  /** Decode an HTTP `Content-Encoding`d payload: gzip / x-gzip
+    * (GZIPInputStream), deflate (zlib per RFC 9110 — with the
+    * raw-deflate retry every browser applies, since real servers ship
+    * both), identity/empty pass-through. Output is bounded by
+    * [[MaxRecordBytes]]; corrupt compressed bodies and unknown codings
+    * quarantine rather than flowing downstream as mojibake "text".
+    */
+  private[sources] def contentDecode(p: Array[Byte],
+                                     encoding: String): Either[String, Array[Byte]] = {
+    val enc = encoding.trim.toLowerCase
+    // mk is BY-NAME: GZIPInputStream's constructor already reads (and
+    // throws on) the member header, and that failure must land on this
+    // record's quarantine lane, not escape as an IOException that
+    // halts the whole file
+    def drain(mk: => InputStream): Either[String, Array[Byte]] = {
+      var in: InputStream = null
+      try {
+        in = mk
+        val out = new java.io.ByteArrayOutputStream(math.min(p.length * 4, 1 << 20))
+        val buf = new Array[Byte](64 << 10)
+        var n = in.read(buf)
+        while (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size > MaxRecordBytes)
+            return Left(s"content-encoding $enc: inflates past cap $MaxRecordBytes")
+          n = in.read(buf)
+        }
+        Right(out.toByteArray)
+      } catch {
+        case e: Exception =>
+          Left(s"content-encoding $enc: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+      } finally { if (in != null) { try in.close() catch { case _: Exception => } } }
+    }
+    enc match {
+      case "" | "identity" => Right(p)
+      case "gzip" | "x-gzip" =>
+        if (p.isEmpty) Right(p)
+        else drain(new GZIPInputStream(new ByteArrayInputStream(p), 64 << 10))
+      case "deflate" =>
+        if (p.isEmpty) Right(p)
+        else drain(new java.util.zip.InflaterInputStream(
+            new ByteArrayInputStream(p), new java.util.zip.Inflater(false), 64 << 10))
+          .left.flatMap(_ => // raw-deflate servers: retry nowrap
+            drain(new java.util.zip.InflaterInputStream(
+              new ByteArrayInputStream(p), new java.util.zip.Inflater(true), 64 << 10)))
+      case other => Left(s"content-encoding $other unsupported")
+    }
+  }
+
   /** Parse one record's already-materialized block (bounded: every scan
     * below is over this array alone, so a malformed HTTP section can never
     * read past the record's Content-Length framing).
@@ -261,10 +312,16 @@ object WarcIngest {
         else {
           val chunked = hh.getOrElse("transfer-encoding", "").toLowerCase.contains("chunked")
           val httpCt = hh.getOrElse("content-type", "")
-          val payload: Either[String, Array[Byte]] =
+          val framed: Either[String, Array[Byte]] =
             if (chunked) dechunk(block, hp, block.length)
               .toRight("malformed chunked framing")
             else Right(java.util.Arrays.copyOfRange(block, hp, block.length))
+          // real crawl captures store bodies AS TRANSMITTED, so
+          // Content-Encoding survives into the archive — decode it
+          // (after dechunking, per the HTTP layering) or downstream
+          // text stages see compressed bytes as mojibake
+          val payload = framed.flatMap(p =>
+            contentDecode(p, hh.getOrElse("content-encoding", "")))
           payload.map { p =>
             val (text, cs) = decodeBody(p, httpCt)
             (code, httpCt, p, text, cs)

@@ -395,6 +395,58 @@ class WarcIngestSpec extends SparkSuite {
     }
   }
 
+  test("Content-Encoding bodies decode: gzip, deflate (zlib + raw), quarantine") {
+    def deflate(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val body = "compressed page body".getBytes(UTF_8)
+    def rec(enc: String, payload: Array[Byte]): Array[Byte] = {
+      val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Encoding: $enc\r\n\r\n").getBytes(UTF_8)
+      val http = head ++ payload
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:ce:1>\r\n" +
+        s"WARC-Target-URI: https://t/ce\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    for ((enc, payload) <- Seq(
+      ("gzip", gzipMember(body)), ("x-gzip", gzipMember(body)),
+      ("deflate", deflate(body, nowrap = false)), // zlib-wrapped
+      ("deflate", deflate(body, nowrap = true)))) { // raw (the browser retry)
+      val r = WarcIngest.parseFile(1L, rec(enc, payload)).head
+      assert(r.ok && r.body == "compressed page body", s"$enc: ${r.err}")
+      assert(r.payload_len == body.length) // decoded length, like body
+    }
+    // chunked + gzip compose: dechunk first, then content-decode
+    val gz = gzipMember(body)
+    val chunked = f"${gz.length}%x\r\n".getBytes(UTF_8) ++ gz ++
+      "\r\n0\r\n\r\n".getBytes(UTF_8)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n").getBytes(UTF_8)
+    val http = head ++ chunked
+    val cRec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:ce:2>\r\n" +
+      s"WARC-Target-URI: https://t/ce2\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+      http ++ "\r\n\r\n".getBytes(UTF_8)
+    val cr = WarcIngest.parseFile(2L, cRec).head
+    assert(cr.ok && cr.body == "compressed page body", cr.err)
+    // corrupt gzip body and unknown coding quarantine, next record parses
+    val bad = rec("gzip", Array[Byte](1, 2, 3)) ++ rec("br", body) ++
+      record(9, "survivor")
+    val rs = WarcIngest.parseFile(3L, bad)
+    assert(rs.length == 3)
+    assert(!rs(0).ok && rs(0).err.startsWith("content-encoding gzip:"))
+    assert(!rs(1).ok && rs(1).err.contains("br unsupported"))
+    assert(rs(2).ok && rs(2).body == "survivor")
+  }
+
   test("writeCdxj emits a GLOBALLY sorted index across output files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cdx_t").toFile
