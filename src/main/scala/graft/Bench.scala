@@ -431,6 +431,12 @@ object Bench {
       // NOTHING — the r13 q_tier_cdc drift was host-window, not eviction;
       // see REGRESSIONS.md r12→r13)
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // r16 gate (VERDICT r15 item 2): a whole-stage compile failure
+      // (janino 64 KB blowup) must FAIL the query into failed:[] — the
+      // r15 q_url_sitemaps fallback ran a whole round interpreted
+      // (2-5x slower, recompiling per execution) with rc=0 and nothing
+      // asserting on it. PlanAuditSpec runs the same gate roster-wide.
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

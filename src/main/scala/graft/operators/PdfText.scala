@@ -324,11 +324,18 @@ object PdfText {
           dictSize += 1
         }
         // the decoder's table lags the encoder by ONE entry at read
-        // time (it learns entry n from the code after n was created),
-        // so it widens one entry earlier than its own count suggests:
-        // encoder widens at next-free + earlyChange ≥ 2^w (TIFF's
-        // switch-at-511 rule), decoder at next-free + 1 + earlyChange
-        if (dictSize + 1 + earlyChange >= (1 << width) && width < 12) width += 1
+        // time (it learns entry n from the code after n was created).
+        // Widen when the NEXT free slot + earlyChange no longer fits the
+        // current width — at 9 bits / earlyChange 1 that is next-free
+        // 511, the rule battle-tested decoders use (pdf.js widens at
+        // dictionaryIndex+earlyChange==512, mupdf at next_code+
+        // early_change > (1<<bits)-1). r15 shipped `dictSize + 1 +
+        // earlyChange`, one entry EARLY — real-world streams desynced
+        // once the table passed ~509 entries, and the in-repo mirror
+        // encoder shared the shifted threshold so the round-trip test
+        // could not see it; PdfTextSpec now validates against a stream
+        // produced by the JDK's independent ImageIO TIFF LZW encoder.
+        if (dictSize + earlyChange >= (1 << width) && width < 12) width += 1
         prev = entry
       }
     }
@@ -625,8 +632,23 @@ object PdfText {
       }
     }
 
-    def fetch(num: Int): PObj = cache.getOrElseUpdate(num, {
-      xref.get(num) match {
+    /** Objects currently being loaded: a crafted/corrupt file whose xref
+      * routes an object's load through itself (an /ObjStm entry pointing
+      * into its own stream, mutually-referential indirect /Length, …)
+      * would otherwise recurse fetch→fetch on the same key — reentrant
+      * getOrElseUpdate on the same mutable.HashMap key, unbounded, ending
+      * in StackOverflowError (an Error that ESCAPES extractTier2's
+      * Exception catch and kills the executor task). The guard turns the
+      * cycle into IllegalStateException → quarantine, the module's
+      * malformed-input contract for crawl-scale adversarial bytes.
+      */
+    private val loading = mutable.Set.empty[Int]
+
+    def fetch(num: Int): PObj = cache.getOrElse(num, {
+      if (!loading.add(num))
+        throw new IllegalStateException(s"object $num: cyclic load path")
+      val v = try {
+        xref.get(num) match {
         case Some(XOff(off)) =>
           val lx = new PLexer(b, off)
           lx.int(); lx.int()
@@ -648,12 +670,29 @@ object PdfText {
             throw new IllegalStateException(s"objstm $stm: index $idx out of range")
           new PLexer(data, first + pairs(idx)._2).parse()
         case None => PNull
-      }
+        }
+      } finally loading.remove(num)
+      cache(num) = v
+      v
     })
 
-    def resolve(o: PObj): PObj = o match {
-      case PRef(n, _) => resolve(fetch(n))
-      case x => x
+    /** Follow an indirect-reference chain to its value, hop-bounded: a
+      * self-referential object (`1 0 obj 1 0 R endobj` — fetch succeeds,
+      * the VALUE is another ref) would spin the old tail-recursive form
+      * forever. 64 hops is far beyond any legitimate chain (real files
+      * use 1, spec has no chaining use case); past it the file
+      * quarantines like other damage.
+      */
+    def resolve(o: PObj): PObj = {
+      var cur = o
+      var hops = 0
+      while (cur.isInstanceOf[PRef]) {
+        if (hops >= 64)
+          throw new IllegalStateException("indirect reference chain exceeds 64 hops (cycle)")
+        cur = fetch(cur.asInstanceOf[PRef].num)
+        hops += 1
+      }
+      cur
     }
 
     /** Apply /Filter (+/DecodeParms) to a stream's raw bytes. Flate with
@@ -1020,7 +1059,7 @@ object PdfText {
   /** Deterministic PDF 1.5 fixture exercising the WHOLE tier-2 path in
     * one file: catalog/pages/page/fonts live in an /ObjStm object
     * stream, the cross-reference is an xref STREAM (FlateDecode +
-    * /Predictor 12 PNG Up, /W [1 2 1]) with type-1 and type-2 entries,
+    * /Predictor 12 PNG Up, /W [1 3 1]) with type-1 and type-2 entries,
     * the content stream is Flate-compressed, /Resources sit on the
     * PAGES node (inheritance), and the doc text shows through a Type0
     * font whose ToUnicode CMap maps 2-byte codes 0x10nn → U+00nn

@@ -47,8 +47,20 @@ object SitemapOps {
       lit("&apos;"), lit("'")),
       lit("&amp;"), lit("&"))
 
-  private def field(tag: String): Column =
-    nullif(xmlUnescape(regexp_extract(col("entry"), fieldRe(tag), 1)), lit(""))
+  /** Extract-and-unescape, applied ONCE per field in its own projection:
+    * the r15 shape `nullif(xmlUnescape(regexp_extract(...)))` let
+    * `nullif`'s analysis-time CASE expansion duplicate the whole 5-deep
+    * replace chain in the SAME projection, and projection collapse fused
+    * four of those duplicated chains plus the fixture concat and the
+    * downstream distinct hashAgg into one >64 KB generated method —
+    * whole-stage codegen failed and the stage silently ran interpreted.
+    * Splitting extract/unescape (non-cheap, referenced twice by the
+    * null-empty CASE) into a separate projection keeps CollapseProject
+    * from re-inlining it (it refuses to duplicate non-cheap expressions),
+    * so each generated method stays small and the stage compiles.
+    */
+  private def fieldRaw(tag: String): Column =
+    xmlUnescape(regexp_extract(col("entry"), fieldRe(tag), 1))
 
   /** Parse sitemap documents `(host, sitemap_url, xml)` into one row per
     * entry: `(host, sitemap_url, kind, entry_idx, loc, lastmod,
@@ -63,6 +75,8 @@ object SitemapOps {
               urlCol: String = "sitemap_url", xmlCol: String = "xml"): DataFrame = {
     val kind = when(col(xmlCol).rlike("(?s)<sitemapindex[\\s>]"), "sitemapindex")
       .when(col(xmlCol).rlike("(?s)<urlset[\\s>]"), "urlset")
+    def emptyNull(name: String): Column =
+      when(col(name) === "", lit(null)).otherwise(col(name)).as(name)
     docs
       .select(lower(col(hostCol)).as("host"), col(urlCol).as("sitemap_url"),
         kind.as("kind"),
@@ -70,11 +84,16 @@ object SitemapOps {
       .filter(col("kind").isNotNull)
       .select(col("host"), col("sitemap_url"), col("kind"),
         posexplode(col("es")).as(Seq("entry_idx", "entry")))
-      .select(col("host"), col("sitemap_url"), col("kind"),
-        col("entry_idx"),
-        field("loc").as("loc"), field("lastmod").as("lastmod"),
-        field("changefreq").as("changefreq"),
-        field("priority").cast("double").as("priority"))
+      // extract+unescape each field exactly once …
+      .select(col("host"), col("sitemap_url"), col("kind"), col("entry_idx"),
+        fieldRaw("loc").as("loc"), fieldRaw("lastmod").as("lastmod"),
+        fieldRaw("changefreq").as("changefreq"),
+        fieldRaw("priority").as("priority"))
+      // … then null-out empties referencing only the (cheap) attribute
+      .select(col("host"), col("sitemap_url"), col("kind"), col("entry_idx"),
+        emptyNull("loc"), emptyNull("lastmod"), emptyNull("changefreq"),
+        when(col("priority") === "", lit(null)).otherwise(col("priority"))
+          .cast("double").as("priority"))
       .withColumn("same_host",
         lower(UrlOps.host(col("loc"))) === col("host"))
   }

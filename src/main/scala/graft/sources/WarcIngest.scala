@@ -715,12 +715,21 @@ object WarcIngest {
     * `ts` is caller-fixed (14-digit CDX convention) for deterministic
     * re-runs.
     */
+  /** Escape `\` then `"` for embedding a string column in concatenated
+    * JSON: captured crawl URIs and Content-Type values routinely carry
+    * both (r15 ADVICE — unescaped they produce invalid JSON lines that
+    * from_json silently nulls on re-read). Order matters: backslash
+    * first, or the escape characters themselves get re-escaped.
+    */
+  private def jsonEsc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+
   def writeCdxj(records: DataFrame, dir: String, nFiles: Int = 8,
                 ts: String = "20250101000000"): Unit = {
     val line = concat(col("surt"), lit(s" $ts "),
-      lit("{\"url\":\""), col("url"),
+      lit("{\"url\":\""), jsonEsc(col("url")),
       lit("\",\"status\":\""), col("status").cast("string"),
-      lit("\",\"mime\":\""), col("mime"),
+      lit("\",\"mime\":\""), jsonEsc(col("mime")),
       lit("\",\"length\":\""), col("length").cast("string"),
       lit("\",\"file\":\""), col("file_id").cast("string"),
       lit("\",\"idx\":\""), col("rec_idx").cast("string"), lit("\"}"))
@@ -744,12 +753,12 @@ object WarcIngest {
                date: String = "2025-01-01T00:00:00Z"): Unit = {
     val body = concat(
       lit("{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":\""),
-      col("target_uri"), lit("\",\"WARC-Type\":\""), col("warc_type"),
+      jsonEsc(col("target_uri")), lit("\",\"WARC-Type\":\""), jsonEsc(col("warc_type")),
       lit("\"},\"Payload-Metadata\":{\"Actual-Content-Length\":"),
       col("payload_len").cast("string"),
       lit(",\"HTTP-Response-Metadata\":{\"Response-Message\":{\"Status\":"),
       col("http_status").cast("string"),
-      lit("},\"Headers\":{\"Content-Type\":\""), col("http_content_type"),
+      lit("},\"Headers\":{\"Content-Type\":\""), jsonEsc(col("http_content_type")),
       lit("\"}}}}}"))
     val rec = concat(
       lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:graft:wat:"),

@@ -256,9 +256,11 @@ class PdfTextSpec extends SparkSuite {
       else {
         put(if (w.length == 1) w.head & 0xff else dict(w))
         if (dictSize < 4096) { dict(wb) = dictSize; dictSize += 1 }
-        // early change: the DECODER widens when dictSize+1 hits the
-        // ceiling, so the encoder must widen in lockstep
-        if (dictSize + 1 >= (1 << width) && width < 12) width += 1
+        // early change: the encoder's table leads the decoder by one
+        // entry, so it widens when ITS next-free slot hits 2^w (the
+        // decoder widens at next-free + 1 = 2^w). Anchored against the
+        // JDK ImageIO TIFF LZW encoder below — not just this mirror.
+        if (dictSize >= (1 << width) && width < 12) width += 1
         w = Seq(b)
       }
     }
@@ -282,6 +284,109 @@ class PdfTextSpec extends SparkSuite {
     intercept[IllegalStateException] {
       PdfText.lzwDecode(Array(0xff.toByte, 0xff.toByte)) // garbage code
     }
+  }
+
+  test("LZWDecode decodes a stream from the JDK's independent TIFF LZW encoder") {
+    // The r15 decoder widened one table entry EARLY and the mirror
+    // encoder above shared the shifted threshold, so the round-trip test
+    // was blind to it (ADVICE r15). PDF's LZWDecode is BY SPEC the TIFF
+    // algorithm (ISO 32000-1 §7.4.4.2, early change = 1), and the JDK
+    // ships a battle-tested TIFF codec since 9 — encode a raster with
+    // ImageIO's writer, slice the LZW strips out of the TIFF container,
+    // and require OUR decoder to reproduce the raster bytes. Low-entropy
+    // patterned data grows the table past both the 9→10 and 10→11
+    // widening boundaries where the off-by-one desyncs.
+    import java.awt.image.{BufferedImage, DataBufferByte}
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    val w = 256; val h = 64
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(17) * 15)
+    val raster = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    writer.write(null, new IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val t = baos.toByteArray
+    // minimal TIFF IFD walk for StripOffsets/StripByteCounts
+    val le = t(0) == 'I'
+    def u16(o: Int): Int =
+      if (le) (t(o) & 0xff) | ((t(o + 1) & 0xff) << 8)
+      else ((t(o) & 0xff) << 8) | (t(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
+      else (0 to 3).map(i => (t(o + i) & 0xffL) << (8 * (3 - i))).reduce(_ | _)
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    def values(tag: Int): Seq[Long] =
+      (0 until n).map(i => ifd + 2 + 12 * i).find(e => u16(e) == tag).toSeq.flatMap { e =>
+        val typ = u16(e + 2); val cnt = u32(e + 4).toInt
+        val sz = if (typ == 3) 2 else 4
+        val base = if (cnt * sz <= 4) e + 8 else u32(e + 8).toInt
+        (0 until cnt).map(i => if (typ == 3) u16(base + i * sz).toLong else u32(base + i * sz))
+      }
+    assert(values(259) == Seq(5L), "compression must be LZW")
+    assert(values(317).forall(_ == 1L), "no predictor expected")
+    val offs = values(273); val lens = values(279)
+    assert(offs.nonEmpty && offs.size == lens.size)
+    val decoded = offs.zip(lens).flatMap { case (o, l) =>
+      PdfText.lzwDecode(java.util.Arrays.copyOfRange(t, o.toInt, (o + l).toInt))
+    }.toArray
+    assert(decoded.length == raster.length,
+      s"decoded ${decoded.length} vs raster ${raster.length}")
+    assert(decoded.sameElements(raster))
+    // negative control (proves this test has teeth): widening ONE entry
+    // early — numerically earlyChange+1, exactly the r15 bug — must NOT
+    // reproduce the raster from the same externally-encoded stream
+    val oneEarly = scala.util.Try(offs.zip(lens).flatMap { case (o, l) =>
+      PdfText.lzwDecode(java.util.Arrays.copyOfRange(t, o.toInt, (o + l).toInt),
+        earlyChange = 2)
+    }.toArray)
+    assert(oneEarly.isFailure || !oneEarly.get.sameElements(raster),
+      "a one-early widen decoded the JDK stream — the boundary is not exercised")
+  }
+
+  test("cyclic indirect objects quarantine instead of hanging or overflowing") {
+    // 1 0 obj 1 0 R endobj — resolve(Root) chases a self-referential
+    // value; r15's tail-recursive resolve compiled to an infinite loop
+    // (ADVICE high). With the hop bound the file must come back as a
+    // non-ok row (or tier-1 fallback), never hang or throw an Error.
+    def pdf(body: String): Array[Byte] = {
+      val head = "%PDF-1.4\n"
+      val b = new StringBuilder(head)
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      body.split("@").zipWithIndex.foreach { case (obj, _) =>
+        offs += b.length; b.append(obj)
+      }
+      val xref = b.length
+      b.append(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+      offs.foreach(o => b.append(f"$o%010d 00000 n \n"))
+      b.append(s"trailer << /Size ${offs.length + 1} /Root 1 0 R >>\n")
+      b.append(s"startxref\n$xref\n%%EOF\n")
+      b.toString.getBytes("ISO-8859-1")
+    }
+    val selfRef = pdf("1 0 obj 1 0 R endobj\n")
+    val d1 = PdfText.parseFile(1L, selfRef)
+    assert(!d1.ok || d1.text.isEmpty) // quarantined or degraded, not hung
+    // mutually-referential pair
+    val mutual = pdf("1 0 obj 2 0 R endobj\n@2 0 obj 1 0 R endobj\n")
+    val d2 = PdfText.parseFile(2L, mutual)
+    assert(!d2.ok || d2.text.isEmpty)
+    // indirect /Length that resolves through itself: exercises the fetch
+    // in-progress guard (reentrant load on the same object number)
+    val selfLen = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "@2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "@3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "@4 0 obj << /Length 4 0 R >> stream\nBT (x) Tj ET\nendstream endobj\n")
+    val d3 = PdfText.parseFile(3L, selfLen)
+    assert(d3 != null) // must terminate; ok either way (len falls back)
   }
 
   test("LZW and ASCIIHex streams extract through both tiers") {

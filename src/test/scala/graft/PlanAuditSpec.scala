@@ -155,6 +155,14 @@ class PlanAuditSpec extends SparkSuite {
     // failure and assert ONCE at the end — a bad recipe costs its own row,
     // never the rest of the roster's coverage.
     val gateFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    // r16 codegen gate (VERDICT r15 item 2): with fallback disabled, a
+    // whole-stage compile failure (janino "Code grows beyond 64 KB" —
+    // the q_url_sitemaps silent-interpreted regression) THROWS instead of
+    // quietly running the stage interpreted, so it lands in gateFailures
+    // with the query's name. Restored after the loop — other suites keep
+    // Spark's default behavior.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n => try {
       val qe = SparkEntry.queries(n)(spark, sf).queryExecution
       qe.toRdd.count() // execute THIS plan so AQE's choices are final
@@ -252,6 +260,7 @@ class PlanAuditSpec extends SparkSuite {
       case e: Throwable if scala.util.control.NonFatal(e) =>
         gateFailures += s"$n: ${e.getClass.getSimpleName}: ${e.getMessage}"
     }}
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
     assert(gateFailures.isEmpty,
       s"${gateFailures.size} queries failed the structural gate:\n${gateFailures.mkString("\n")}")
   }
