@@ -202,29 +202,56 @@ object TextOps {
       .withColumn("pr", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)))
       .filter(col("pr") <= k).select(col("lang"), col("g"), col("pr"))
+    // Doc side (r16): the per-doc top-k rank table is computed MAP-SIDE —
+    // run-length-encode the SORTED gram array and keep the k best
+    // (count desc, gram asc) entries per row, encoded as struct(nc=-count,
+    // g) so array_sort's natural struct order IS the rank order. This
+    // removes the corpus-side explode → hash shuffle → window sort (the
+    // r15 bench's #1 cost: every doc's len×n-char gram strings shuffled
+    // TWICE) and the kept-count aggregate + join (kept == size of the
+    // sliced array). Ranks and tie order are bit-identical to the window
+    // formulation — `get` is 0-based and null on out-of-bounds (ANSI-safe
+    // at the run boundaries), and each array stages in its OWN projection
+    // so nothing non-cheap is duplicated (the SitemapOps codegen lesson).
     val dg = docs
       .select(col(idCol), lower(col(textCol)).as("__graft_s"))
-      .select(col(idCol), explode(grams(col("__graft_s"))).as("g"))
-      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
-      .withColumn("dr", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("c").desc, col("g").asc)))
-      .filter(col("dr") <= k).select(col(idCol), col("g"), col("dr"))
-      .trackedCache // consumed twice: kept-gram counts + the profile join
-    val kept = dg.groupBy(idCol).agg(count(lit(1)).as("kept"))
+      .select(col(idCol), array_sort(grams(col("__graft_s"))).as("__graft_sorted"))
+      .select(col(idCol), col("__graft_sorted"),
+        when(size(col("__graft_sorted")) > 0,
+          sequence(lit(0), size(col("__graft_sorted")) - 1))
+          .otherwise(array().cast("array<int>")).as("__graft_idx"))
+      .select(col(idCol), col("__graft_sorted"),
+        filter(col("__graft_idx"), i => (i === 0) ||
+          get(col("__graft_sorted"), i) =!= get(col("__graft_sorted"), i - 1))
+          .as("__graft_starts"),
+        filter(col("__graft_idx"), i => (i === size(col("__graft_sorted")) - 1) ||
+          get(col("__graft_sorted"), i) =!= get(col("__graft_sorted"), i + 1))
+          .as("__graft_ends"))
+      .select(col(idCol),
+        zip_with(col("__graft_starts"), col("__graft_ends"), (st, en) =>
+          struct((st - en - 1).as("nc"), get(col("__graft_sorted"), st).as("g")))
+          .as("__graft_entries"))
+      .select(col(idCol), slice(array_sort(col("__graft_entries")), 1, k).as("__graft_tk"))
+      .select(col(idCol), size(col("__graft_tk")).as("kept"),
+        posexplode(col("__graft_tk")).as(Seq("__graft_p", "__graft_e")))
+      .select(col(idCol), col("kept"),
+        col("__graft_e").getField("g").as("g"), (col("__graft_p") + 1).as("dr"))
     val matched = dg.join(broadcast(profile), Seq("g"))
       .groupBy(idCol, "lang")
       .agg(sum(abs(col("dr") - col("pr"))).as("sum_abs"),
-        count(lit(1)).as("n_match"))
-    val dist = matched.join(kept.hint("shuffle_hash"), Seq(idCol))
-      .select(col(idCol), col("lang"),
-        (col("sum_abs") + (col("kept") - col("n_match")) * lit(k.toLong))
-          .as("distance"))
-    val best = dist.withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("distance").asc, col("lang").asc)))
-      .filter(col("rn") === 1)
+        count(lit(1)).as("n_match"), first(col("kept")).as("kept"))
+    val dist = matched.select(col(idCol), col("lang"),
+      (col("sum_abs") + (col("kept") - col("n_match")) * lit(k.toLong))
+        .as("distance"))
+    // best language per doc as a partial-aggregatable min_by (ties:
+    // distance asc, lang asc — identical to the old rank-1 window)
+    val best = dist.groupBy(idCol)
+      .agg(min_by(struct(col("lang"), col("distance")),
+        struct(col("distance"), col("lang"))).as("__graft_b"))
+      .select(col(idCol), col("__graft_b").getField("lang").as("lang_pred"),
+        col("__graft_b").getField("distance").as("distance"))
     docs.select(col(idCol))
-      .join(best.select(col(idCol), col("lang").as("lang_pred"), col("distance"))
-        .hint("shuffle_hash"), Seq(idCol), "left")
+      .join(best.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("lang_pred"), lit("unk")).as("lang_pred"),
         coalesce(col("distance"), lit(-1L)).as("distance"))
