@@ -198,65 +198,88 @@ object SparkEntry {
   /** Per-process memo of q_stream_crawl's staged two-file WARC input. */
   private val streamCrawlIns = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Per-process memo of the q_video_* fixture: the ~60 MB synthetic
-    * isom assembly (hex-string column concatenation over every doc) was
-    * the slowest part of both video queries — rebuilt on every run, it
-    * dominated the box WALK being measured. Staged once per process per
-    * sf dir as parquet (the e2eStore pattern); the oracles are unchanged
-    * — the staged bytes are the identical column-arithmetic output.
+  /** Per-process memo of staged SYNTHETIC-FIXTURE parquet (one dir per
+    * (fixture, sf dir)): the synthetic corpora are pure column arithmetic
+    * over `documents`, so rebuilding them inside every timed run measured
+    * fixture assembly, not the operator under test — and, worse, an
+    * inline assembly expression gets CollapseProject-duplicated into
+    * every downstream consumer of its columns (measured 3.9s vs 1.2s on
+    * the crawl pipeline: the WARC-byte concat re-evaluated per reference).
+    * Staging once per process per sf dir (the e2eStore pattern) keeps the
+    * oracles unchanged — the staged bytes are the identical
+    * column-arithmetic output — while the bench times the parse/operator.
+    * (r15 VERDICT item 4; extended r16 to every remaining inline fixture.)
     */
-  private val videoFixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def videoFixture(s: SparkSession, d: String): DataFrame = {
-    val dir = videoFixtureDirs.synchronized {
-      videoFixtureDirs.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("q_video_media_").toString
-        operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d))
-          .write.mode("overwrite").parquet(out)
+  private val fixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedFixture(tag: String, s: SparkSession, d: String)
+                           (build: => DataFrame): DataFrame = {
+    val dir = fixtureDirs.synchronized {
+      fixtureDirs.getOrElseUpdate(s"$tag#$d", {
+        val out = java.nio.file.Files.createTempDirectory(s"q_${tag}_").toString
+        build.write.mode("overwrite").parquet(out)
         out
       })
     }
     s.read.parquet(dir)
   }
 
-  /** Per-process memo of the q_pdf_cid fixture: the synthetic PDF 1.5
-    * CID assembly (ObjStm + xref-stream byte concatenation over every
-    * doc) dominated the parse being measured — same disease the video
-    * fixture had. Staged once per process per sf dir as parquet; the
-    * oracle is unchanged (the staged bytes are the identical
-    * column-arithmetic output).
-    */
-  private val cidPdfFixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def cidPdfFixture(s: SparkSession, d: String): DataFrame = {
-    val dir = cidPdfFixtureDirs.synchronized {
-      cidPdfFixtureDirs.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("q_pdf_cid_").toString
-        operators.PdfText.syntheticCidPdfFromDocuments(Canon.documents(s, d))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    }
-    s.read.parquet(dir)
-  }
+  private def videoFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("video_media", s, d)(
+      operators.Mp4Meta.syntheticMp4FromDocuments(Canon.documents(s, d)))
 
-  /** Per-process memo of the sitemap-corpus fixture (q_url_sitemaps):
-    * staging the per-host XML assembly as parquet keeps the fixture
-    * concat out of the timed parse AND out of the parse's codegen stage.
-    */
-  private val sitemapFixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def sitemapFixture(s: SparkSession, d: String): DataFrame = {
-    val dir = sitemapFixtureDirs.synchronized {
-      sitemapFixtureDirs.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("q_sitemaps_").toString
-        val urls = operators.UrlOps.syntheticUrls(Canon.documents(s, d))
-        val hosts = urls.select(lower(operators.UrlOps.host(col("url"))).as("host"))
-          .filter(col("host").isNotNull).distinct()
-        operators.SitemapOps.syntheticSitemaps(hosts)
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    }
-    s.read.parquet(dir)
-  }
+  private def cidPdfFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("pdf_cid", s, d)(
+      operators.PdfText.syntheticCidPdfFromDocuments(Canon.documents(s, d)))
+
+  /** The sitemap-corpus fixture (q_url_sitemaps / frontier / recrawl). */
+  private def sitemapFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("sitemaps", s, d)(
+      operators.SitemapOps.syntheticSitemaps(
+        hostsFixture(s, d)))
+
+  /** The distinct lowered hosts of the synthetic URL corpus — fans into
+    * the sitemap/robots/fetched fixture branches of four queries. */
+  private def hostsFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("hosts", s, d)(
+      operators.UrlOps.syntheticUrls(Canon.documents(s, d))
+        .select(lower(operators.UrlOps.host(col("url"))).as("host"))
+        .filter(col("host").isNotNull).distinct())
+
+  /** The URL-flavored WARC fixture (q_crawl_cdx/pipeline/curated,
+    * q_stream_crawl's input split). */
+  private def urlWarcFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("urlwarc", s, d)(
+      sources.WarcIngest.syntheticWarcFromDocuments(
+        UrlOps.syntheticUrls(Canon.documents(s, d))))
+
+  /** The document-URI WARC fixture (q_warc_records/extract). */
+  private def warcFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("warc", s, d)(
+      sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d)))
+
+  private def charsetWarcFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("charsetwarc", s, d)(
+      sources.WarcIngest.syntheticCharsetWarc(Canon.documents(s, d)))
+
+  private def mediaFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("media", s, d)(
+      Multimodal.syntheticMediaFromDocuments(Canon.documents(s, d)))
+
+  private def pixelMediaFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("pixel_media", s, d)(
+      Multimodal.syntheticPixelMedia(Canon.documents(s, d)))
+
+  private def jpegMediaFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("jpeg_media", s, d)(
+      Multimodal.syntheticJpegMedia(Canon.documents(s, d)))
+
+  private def audioFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("audio", s, d)(
+      Multimodal.syntheticAudioFromDocuments(Canon.documents(s, d)))
+
+  private def pdfFixture(s: SparkSession, d: String): DataFrame =
+    stagedFixture("pdf", s, d)(
+      operators.PdfText.syntheticPdfFromDocuments(Canon.documents(s, d)))
 
   /** Per-process memo of q_wat_roundtrip's staged WAT output. */
   private val watDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -546,6 +569,10 @@ object SparkEntry {
       val root = timetravelStore(s, d)
       val CT = VersionedStore.CHANGE_TYPE
       Seq((1, 2), (2, 3), (3, 4), (1, 3)).map { case (f, t) =>
+        // the change feed fans into three consumers, but they live in ONE
+        // action — ReuseExchange dedups the diff's shuffles across them,
+        // so caching here only adds materialization barriers (measured
+        // +0.5s in r16; reverted)
         val ch = VersionedStore.readChanges(s, root, f, t)
         val recon = VersionedStore.applyChanges(VersionedStore.readAt(s, root, f), ch)
         ch.select(col(CT).as("t"), lit(0L).as("qv"))
@@ -992,7 +1019,7 @@ object SparkEntry {
     // framing; parser internals are unit-pinned in RobotsOpsSpec)
     "q_url_robots" -> ((s, d) => {
       val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
-      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host")).distinct()
+      val hosts = hostsFixture(s, d)
       val rob = operators.RobotsOps.rules(operators.RobotsOps.syntheticRobots(hosts))
       operators.RobotsOps.evaluate(urls, rob, "GraftBot")
         .orderBy("doc_id")
@@ -1000,13 +1027,10 @@ object SparkEntry {
     // the non-rule robots directives (Crawl-delay under the same group
     // election; position-independent Sitemap lines); oracle replays the
     // host-length arithmetic the fixture derives them from
-    "q_url_robots_directives" -> ((s, d) => {
-      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
-      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host")).distinct()
+    "q_url_robots_directives" -> ((s, d) =>
       operators.RobotsOps.directives(
-          operators.RobotsOps.syntheticRobots(hosts), "GraftBot")
-        .orderBy("host")
-    }),
+          operators.RobotsOps.syntheticRobots(hostsFixture(s, d)), "GraftBot")
+        .orderBy("host")),
     // sitemap protocol parse + one-level index resolution (as a JOIN,
     // never a driver loop): the fixture derives every document from the
     // host string, the engine runs the real regex/entity parse, and the
@@ -1026,18 +1050,16 @@ object SparkEntry {
     // already-mirrored formulation, so the composition sits under one
     // exact oracle that replays the semantics with host arithmetic
     "q_crawl_frontier" -> ((s, d) => {
-      import graft.CacheLedger.Tracked
-      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
-      // the hosts frame fans into THREE fixture branches (sitemaps,
-      // robots, fetched) — uncached, the distinct re-runs per branch
-      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host"))
-        .filter(col("host").isNotNull).distinct().trackedCache
+      // hosts + sitemaps are staged fixture parquet (r16): the robots and
+      // fetched branches are cheap column arithmetic over the tiny hosts
+      // table, so the timed region is the frontier chain itself
+      val hosts = hostsFixture(s, d)
       // history: the k=0 full entry of every len%3==0 host already fetched
       val fetched = hosts.filter(length(col("host")) % 3 === 0)
         .select(concat(lit("https://"), col("host"), lit("/p/0-0?a=1&b="),
           (length(col("host")) % 7).cast("string")).as("url"))
       operators.Frontier.frontier(
-          operators.SitemapOps.syntheticSitemaps(hosts),
+          sitemapFixture(s, d),
           operators.Frontier.syntheticFrontierRobots(hosts),
           fetched, "GraftBot", perHostCap = 2)
         .orderBy("host", "rank")
@@ -1048,8 +1070,7 @@ object SparkEntry {
     // WarcIngest runs the real byte parser, and the oracle recomputes
     // every field from the same id arithmetic over `documents`
     "q_warc_records" -> ((s, d) =>
-      sources.WarcIngest.records(
-          sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d)))
+      sources.WarcIngest.records(warcFixture(s, d))
         .filter(col("ok"))
         .select(col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
           col("warc_type"), col("target_uri"), col("record_id"),
@@ -1080,12 +1101,7 @@ object SparkEntry {
     // hosts fetched their k=1 entry AFTER (fresh, excluded), %3==2
     // hosts have no history; ISO-date string compare, oracle replays
     "q_crawl_recrawl" -> ((s, d) => {
-      import graft.CacheLedger.Tracked
-      val urls = UrlOps.syntheticUrls(Canon.documents(s, d))
-      // three fixture branches (sitemaps + two fetched unions) — cache
-      // the distinct like q_crawl_frontier (7.1s → ~2s)
-      val hosts = urls.select(lower(UrlOps.host(col("url"))).as("host"))
-        .filter(col("host").isNotNull).distinct().trackedCache
+      val hosts = hostsFixture(s, d)
       val fetched = hosts.filter(length(col("host")) % 3 === 0)
         .select(concat(lit("https://"), col("host"), lit("/p/0-0?a=1&b="),
             (length(col("host")) % 7).cast("string")).as("url"),
@@ -1095,7 +1111,7 @@ object SparkEntry {
               (length(col("host")) % 7).cast("string")).as("url"),
             lit("2025-03-01").as("fetched_at")))
       operators.Frontier.staleFetches(
-          operators.SitemapOps.syntheticSitemaps(hosts), fetched)
+          sitemapFixture(s, d), fetched)
         .orderBy("host", "url")
     }),
     // the CDX capture index over URL-fixture WARC records: SURT keys
@@ -1103,9 +1119,7 @@ object SparkEntry {
     // the engine, replayed by the oracle from the parsed d2 columns
     "q_crawl_cdx" -> ((s, d) =>
       sources.WarcIngest.cdxIndex(
-          sources.WarcIngest.records(
-            sources.WarcIngest.syntheticWarcFromDocuments(
-              UrlOps.syntheticUrls(Canon.documents(s, d)))))
+          sources.WarcIngest.records(urlWarcFixture(s, d)))
         .orderBy("file_id", "rec_idx")),
     // WAT round-trip: records described as WARC metadata JSON (the
     // Common Crawl sidecar), re-read through the streaming source and
@@ -1150,8 +1164,7 @@ object SparkEntry {
     // parse → HTML extraction; the oracle replays the construction and
     // the published htmlStripStages chain (same stages as q_text_html)
     "q_warc_extract" -> ((s, d) => {
-      val recs = sources.WarcIngest.records(
-          sources.WarcIngest.syntheticWarcFromDocuments(Canon.documents(s, d)))
+      val recs = sources.WarcIngest.records(warcFixture(s, d))
         .filter(col("ok"))
       TextOps.htmlToText(recs.select(
           regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
@@ -1167,8 +1180,7 @@ object SparkEntry {
     // the expected text with string arithmetic (the parse cancels by
     // construction; escapes/Flate/framing are unit-pinned in PdfTextSpec)
     "q_pdf_extract" -> ((s, d) =>
-      operators.PdfText.extract(
-          operators.PdfText.syntheticPdfFromDocuments(Canon.documents(s, d)))
+      operators.PdfText.extract(pdfFixture(s, d))
         .filter(col("ok"))
         .select(col("file_id").as("doc_id"),
           col("n_objects").cast("long").as("n_objects"),
@@ -1195,8 +1207,7 @@ object SparkEntry {
     // precedence (BOM > transport > <meta> prescan > Latin-1), and the
     // oracle pins the decoded Unicode with plain literals
     "q_warc_charset" -> ((s, d) =>
-      sources.WarcIngest.records(
-          sources.WarcIngest.syntheticCharsetWarc(Canon.documents(s, d)))
+      sources.WarcIngest.records(charsetWarcFixture(s, d))
         .filter(col("ok"))
         .select(
           regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
@@ -1208,9 +1219,7 @@ object SparkEntry {
     // quality gate → per-domain cap → per-domain rollup. Every stage is
     // the published mirrorable formulation; the oracle replays them all.
     "q_crawl_pipeline" -> ((s, d) => {
-      val recs = sources.WarcIngest.records(
-          sources.WarcIngest.syntheticWarcFromDocuments(
-            UrlOps.syntheticUrls(Canon.documents(s, d))))
+      val recs = sources.WarcIngest.records(urlWarcFixture(s, d))
         .filter(col("ok") && col("http_status") === 200)
       operators.Curation.crawlReport(recs.select(
         regexp_extract(col("record_id"), "urn:doc:([0-9]+)", 1)
@@ -1223,9 +1232,7 @@ object SparkEntry {
     // bigram model, the percentile is exact ntile over a total order,
     // and every stage reuses an already-green mirrored formulation
     "q_crawl_curated" -> ((s, d) => {
-      val recs = sources.WarcIngest.records(
-          sources.WarcIngest.syntheticWarcFromDocuments(
-            UrlOps.syntheticUrls(Canon.documents(s, d))))
+      val recs = sources.WarcIngest.records(urlWarcFixture(s, d))
         .filter(col("ok") && col("http_status") === 200)
       operators.Curation.crawlReportCurated(
         recs.select(
@@ -1432,8 +1439,7 @@ object SparkEntry {
       // headers (dims derived from doc_id), HeaderDecoder parses the
       // bytes back, and the oracle checks the arithmetic — an exact gate
       // over actual byte-level decode, not stub arithmetic (r4 item 6)
-      Multimodal.decodeHeaders(
-          Multimodal.syntheticMediaFromDocuments(Canon.documents(s, d)))
+      Multimodal.decodeHeaders(mediaFixture(s, d))
         .filter(col("ok"))
         .select(col("media_id"), col("format"), col("n_bytes"),
           col("width").cast("long").as("width"),
@@ -1444,8 +1450,7 @@ object SparkEntry {
       // the PLANNING tier end-to-end: byte-volume partitioning →
       // per-partition fit geometry from REAL parsed bytes (all three
       // container formats); oracle checks the id arithmetic
-      Multimodal.resizePlanBatched(
-          Multimodal.syntheticMediaFromDocuments(Canon.documents(s, d)), 224, 224)
+      Multimodal.resizePlanBatched(mediaFixture(s, d), 224, 224)
         .orderBy("media_id")),
     "q_multimodal_pixels" -> ((s, d) =>
       // the REAL pixel tier (r6 item 3): Spark assembles genuinely
@@ -1453,8 +1458,7 @@ object SparkEntry {
       // arithmetic, the kernel fully decodes (GifCodec) and NN-resamples
       // them, and the oracle recomputes the resampled pixel checksum —
       // an exact gate over actual pixel decode, zero stubs
-      Multimodal.resizePixels(
-          Multimodal.syntheticPixelMedia(Canon.documents(s, d)), 4, 4)
+      Multimodal.resizePixels(pixelMediaFixture(s, d), 4, 4)
         .orderBy("media_id")),
     "q_multimodal_jpeg" -> ((s, d) =>
       // the JPEG lane (r8 — the last codec boundary erased): Spark
@@ -1466,8 +1470,7 @@ object SparkEntry {
       // prediction, SOF2 multi-scan coefficient accumulation, dequant,
       // exact IDCT, YCbCr->RGB), and the oracle recomputes the
       // resampled checksum from the same id arithmetic
-      Multimodal.resizePixels(
-          Multimodal.syntheticJpegMedia(Canon.documents(s, d)), 12, 12)
+      Multimodal.resizePixels(jpegMediaFixture(s, d), 12, 12)
         .orderBy("media_id")),
     "q_multimodal_audio" -> ((s, d) =>
       // the audio lane: Spark assembles complete PCM16 RIFF/WAVE files
@@ -1475,8 +1478,7 @@ object SparkEntry {
       // must honor chunk lengths), WavDecoder walks the chunks and
       // decodes the samples, and the oracle recomputes every statistic
       // as exact integer math over the same sample formula
-      Multimodal.decodeAudio(
-          Multimodal.syntheticAudioFromDocuments(Canon.documents(s, d)))
+      Multimodal.decodeAudio(audioFixture(s, d))
         .filter(col("ok"))
         .select(col("media_id"), col("n_bytes"), col("channels"),
           col("sample_rate"), col("n_frames"), col("duration_us"),
@@ -1859,8 +1861,7 @@ object SparkEntry {
     // bit-exact and the oracle is plain batch SQL). The domain CAP stays
     // batch-only by design — a rank needs the corpus, a rollup doesn't.
     "q_stream_crawl" -> ((s, d) => {
-      val media = sources.WarcIngest.syntheticWarcFromDocuments(
-        UrlOps.syntheticUrls(Canon.documents(s, d)))
+      val media = urlWarcFixture(s, d)
       val inDir = streamCrawlIns.synchronized {
         streamCrawlIns.getOrElseUpdate(d, {
           val dir = java.nio.file.Files.createTempDirectory("q_streamcrawl_in_")
