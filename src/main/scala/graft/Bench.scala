@@ -402,6 +402,7 @@ object Bench {
 
   private def calSample(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
+    spark.sparkContext.setJobDescription("bench:calibration")
     val t0 = System.nanoTime()
     val h = (1 to 4).foldLeft(col("id"))((c, _) => xxhash64(c))
     // one partition per session core (NOT a hard-coded 32): keeps "all
@@ -456,6 +457,9 @@ object Bench {
     // release at scope exit is excluded from the measurement (and the
     // timed pass's clearCache keeps doing the cross-run isolation)
     def runOne(n: String): Option[Double] = CacheLedger.scoped {
+      // label the jobs (guide §1.5) so a UI/event-log postmortem maps
+      // stages back to queries; thread-local, so pool warmup labels too
+      spark.sparkContext.setJobDescription(s"bench:$n")
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
