@@ -438,6 +438,13 @@ object Bench {
       // (2-5x slower, recompiling per execution) with rc=0 and nothing
       // asserting on it. PlanAuditSpec runs the same gate roster-wide.
       .config("spark.sql.codegen.fallback", "false")
+      // NOT set: spark.sql.adaptive.coalescePartitions.parallelismFirst=
+      // false (the Spark tuning guide's production recommendation) was
+      // measured in r16 and REGRESSED ~20% calibrated: it coalesces the
+      // CPU-bound kernel shuffles (winnowing, shingle dedup, stream
+      // dedup state) to one partition and serializes them — parallelism
+      // first is the right default for this engine's compute-heavy
+      // shuffles. See OPTIMIZATION_r16.md.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
