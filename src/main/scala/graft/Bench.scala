@@ -46,13 +46,13 @@ object Bench {
     * a malformed line silently costs a whole round's perf evidence).
     *
     * Values render with trailing zeros trimmed at `dp` decimals. The
-    * STDOUT line uses 1dp: the driver's log-tail capture is a 2000-char
-    * window and r3's full-precision line (1983 chars) + sbt's trailing
-    * "[success]" line overran it, truncating the line's head — three
-    * rounds of parsed:null — and the r5 roster at 2dp was 46 chars from
-    * the cliff again. ±0.05s per query is far inside this host's ±40%
-    * run variance; the sidecar keeps 2dp. The total stays 2dp everywhere
-    * (it aggregates away per-query noise and is the headline number).
+    * driver's log-tail capture is a 2000-char window and r3's
+    * full-precision line (1983 chars) + sbt's trailing "[success]" line
+    * overran it, truncating the line's head — three rounds of
+    * parsed:null. Since r17 the stdout line renders 2dp (VERDICT r16:
+    * 1dp quantization made dozens of 0.1→0.2 "regressions" unreadable)
+    * and fits the window by eliding the fastest queries instead of
+    * compressing keys — see [[stdoutLine]].
     */
   private def fmt(v: Double, dp: Int): String = {
     val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
@@ -66,7 +66,11 @@ object Bench {
     * run" from "typical run" so a round-over-round delta can be told
     * apart from host noise (VERDICT r5 item 6).
     *
-    * `shortKeys` — THE DOCUMENTED KEY RENAMES (r7, extended late-r7 when
+    * `shortKeys` — RETIRED r17 (the driver could not match compacted
+    * keys back to query names; see [[stdoutLine]]). The machinery and
+    * its specs stay because the r13-r16 driver captures carry these
+    * keys and tools/bench_diff.py expands them when diffing those
+    * vintages. Original rationale (r7, extended late-r7 when
     * the 97-query roster left <15 chars of headroom): on the stdout line
     * ONLY, (1) the per-query object renders under `"q"` instead of
     * `"queries"`, (2) every query key drops the uniform `q_` prefix, and
@@ -206,7 +210,8 @@ object Bench {
                                 totalOverride: Option[Double] = None,
                                 abbrevOverride: Option[Map[String, String]] = None,
                                 keyOverride: Option[Map[String, String]] = None,
-                                calibration: Option[(Double, Double, Int)] = None): String = {
+                                calibration: Option[(Double, Double, Int)] = None,
+                                sidecar: Option[String] = None): String = {
     // abbrevOverride: the middle tier prints a SUBSET of the roster, and
     // auto-assignment is population-ordered — recomputing it over the
     // subset could assign different chars than the full roster (breaking
@@ -242,63 +247,49 @@ object Bench {
     // their ratio would conflate code vintage with host speed.
     val cal = calibration.fold("") { case (mn, md, parts) =>
       s""","cal_min":${fmt(mn, 2)},"cal_median":${fmt(md, 2)},"cal_parts":$parts""" }
+    // the sidecar path on the line (VERDICT r16 item 1 fix-note): any
+    // reader of the stdout line can find the full-roster 2dp + medians
+    // artifact without knowing the SPARK_GRAFT_BENCH_OUT convention
+    val side = sidecar.fold("")(p => s""","sidecar":"$p"""")
     val pf = s""","partial":$partial""" +
       failed.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$ovf$med$cal,"sf":"$sfDir"$pf}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","$qKey":$qs$ovf$med$cal$side,"sf":"$sfDir"$pf}"""
   }
 
-  /** The stdout emission with the budget guard (r8, middle tier added
-    * when the 118-query roster outgrew even short keys): the 1dp
-    * short-key line when it fits the driver's ~1925-char tail window;
-    * otherwise the SLOWEST-K per-query detail that fits (K found by
-    * binary search — the slow queries are the ones a perf reader needs;
-    * the sidecar keeps every per-query number at 2dp regardless) with
-    * `q_overflow` naming how many fast ones were elided and `value`
-    * still the FULL roster total; in extremis a minimal always-parseable
-    * fallback. Losing fast-query stdout detail is strictly better than
-    * losing the whole round's parse to a truncated line head.
+  /** The stdout emission with the budget guard.
+    *
+    * r17 FORMAT (VERDICT r16 items 1-2): the driver verifies per-query
+    * perf by matching the line's keys against the full `q_*` roster
+    * names — the r13-r16 compacted keys made `PERF_r*.json`'s
+    * `per_query` EMPTY (`n_common: 0`) two rounds running even though
+    * every number was on the line, so round-over-round and core-scaling
+    * verification existed only by hand. FULL names now outrank the r13
+    * "every query on the line" floor: the full-name 2dp line when it
+    * fits the driver's ~1925-char tail window; otherwise the SLOWEST-K
+    * full-named queries that fit (K by binary search — 82 of the
+    * 164-query roster at r17 widths, everything at or above ~0.23s) with
+    * `q_overflow` counting the elided fast tail and `value` still the
+    * FULL roster total. An elided 0.1-0.2s query is 1-2 tail-window
+    * quantization units of information; an unmatchable key is a lost
+    * round of per-query evidence. The sidecar (its path now printed ON
+    * the line) keeps the full roster at 2dp plus medians; the retired
+    * compact-key tiers below stay only for r13-r16 artifact archaeology
+    * (tools/bench_diff.py's expansion map reads those vintages).
     */
   private[graft] val stdoutBudget = 1895
   private[graft] def stdoutLine(snap: Seq[(String, Double)], failed: Seq[String],
                                 sfBase: String, partial: Boolean,
-                                calibration: Option[(Double, Double, Int)] = None): String = {
-    val fullAbbrev = abbrevFor(snap.map(_._1) ++ failed)
-    val full = formatLine(snap, failed, sfBase, partial, shortKeys = true,
-      abbrevOverride = Some(fullAbbrev), calibration = calibration)
+                                calibration: Option[(Double, Double, Int)] = None,
+                                sidecar: Option[String] = None): String = {
+    val full = formatLine(snap, failed, sfBase, partial, dp = 2,
+      calibration = calibration, sidecar = sidecar)
     if (full.length <= stdoutBudget) return full
-    // r13 tier: compacted suffixes — keeps EVERY query on the line (the
-    // 85% detail floor) before any elision; computed over the full roster
-    // so the mapping is stable regardless of which subset prints
-    val compact = compactKeys(snap.map(_._1) ++ failed, fullAbbrev)
-    val compacted = formatLine(snap, failed, sfBase, partial, shortKeys = true,
-      abbrevOverride = Some(fullAbbrev), keyOverride = Some(compact),
-      calibration = calibration)
-    if (compacted.length <= stdoutBudget) return compacted
-    // r15 tier: FUSED keys — the family separator underscore goes too
-    // ("a_qu" → "aqu"), ~1 char per query, which is exactly the margin
-    // the 156-query roster needed. Injectivity is re-proven over the
-    // fused rendering (different suffixes could fuse identically); a
-    // violation throws inside compactKeys and elision resumes below —
-    // never a silently dropped duplicate JSON key.
-    val fused = scala.util.Try {
-      val m = compactKeys(snap.map(_._1) ++ failed, fullAbbrev,
-        minLen = 1, minBare = 3, sep = "")
-      (m, formatLine(snap, failed, sfBase, partial, shortKeys = true,
-        abbrevOverride = Some(fullAbbrev), keyOverride = Some(m),
-        calibration = calibration))
-    }
-    fused match {
-      case scala.util.Success((_, line)) if line.length <= stdoutBudget =>
-        return line
-      case _ => ()
-    }
     val total = snap.map(_._2).sum
     val byTime = snap.sortBy { case (n, v) => (-v, n) }
     def lineFor(k: Int): String =
       formatLine(byTime.take(k).sortBy(_._1), failed, sfBase, partial,
-        shortKeys = true, overflow = snap.size - k, totalOverride = Some(total),
-        abbrevOverride = Some(fullAbbrev), keyOverride = Some(compact),
-        calibration = calibration)
+        dp = 2, overflow = snap.size - k, totalOverride = Some(total),
+        calibration = calibration, sidecar = sidecar)
     // largest k whose line fits (monotone in k)
     var lo = 0; var hi = snap.size
     while (lo < hi) {
@@ -309,11 +300,11 @@ object Bench {
     else {
       val pf = s""","partial":$partial""" +
         failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      val fb = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","q":{},""" +
+      val fb = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},""" +
         s""""q_overflow":${snap.size},"sf":"$sfBase"$pf}"""
       // a huge failed list could overflow even the fallback: count instead
       if (fb.length <= stdoutBudget) fb
-      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","q":{},""" +
+      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},""" +
         s""""q_overflow":${snap.size},"sf":"$sfBase","partial":$partial,""" +
         s""""failed":[],"failed_count":${failed.size}}"""
     }
@@ -334,18 +325,9 @@ object Bench {
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2,
         calParts.get()))
     }
-    // stdout: sf as basename (the full testdata path is constant and the
-    // tail window is precious) and SHORT query keys (see formatLine —
-    // stdoutKey = SparkEntry name minus "q_"); the sidecar keeps both full
-    val line = stdoutLine(snap, failed, new java.io.File(sfDir).getName, partial, cal)
-    println(line)
-    System.out.flush()
-    // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),
-    // which has defeated the driver's parse two rounds running — also
-    // write the bare line to a file nothing rewrites. The sidecar is not
-    // tail-window-bound, so it carries 2dp values AND the per-query
-    // medians over the timed runs (min alone can't separate a real
-    // regression from one lucky run on a ±40%-noise host).
+    // The sidecar is not tail-window-bound, so it carries 2dp values AND
+    // the per-query medians over the timed runs (min alone can't separate
+    // a real regression from one lucky run on a ±40%-noise host).
     val medians = snap.map { case (n, fallback) =>
       val s = Option(samples.get(n)).map(_.asScala.toSeq.sorted).getOrElse(Nil)
       n -> (if (s.isEmpty) fallback // killed run: warmup fallback, like min
@@ -355,6 +337,22 @@ object Bench {
     val sidecar = formatLine(snap, failed, sfDir, partial, dp = 2,
       medians = Some(medians), calibration = cal)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // FULL-ROSTER full-name map as a second stdout line, ahead of the
+    // contract line (VERDICT r16 item 1): a full-log reader gets every
+    // query under its real name even when the contract line elides the
+    // fast tail; printed FIRST so the contract line stays the LAST (and
+    // tail-window-resident) JSON line.
+    println(sidecar)
+    // contract line: sf as basename (the full testdata path is constant
+    // and the tail window is precious), FULL q_* names (r17 — see
+    // stdoutLine), sidecar path on the line
+    val line = stdoutLine(snap, failed, new java.io.File(sfDir).getName, partial,
+      cal, sidecar = Some(outPath))
+    println(line)
+    System.out.flush()
+    // Belt and braces: sbt's logger decorates stdout ("[info] {...}"),
+    // which has defeated the driver's parse two rounds running — also
+    // write the bare line to a file nothing rewrites.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (sidecar + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -30,7 +30,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(n.get("failed").get(0).asText == "q_bad")
   }
 
-  test("stdout shortKeys: q_ stripped, families abbreviated, object renamed to q") {
+  // The shortKeys/compactKeys tiers were RETIRED from the live stdout
+  // line in r17 (the driver can't match compacted keys to query names —
+  // VERDICT r16 item 2); the machinery and these gates stay because the
+  // r13-r16 driver captures carry these keys and tools/bench_diff.py
+  // expands them when diffing those vintages.
+  test("shortKeys (retired r13-r16 rendering): q_ stripped, families abbreviated, object renamed to q") {
     val line = Bench.formatLine(
       Seq("q_agg_sum" -> 0.3, "q_b" -> 1.0, "q_ts_delta" -> 0.1,
         "q_first_n" -> 0.1, "q_sessionize" -> 0.2,
@@ -94,43 +99,46 @@ class BenchFormatSpec extends AnyFunSuite {
     // only other tail occupant is sbt's "[success] Total time ..." line,
     // measured at 72 chars. Budget = 2000 − 72 − 2 newlines − 15 suffix
     // variance (duration formatting: "58 s" vs "683 s (11:23)") − 15
-    // slack ≈ 1895 guard against a ~1925 usable window. (r6
-    // recalibration: the earlier ~1910 guess double-counted an "[info] "
-    // prefix the bare line doesn't carry.) Values here are full-width
-    // 1dp seconds ("1.2" — no trailing-zero trimming applies), the
-    // worst case: per-query times above 10s mean the bench is broken
-    // anyway. The roster is the BENCH roster (golden companions are
-    // never timed); the stdout emit passes the sf BASENAME and
-    // shortKeys=true (the r7 documented rename — measure the REAL
-    // stdout form). If this fires again, the roster has outgrown the
-    // format — find the next trim — never raise the guard past the
-    // measured budget.
-    // r8: the 118-query roster outgrew even the short-key full-detail
-    // line (1960 chars at worst-case widths) — the documented next trim
-    // is the slowest-K middle tier: stdoutLine must fit the budget, keep
-    // the FULL-roster total, and elide only the handful of fastest
-    // queries (q_overflow accounts for every elided one).
-    // r13: the 142-query roster pushed the middle tier below its 85%
-    // detail floor — the next trim is suffix compaction (compactKeys):
-    // every query stays on the line under a truncated-but-injective key,
-    // and elision only resumes if even the compacted line overflows.
+    // slack ≈ 1895 guard against a ~1925 usable window.
+    // r17 FORMAT (VERDICT r16 items 1-2): keys are FULL q_* names — the
+    // driver matches per-query keys against the roster names, and the
+    // r13-r16 compact keys made PERF per_query empty (n_common=0). When
+    // the full-name line overflows, the slowest-K that fit are kept
+    // (2dp) and q_overflow accounts for every elided fast query; the
+    // full roster lives in the sidecar whose path is on the line.
     // calibration is always present on a real run (~45 chars) — the gate
     // must measure the real stdout shape (r13: its absence here masked a
     // 12-query elision on the live line)
     val roster = Bench.benchQueryNames.map(_ -> 1.234567)
     val line = Bench.stdoutLine(roster, Nil, "sf0.1", partial = false,
-      calibration = Some((12.34, 12.89, 32)))
+      calibration = Some((12.34, 12.89, 32)),
+      sidecar = Some("bench_out.json"))
     assert(line.length <= 1895,
       s"bench stdout line ${line.length} chars — over the measured ~1925 budget")
     val n = mapper.readTree(line)
-    val kept = n.get("q").size
+    val kept = n.get("queries")
     val overflow = Option(n.get("q_overflow")).map(_.asInt).getOrElse(0)
-    assert(kept + overflow == roster.size, s"kept=$kept overflow=$overflow")
-    // the line must stay detail-RICH: >= 95% of the roster on stdout now
-    // that suffix compaction keeps every query (if this fires, the roster
-    // has outgrown compaction — find the next trim, never raise the budget)
-    assert(kept >= roster.size * 95 / 100, s"only $kept/${roster.size} kept")
+    assert(kept.size + overflow == roster.size,
+      s"kept=${kept.size} overflow=$overflow")
+    // every printed key IS a roster name, verbatim — the driver-match
+    // property this format exists for
+    val names = Bench.benchQueryNames.toSet
+    kept.fieldNames.forEachRemaining(k => assert(names(k), s"non-roster key $k"))
+    // driver-readable coverage floor: at worst-case value widths ("1.23")
+    // at least 40% of the roster prints under full names (measured: 82 of
+    // 164 at r17 — the elided tail is the ≤0.23s quantization-noise tier).
+    // If this fires the roster has outgrown even elision — revisit the
+    // format, never raise the budget.
+    assert(kept.size >= roster.size * 40 / 100,
+      s"only ${kept.size}/${roster.size} kept")
     assert(math.abs(n.get("value").asDouble - roster.map(_._2).sum) < 0.01)
+    assert(n.get("sidecar").asText == "bench_out.json")
+    // elision keeps the SLOWEST queries: with uniform values the choice is
+    // name-tiebroken, so re-render with one hot query and assert it stays
+    val hot = Bench.stdoutLine(roster.map { case (q, _) => q -> 0.01 }
+      .updated(roster.size - 1, roster.last._1 -> 9.9), Nil, "sf0.1",
+      partial = false, calibration = Some((12.34, 12.89, 32)))
+    assert(mapper.readTree(hot).get("queries").get(roster.last._1) != null)
   }
 
   test("auto-abbrev: unseeded families get free single chars, inverse stays collision-free") {
@@ -217,17 +225,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(n.get("metric").asText == "total")
     // the total is the FULL roster's sum even though detail is elided
     assert(math.abs(n.get("value").asDouble - 400 * 1.234567) < 0.01)
-    // middle tier: as much slowest-query detail as fits, the rest counted
-    assert(n.get("q").size + n.get("q_overflow").asInt == 400)
+    // elision tier: as much slowest-query detail as fits under FULL
+    // names (r17), the rest counted
+    assert(n.get("queries").size + n.get("q_overflow").asInt == 400)
     assert(n.get("q_overflow").asInt > 0)
+    // the failed list carries the full name too — driver-matchable
+    assert(n.get("failed").get(0).asText == "q_family001_operator_name_1")
     assert(!n.get("partial").asBoolean && n.get("failed").size == 1)
-    // and the real roster today: middle tier or full detail, always
+    // and the real roster today: elision tier or full detail, always
     // accounted (kept + overflow == roster) and under budget
     val real = Bench.benchQueryNames.map(_ -> 1.234567)
     val realLine = Bench.stdoutLine(real, Nil, "sf0.1", partial = false)
     assert(realLine.length <= Bench.stdoutBudget)
     val rn = mapper.readTree(realLine)
-    val rKept = rn.get("q").size
+    val rKept = rn.get("queries").size
     val rOver = Option(rn.get("q_overflow")).map(_.asInt).getOrElse(0)
     assert(rKept + rOver == real.size)
   }
