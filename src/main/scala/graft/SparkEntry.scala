@@ -572,7 +572,15 @@ object SparkEntry {
         // the change feed fans into three consumers, but they live in ONE
         // action — ReuseExchange dedups the diff's shuffles across them,
         // so caching here only adds materialization barriers (measured
-        // +0.5s in r16; reverted)
+        // +0.5s in r16; reverted). r17 measured the OTHER restructure the
+        // r16 verdict proposed — union the pairs before the anti-joins
+        // (one pair-tagged plan, 3 anti-joins instead of 10) — and it
+        // REGRESSED too (med 2.49→3.98s store / 2.04→2.62s tier, 7-sample
+        // same-window A/B): the pair-tag literals make the per-pair
+        // subtrees non-canonical, so ReuseExchange stops deduplicating
+        // the shared readAt/scan shuffles (readAt(1) serves two pairs
+        // here), and the lost reuse costs more than the saved stages.
+        // Per-pair + ReuseExchange stands as the measured optimum.
         val ch = VersionedStore.readChanges(s, root, f, t)
         val recon = VersionedStore.applyChanges(VersionedStore.readAt(s, root, f), ch)
         ch.select(col(CT).as("t"), lit(0L).as("qv"))
@@ -695,6 +703,8 @@ object SparkEntry {
     // path, (2,3) the partition-scoped delete's manifest-narrowed diff
     // (skip exclusions + one survivors dir), (1,3) a mixed chain. Each
     // pair also reconstructs the to-version as from + changes.
+    // (Per-pair on purpose: the r17 single-plan pair-tagged variant
+    // measured SLOWER — see the q_store_cdc comment.)
     "q_tier_cdc" -> ((s, d) => {
       val st = tierTtStore(s, d)
       val CT = VersionedStore.CHANGE_TYPE
@@ -1690,7 +1700,12 @@ object SparkEntry {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val outDir = StreamScratch.dir("q_stream_sessions")
       val schema = s.read.parquet(src).schema
-      val raw = s.readStream.schema(schema).parquet(inDir.toString)
+      // state partitions derived from input volume, not the batch
+      // contract's core count — see StreamTuning (guide §2). The sink is
+      // NOT coalesced: the per-user session table is corpus-scale.
+      val ss = streaming.StreamTuning.sessionFor(s, inDir.toString)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = ss.readStream.schema(schema).parquet(inDir.toString)
         .select(col("user_id"), Canon.tsUsExpr(s.read.parquet(src)).as("ts_us"),
           col("value"))
       val sessions = streaming.WindowedAggs.sessionsByKey(raw, "user_id")
@@ -1736,14 +1751,18 @@ object SparkEntry {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val outDir = StreamScratch.dir("q_stream_state")
       val schema = s.read.parquet(src).schema
-      import s.implicits._
-      val raw = s.readStream.schema(schema).parquet(inDir.toString)
+      // volume-derived state partitions (StreamTuning, guide §2); the
+      // sink appends per-batch updates and is not coalesced
+      val ss = streaming.StreamTuning.sessionFor(s, inDir.toString)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import ss.implicits._
+      val raw = ss.readStream.schema(schema).parquet(inDir.toString)
         .select(col("event_type").as("series"),
           Canon.tsUsExpr(s.read.parquet(src)).as("ts_us"),
           lit(null).cast(Canon.tagType).as("tag"),
           col("value"), col("event_id").as("rid"))
         .as[Canon.Datapoint]
-      val updates = streaming.StatefulOps.runningSeriesStats(raw)(s)
+      val updates = streaming.StatefulOps.runningSeriesStats(raw)(ss)
       val q = updates.toDF.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1788,7 +1807,11 @@ object SparkEntry {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val outDir = StreamScratch.dir("q_stream_dedup")
       val schema = s.read.parquet(src).schema
-      val raw = s.readStream.schema(schema).parquet(inDir.toString)
+      // volume-derived state partitions (StreamTuning, guide §2); the
+      // sink carries one slim hash column per surviving row (corpus-
+      // scale at 100 TB) and is not coalesced
+      val ss = streaming.StreamTuning.sessionFor(s, inDir.toString)
+      val raw = ss.readStream.schema(schema).parquet(inDir.toString)
         .withColumn("__etime", timestamp_micros(lit(INGEST_T0) + col("doc_id")))
       val deduped = streaming.StreamDedup.dedupByContent(raw, "__etime")
       val q = deduped.select("content_hash").writeStream
@@ -1840,13 +1863,23 @@ object SparkEntry {
         })
       }
       val outDir = StreamScratch.dir("q_stream_drift")
-      val raw = s.readStream.schema(docs.schema)
+      // volume-derived state partitions (StreamTuning, guide §2)
+      val ss = streaming.StreamTuning.sessionFor(s, inDir)
+      val raw = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val counts = streaming.CorpusMonitor.runningTermCounts(raw)
+      // snapshot sink COALESCED (guide §6 small files): this complete-
+      // mode table is (source, term) counts over the SOURCE VOCABULARY —
+      // bounded by construction however large the corpus grows (the same
+      // reason the drift matrix caps its support), so one snapshot file
+      // per trigger is scale-safe; a deployment with a genuinely huge
+      // vocabulary raises spark.graft.stream.snapshotPartitions
+      val snapParts = s.conf.getOption("spark.graft.stream.snapshotPartitions")
+        .map(_.toInt).getOrElse(1)
       val q = counts.writeStream
         .outputMode("complete") // each trigger emits the full running table
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(outDir)
+          batch.coalesce(snapParts).write.mode("overwrite").parquet(outDir)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -1880,14 +1913,25 @@ object SparkEntry {
         })
       }
       val outDir = StreamScratch.dir("q_stream_crawl")
-      val raw = s.readStream.schema(media.schema)
+      // volume-derived state partitions (StreamTuning, guide §2)
+      val ss = streaming.StreamTuning.sessionFor(s, inDir)
+      val raw = ss.readStream.schema(media.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val rollup = streaming.CrawlIngest.domainRollup(
         sources.WarcIngest.records(raw))
+      // snapshot sink COALESCED (guide §6 small files): the per-domain
+      // running rollup is domains-scale, not pages-scale — registrable
+      // domains number in the millions at web scale, a few hundred MB of
+      // rollup rows, inside the guide's one-file band; a deployment
+      // beyond that raises spark.graft.stream.snapshotPartitions. The
+      // per-USER session table (q_stream_sessions) is corpus-scale and
+      // deliberately NOT coalesced.
+      val snapParts = s.conf.getOption("spark.graft.stream.snapshotPartitions")
+        .map(_.toInt).getOrElse(1)
       val q = rollup.writeStream
         .outputMode("complete")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(outDir)
+          batch.coalesce(snapParts).write.mode("overwrite").parquet(outDir)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
