@@ -639,6 +639,19 @@ object TextOps {
     * corpus-scale), one per-doc aggregate. V is the single
     * driver-collected model parameter (O(1) row).
     *
+    * The V pass IS a second reference scan, and removing it has now
+    * been measured twice and reverted twice: r16 cached the token
+    * ARRAYS (curated med 2.12→2.52s); r17 fused V into the bigram feed
+    * by exploding (w1, next-or-null) pairs once and ledger-caching the
+    * slim pair rows so bigram counts, prefix counts and distinct-w1 all
+    * derive from one frame (q_text_lmscore med 0.78→0.92s, curated
+    * wash, 7-sample same-window A/Bs) — at bench scale the cache
+    * materialization barrier costs more than the extra codegen'd scan.
+    * At 100 TB the trade flips on paper (a full second reference pass),
+    * but both measured shapes lost here, so the two-scan form stands;
+    * a deployment at that scale would precompute the model counts once
+    * rather than per-training anyway.
+    *
     * CONTRACT: documents with fewer than 2 tokens have no bigrams and
     * produce NO output row — a thresholding pipeline must decide their
     * fate explicitly (left-join and treat null mean_nll as reject is the
