@@ -40,6 +40,10 @@ object Bench {
   // fixed-work host-speed samples (see calSample) — read by emit
   private val calSamples = new java.util.concurrent.CopyOnWriteArrayList[Double]()
   @volatile private var printed = false
+  // the contract roster (warmup + 3 timed reps + calibration) finished:
+  // a SIGTERM after this point — e.g. during the scale tier — must still
+  // emit partial=false, because every contract measurement completed
+  @volatile private var rosterComplete = false
   private val lock = new Object
 
   /** The driver-contract JSON line (exposed for the format unit test —
@@ -387,6 +391,99 @@ object Bench {
     SparkEntry.queries.keys.toSeq
       .filterNot(_.endsWith("_golden")).filterNot(untimed).sorted
 
+  /** r17 compute tier (VERDICT r16 item 3): the sf0.1 roster is
+    * per-stage-overhead-bound — 8 cores BEAT 32 on the full r16 roster —
+    * so kernel-level wins (and parallel-scalability regressions) are
+    * invisible in the contract number. This tier re-times the heaviest
+    * pure-compute kernels on a ×MULT self-multiplied copy of their
+    * inputs (ids offset, the ScaleProbe recipe; documents/events only —
+    * every listed query reads nothing else) and prints ONE extra
+    * same-format JSON line ({"metric":"scale", "mult":M, ...}) BEFORE
+    * the contract line, so the driver's 32-core and 8-core runs yield
+    * per-query 8c/32c ratios at a volume where compute dominates.
+    *
+    * Honesty properties: the ×MULT corpus is INPUT staging into a
+    * per-process temp dir, rebuilt from the parquet sources every run
+    * and deleted after — never cached results; each query runs under the
+    * same CacheLedger scope + clearCache discipline as the contract
+    * pass; results are timing-only (never correctness-checked — the
+    * oracle runs at real SFs). A wall budget stops LAUNCHING new queries
+    * once spent (default 120s, SPARK_GRAFT_BENCH_SCALE_BUDGET) so the
+    * tier cannot starve the driver's window — the 8-core run covers a
+    * prefix of the same ordered list — and the contract line always
+    * prints after (a SIGTERM mid-tier still emits it from the shutdown
+    * hook, with partial=false once the contract roster finished).
+    * SPARK_GRAFT_BENCH_SCALE=off disables; _MULT defaults to 4.
+    */
+  private val scaleQueries = Seq(
+    "q_dedup_ngram", "q_text_winnowing", "q_dedup_containment",
+    "q_text_langid_ngram", "q_dedup_keepers", "q_text_tfidf",
+    "q_dedup_clusters", "q_text_bm25", "q_dedup_minhash",
+    "q_sessionize_hotkey")
+
+  private def runScaleTier(spark: SparkSession, sfDir: String,
+                           noopSink: Boolean): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_SCALE").contains("off")) return
+    val mult = sys.env.get("SPARK_GRAFT_BENCH_SCALE_MULT").map(_.toInt).getOrElse(4)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_SCALE_BUDGET")
+      .map(_.toDouble).getOrElse(120.0)
+    try {
+      import org.apache.spark.sql.functions._
+      spark.sparkContext.setJobDescription(s"bench:scale-stage x$mult")
+      val dir = java.nio.file.Files.createTempDirectory(s"bench_scale_x${mult}_")
+      // multi-part staging on purpose: a single coalesced file would be
+      // one scan task and serialize the very kernels this tier times
+      val parts = spark.sparkContext.defaultParallelism
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until mult).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _).repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until mult).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val t0 = System.nanoTime()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val failedScale = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (n <- scaleQueries if (System.nanoTime() - t0) / 1e9 < budgetSec)
+        CacheLedger.scoped {
+          spark.catalog.clearCache()
+          spark.sparkContext.setJobDescription(s"bench:scale:$n")
+          val q0 = System.nanoTime()
+          try {
+            val df = SparkEntry.queries(n)(spark, dir.toString)
+            if (noopSink) df.write.format("noop").mode("overwrite").save()
+            else df.count()
+            val t = (System.nanoTime() - q0) / 1e9
+            out += n -> t
+            System.err.println(f"[bench] scale x$mult $n%-24s $t%.2fs")
+          } catch { case e: Throwable =>
+            failedScale += n
+            System.err.println(s"[bench] scale $n failed: ${e.getMessage}")
+          }
+        }
+      if (out.nonEmpty) {
+        val qs = out.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+          .mkString("{", ",", "}")
+        val fl = failedScale.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        println(s"""{"metric":"scale","value":${fmt(out.map(_._2).sum, 2)},""" +
+          s""""unit":"sec","queries":$qs,"mult":$mult,""" +
+          s""""skipped":${scaleQueries.size - out.size - failedScale.size},""" +
+          s""""failed":$fl,"sf":"${new java.io.File(sfDir).getName}x$mult"}""")
+        System.out.flush()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    } catch { case e: Throwable =>
+      // the tier is evidence, not the contract — never fail the bench
+      System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
+    }
+  }
+
   /** Fixed-work pure-CPU host speedometer (r8 VERDICT item 3): 2^29
     * codegen'd 4-chained xxhash64 rows over an in-memory range, folded
     * with bit_xor (overflow-free under ANSI) — zero IO, zero data/SF
@@ -418,7 +515,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(sfDir, partial = true)))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => emit(sfDir, partial = !rosterComplete)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -531,6 +629,12 @@ object Bench {
       }
     }
     (1 to 3).foreach(_ => calSamples.add(calSample(spark)))
+    rosterComplete = true
+
+    // compute tier at ×MULT volume (prints its own "scale" line) runs
+    // BEFORE emit so the contract line stays the LAST JSON line in the
+    // driver's tail window
+    runScaleTier(spark, sfDir, noopSink)
 
     emit(sfDir, partial = false)
     spark.stop()

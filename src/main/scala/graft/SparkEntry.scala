@@ -210,17 +210,34 @@ object SparkEntry {
     * column-arithmetic output — while the bench times the parse/operator.
     * (r15 VERDICT item 4; extended r16 to every remaining inline fixture.)
     */
-  private val fixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // per-key futures instead of one global lock (ADVICE r16): the r16
+  // shape serialized ALL fixture staging across the bench's concurrent
+  // warmup threads behind one monitor for the duration of each parquet
+  // write. Here the winner of putIfAbsent stages with NO lock held, so
+  // independent fixtures stage concurrently — and the intentional nested
+  // call (sitemapFixture's build invokes hostsFixture) needs no monitor
+  // reentrancy, it is just a second putIfAbsent on a different key. A
+  // failed build removes its future so a later call can retry.
+  private val fixtureDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
   private def stagedFixture(tag: String, s: SparkSession, d: String)
                            (build: => DataFrame): DataFrame = {
-    val dir = fixtureDirs.synchronized {
-      fixtureDirs.getOrElseUpdate(s"$tag#$d", {
-        val out = java.nio.file.Files.createTempDirectory(s"q_${tag}_").toString
-        build.write.mode("overwrite").parquet(out)
-        out
-      })
+    val key = s"$tag#$d"
+    val mine = new java.util.concurrent.CompletableFuture[String]()
+    val fut = fixtureDirs.putIfAbsent(key, mine) match {
+      case null =>
+        try {
+          val out = java.nio.file.Files.createTempDirectory(s"q_${tag}_").toString
+          build.write.mode("overwrite").parquet(out)
+          mine.complete(out)
+        } catch { case e: Throwable =>
+          fixtureDirs.remove(key, mine)
+          mine.completeExceptionally(e)
+        }
+        mine
+      case prior => prior
     }
-    s.read.parquet(dir)
+    s.read.parquet(fut.join())
   }
 
   private def videoFixture(s: SparkSession, d: String): DataFrame =

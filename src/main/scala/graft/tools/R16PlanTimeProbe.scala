@@ -23,6 +23,10 @@ object R16PlanTimeProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // match the bench session (ADVICE r16): without the gate an
+      // interpreted-fallback execution the real bench would FAIL could
+      // silently skew the build-vs-execute attribution
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -26,7 +26,10 @@ class FixtureStagingSpec extends SparkSuite {
       else col(c).cast("string").as(c)
     }
     df.select(cols.toIndexedSeq: _*).collect()
-      .map(_.mkString("")).sorted.toSeq
+      // improbable separator (ADVICE r16): an empty separator could let
+      // adjacent-column boundary collisions (("ab","c") vs ("a","bc"))
+      // mask exactly the fixture drift this spec exists to catch
+      .map(_.mkString("\u0001")).sorted.toSeq
   }
 
   test("q_warc_records (staged WARC fixture) equals fresh inline assembly") {
@@ -62,5 +65,16 @@ class FixtureStagingSpec extends SparkSuite {
     val fresh = operators.RobotsOps.directives(
       operators.RobotsOps.syntheticRobots(hosts), "GraftBot")
     assert(canon(staged) == canon(fresh))
+  }
+
+  test("the synthetic URL corpus yields zero null hosts at the BENCH scale factor") {
+    // ADVICE r16: the staged hosts fixture filters host IS NOT NULL,
+    // absent from the pre-r16 inline derivation — a no-op only while the
+    // corpus never produces a null host. The sf0.001 equality above pins
+    // it at test scale; this pins it at the scale the driver benches.
+    val urls = operators.UrlOps.syntheticUrls(
+      Canon.documents(spark, "/root/testdata/sf0.1"))
+    assert(urls.filter(
+      lower(operators.UrlOps.host(col("url"))).isNull).count() == 0L)
   }
 }
