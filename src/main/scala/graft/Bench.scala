@@ -413,7 +413,11 @@ object Bench {
     * prefix of the same ordered list — and the contract line always
     * prints after (a SIGTERM mid-tier still emits it from the shutdown
     * hook, with partial=false once the contract roster finished).
-    * SPARK_GRAFT_BENCH_SCALE=off disables; _MULT defaults to 4.
+    * SPARK_GRAFT_BENCH_SCALE=off disables; _MULT defaults to 8 —
+    * measured (plans/r17/scale_ratio.txt): at ×4 every kernel's 8c/32c
+    * ratio is ~1.0 (still overhead-bound, no signal), at ×8 the dedup
+    * kernels reach 1.5-1.8 within ~28s/45s total at 32/8 cores, at ×16
+    * they reach 2.3-2.9 but the 8-core leg blows the wall budget.
     */
   private val scaleQueries = Seq(
     "q_dedup_ngram", "q_text_winnowing", "q_dedup_containment",
@@ -424,7 +428,7 @@ object Bench {
   private def runScaleTier(spark: SparkSession, sfDir: String,
                            noopSink: Boolean): Unit = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SCALE").contains("off")) return
-    val mult = sys.env.get("SPARK_GRAFT_BENCH_SCALE_MULT").map(_.toInt).getOrElse(4)
+    val mult = sys.env.get("SPARK_GRAFT_BENCH_SCALE_MULT").map(_.toInt).getOrElse(8)
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_SCALE_BUDGET")
       .map(_.toDouble).getOrElse(120.0)
     try {
